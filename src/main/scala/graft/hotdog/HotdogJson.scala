@@ -1,0 +1,225 @@
+package graft.hotdog
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, JsonNodeFactory}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType, StructType, StructField}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** hotdog's JSON deep-merge semantics (reference src/merge.rs:69-88, itself
+  * vendored from json_value_merge, MIT) plus serde_json-compatible
+  * serialization:
+  *
+  *  - object ⊕ object  → per-key recursive merge (insert-or-recurse)
+  *  - array  ⊕ array   → extend, then Vec::dedup (removes only CONSECUTIVE
+  *                       duplicate elements)
+  *  - array  ⊕ object  → push object, then dedup
+  *  - _      ⊕ _       → RHS overwrites
+  *
+  * Serialization parity: the reference's serde_json 1.0.96 is built WITHOUT
+  * `preserve_order` (Cargo.lock), so `Map<String, Value>` is a BTreeMap —
+  * object keys serialize sorted ascending; output is compact (no spaces).
+  */
+object HotdogJson {
+  private val mapper = new ObjectMapper()
+
+  /** Parse or null (mirrors serde_json::from_str Err). */
+  def parseOrNull(s: String): JsonNode =
+    try {
+      val n = mapper.readTree(s)
+      // jackson readTree of empty input returns MissingNode
+      if (n == null || n.isMissingNode) null else n
+    } catch { case _: Exception => null }
+
+  /** In-place-style merge: returns the merged tree (a may be mutated). */
+  def merge(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
+    case (ao: ObjectNode, bo: ObjectNode) =>
+      val it = bo.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val k = e.getKey
+        val existing = ao.get(k)
+        if (existing == null) {
+          // insert-or-recurse: entry(k).or_insert(Null) then merge(Null, v)
+          ao.set(k, merge(JsonNodeFactory.instance.nullNode(), e.getValue))
+        } else {
+          ao.set(k, merge(existing, e.getValue))
+        }
+      }
+      ao
+    case (aa: ArrayNode, ba: ArrayNode) =>
+      val it = ba.elements()
+      while (it.hasNext) aa.add(it.next())
+      dedupConsecutive(aa)
+      aa
+    case (aa: ArrayNode, bo: ObjectNode) =>
+      aa.add(bo)
+      dedupConsecutive(aa)
+      aa
+    case (_, b2) => b2.deepCopy[JsonNode]()
+  }
+
+  /** Rust Vec::dedup — remove consecutive equal elements only. */
+  private def dedupConsecutive(arr: ArrayNode): Unit = {
+    var i = arr.size() - 1
+    while (i > 0) {
+      if (arr.get(i) == arr.get(i - 1)) arr.remove(i)
+      i -= 1
+    }
+  }
+
+  /** Compact serialization with object keys sorted ascending, matching
+    * serde_json without preserve_order. String escaping mirrors
+    * serde_json: only `"`, `\` and control chars < 0x20 are escaped
+    * (non-ASCII emitted raw). */
+  def serialize(n: JsonNode): String = {
+    val sb = new java.lang.StringBuilder(64)
+    write(n, sb)
+    sb.toString
+  }
+
+  private def write(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+    if (n == null || n.isNull) { sb.append("null"); return }
+    if (n.isObject) {
+      sb.append('{')
+      val names = new java.util.ArrayList[String]()
+      val it = n.fieldNames()
+      while (it.hasNext) names.add(it.next())
+      java.util.Collections.sort(names)
+      var first = true
+      val nit = names.iterator()
+      while (nit.hasNext) {
+        val k = nit.next()
+        if (!first) sb.append(',')
+        first = false
+        writeString(k, sb)
+        sb.append(':')
+        write(n.get(k), sb)
+      }
+      sb.append('}')
+    } else if (n.isArray) {
+      sb.append('[')
+      var i = 0
+      while (i < n.size()) {
+        if (i > 0) sb.append(',')
+        write(n.get(i), sb)
+        i += 1
+      }
+      sb.append(']')
+    } else if (n.isTextual) {
+      writeString(n.textValue(), sb)
+    } else if (n.isBoolean) {
+      sb.append(if (n.booleanValue()) "true" else "false")
+    } else if (n.isIntegralNumber) {
+      sb.append(n.numberValue().toString)
+    } else {
+      // floating point: Java's shortest repr is close to ryu for common values
+      sb.append(n.numberValue().toString)
+    }
+  }
+
+  private def writeString(s: String, sb: java.lang.StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      (c: @annotation.switch) match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c2 if c2 < ' ' => sb.append(f"\\u${c2.toInt}%04x")
+        case c2 => sb.append(c2)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** perform_merge semantics (reference src/connection.rs:316-343) given the
+    * already-rendered merge template `rhs`:
+    *  - msg not valid JSON       → null (caller counts error.merge_of_invalid_json
+    *                               and sets continue_rules=false)
+    *  - rhs not a JSON object    → msg unchanged (caller counts
+    *                               error.merge_target_not_json)
+    *  - else                     → merged, key-sorted, compact
+    */
+  def performMerge(msg: String, rhs: String): String = {
+    val msgJson = parseOrNull(msg)
+    if (msgJson == null) return null
+    val toMerge = parseOrNull(rhs)
+    if (toMerge == null) return null // reference panics here; can't happen with valid configs
+    if (!toMerge.isObject) return msg
+    serialize(merge(msgJson, toMerge))
+  }
+}
+
+/** `JmesPathDotted(json, 'a.b.c') -> struct<matched boolean, value string>`
+  * — the JMESPath dotted-identifier subset used by hotdog configs
+  * (reference src/rules.rs:70-85):
+  *  - input not valid JSON → matched=false (silent, F5)
+  *  - path resolves to null / missing → matched=false
+  *  - path resolves to a JSON string → matched=true, value=that string
+  *  - path resolves to any other non-null value → matched=true, value=null
+  *    (the reference only exposes the `value` variable for string results)
+  */
+case class JmesPathDotted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("matched", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private lazy val pathSegs: Array[String] =
+    right.eval(null).toString.split("\\.")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val noMatch = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, null))
+    val l = left.eval(input)
+    if (l == null) return noMatch
+    var node = HotdogJson.parseOrNull(l.toString)
+    if (node == null) return noMatch
+    var i = 0
+    while (i < pathSegs.length && node != null) {
+      node = if (node.isObject) node.get(pathSegs(i)) else null
+      i += 1
+    }
+    if (node == null || node.isNull)
+      noMatch
+    else if (node.isTextual)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, UTF8String.fromString(node.textValue())))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, null))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JmesPathDotted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jmespath_dotted"
+}
+
+/** `JsonHotdogMerge(msg, renderedMergeJson) -> string` — A3/A4 merge as a
+  * Catalyst expression. Returns null iff `msg` is not valid JSON (the
+  * cascade-kill signal). Jackson-based, so CodegenFallback. */
+case class JsonHotdogMerge(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    val out = HotdogJson.performMerge(l.toString, r.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonHotdogMerge =
+    copy(left = l, right = r)
+  override def prettyName: String = "json_hotdog_merge"
+}

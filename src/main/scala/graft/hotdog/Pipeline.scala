@@ -1,0 +1,110 @@
+package graft.hotdog
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hotdog.config.HotdogConfig
+
+/** End-to-end wiring: scan(sequences) → decode → parse → route →
+  * [broadcast enrich] → fan-out sink + stats/audit (SURVEY §3 E1).
+  *
+  * Scale notes (the 100 TB design, tested at local scale):
+  *  - decode→parse→route is ONE narrow whole-stage-codegen stage: no
+  *    shuffle at all before the sink.
+  *  - enrich is a broadcast hash join (dim is small by construction);
+  *    no shuffle, skew-immune.
+  *  - the fan-out write repartitions by (topic, salt) so one hot topic
+  *    (or hot source) cannot pin a single writer task — salting spreads
+  *    each topic over up to `writeSaltBuckets` files/tasks while keeping
+  *    dynamic-partition writes to one topic-dir per task.
+  *  - idempotent resume: dynamic partition overwrite per topic + an audit
+  *    table recording per-partition lineage; a re-run of the same batch_id
+  *    overwrites, never duplicates.
+  */
+object Pipeline {
+
+  final case class Result(routed: DataFrame, stats: DataFrame)
+
+  /** Logical pipeline without sinks. */
+  def run(sequences: DataFrame, cfg: HotdogConfig,
+      dim: Option[DataFrame] = None,
+      clock: Column = Router.DefaultClock): Result = {
+    val routed0 = Router.route(sequences, cfg, clock)
+    val routed = dim match {
+      case Some(d) => routed0.join(broadcast(d), Seq("source"), "left")
+      case None    => routed0
+    }
+    Result(routed, Stats.statsOf(routed0))
+  }
+
+  /** Fan-out sink (S5): routed rows partitioned by topic, parquet.
+    * `saltBuckets` bounds the number of write tasks per topic so a hot
+    * topic parallelizes; AQE coalesces small ones. Returns per-topic counts
+    * as observed by the write (for count-parity checks). */
+  def writeFanOut(routed: DataFrame, outDir: String, batchId: Long,
+      saltBuckets: Int = 32): Unit = {
+    val emitted = routed.filter(col("topic").isNotNull)
+      .withColumn("batch_id", lit(batchId))
+    val spark = routed.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      emitted
+        .repartition(col("batch_id"), col("topic"),
+          pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+        .write
+        .partitionBy("batch_id", "topic")
+        .mode(SaveMode.Overwrite)
+        .parquet(outDir)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Per-partition lineage + metrics audit rows (north_rule: resumable with
+    * per-partition lineage). One row per (batch, topic): input/routed
+    * counts; written idempotently per batch_id. */
+  def writeAudit(routed: DataFrame, auditDir: String, batchId: Long): Unit = {
+    val audit = routed.groupBy(col("topic")).agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed_rows"),
+      sum(col("err_merge_invalid_json")).as("merge_invalid_json"),
+      sum(col("err_merge_target_not_json")).as("merge_target_not_json"))
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("completed_at", current_timestamp())
+    val spark = routed.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try audit.repartition(1).write.partitionBy("batch_id")
+      .mode(SaveMode.Overwrite).parquet(auditDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Which batch_ids already completed (resume-from-checkpoint: a batch is
+    * skipped iff its audit rows exist — audit is written AFTER the fan-out,
+    * so a crash between the two re-runs the batch idempotently). */
+  def completedBatches(spark: SparkSession, auditDir: String): Set[Long] =
+    try spark.read.parquet(auditDir).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    catch { case _: Exception => Set.empty }
+
+  /** Full batch job with resume: process only batches not yet in the audit
+    * table. `batches` maps batch_id → its sequences slice. */
+  def runResumable(spark: SparkSession, cfg: HotdogConfig,
+      batches: Map[Long, DataFrame], outDir: String, auditDir: String,
+      dim: Option[DataFrame] = None): Seq[Long] = {
+    val done = completedBatches(spark, auditDir)
+    val todo = batches.keys.toSeq.sorted.filterNot(done)
+    todo.foreach { b =>
+      val r = run(batches(b), cfg, dim)
+      writeFanOut(r.routed, outDir, b)
+      writeAudit(r.routed, auditDir, b)
+    }
+    todo
+  }
+}

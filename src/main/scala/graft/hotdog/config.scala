@@ -1,0 +1,207 @@
+package graft.hotdog
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** hotdog rule-file model. Mirrors the reference settings
+  * (src/settings.rs:55-101): an ordered rule list, each rule a matcher
+  * (regex OR jmespath; jmespath takes precedence — src/rules.rs:70,86)
+  * over one field, plus an ordered action list.
+  *
+  * All templates/regexes/jmespaths are validated & compiled at LOAD time
+  * (the reference treats compile failures as fatal —
+  * src/connection.rs:262-311); rules become *plan*, not data.
+  */
+object config {
+
+  /** A handlebars-lite template: literal chunks + `{{var}}` placeholders.
+    * The reference renders through handlebars 3.5.5 in non-strict mode:
+    * unknown variables render as "", `{{var}}` HTML-escapes the value. */
+  final case class Template(parts: Seq[TPart]) {
+    def varNames: Seq[String] = parts.collect { case TVar(n) => n }
+    /** Render driver-side with plain strings (oracle path). */
+    def renderString(vars: collection.Map[String, String]): String = {
+      val sb = new StringBuilder
+      parts.foreach {
+        case TLit(s) => sb.append(s)
+        case TVar(n) => sb.append(htmlEscapeStr(vars.getOrElse(n, "")))
+      }
+      sb.toString
+    }
+  }
+  sealed trait TPart
+  final case class TLit(s: String) extends TPart
+  final case class TVar(name: String) extends TPart
+
+  def htmlEscapeStr(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      .pipe(Codepoints.htmlEscape).toString
+  private implicit class PipeOps[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  /** Parse `{{name}}` placeholders. Only simple identifiers are supported —
+    * the full handlebars language (helpers, blocks, partials) is out of the
+    * reference configs' usage and rejected at load time. */
+  def parseTemplate(t: String): Template = {
+    val parts = ArrayBuffer.empty[TPart]
+    val lit = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      if (i + 1 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{') {
+        val close = t.indexOf("}}", i + 2)
+        if (close < 0) throw new IllegalArgumentException(s"unclosed {{ in template: $t")
+        val name = t.substring(i + 2, close).trim
+        if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+          throw new IllegalArgumentException(s"unsupported handlebars expression: {{$name}}")
+        if (lit.nonEmpty) { parts += TLit(lit.toString); lit.clear() }
+        parts += TVar(name)
+        i = close + 2
+      } else {
+        lit.append(t.charAt(i)); i += 1
+      }
+    }
+    if (lit.nonEmpty) parts += TLit(lit.toString)
+    Template(parts.toSeq)
+  }
+
+  /** Rust-regex → Java-regex dialect translation for the subset appearing
+    * in hotdog configs: named groups `(?P<n>...)` → `(?<n>...)`. Returns
+    * (javaPattern, namedGroups-in-order, totalGroupIndexOf(name)). */
+  final case class CompiledRegex(
+      original: String,
+      javaPattern: String,
+      pattern: Pattern,
+      namedGroups: Seq[String],
+      groupIndexOf: Map[String, Int])
+
+  def compileRegex(rust: String): CompiledRegex = {
+    val java = rust.replace("(?P<", "(?<")
+    val p = Pattern.compile(java)
+    // collect named groups in appearance order + their 1-based group index
+    // (index counts ALL capturing groups, named and unnamed)
+    val names = ArrayBuffer.empty[String]
+    val idxOf = scala.collection.mutable.Map.empty[String, Int]
+    var i = 0
+    var groupNo = 0
+    while (i < java.length) {
+      val c = java.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == '[') { // char class: skip to unescaped ]
+        i += 1
+        if (i < java.length && java.charAt(i) == ']') i += 1
+        while (i < java.length && java.charAt(i) != ']') {
+          if (java.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (c == '(') {
+        if (i + 1 < java.length && java.charAt(i + 1) == '?') {
+          if (i + 2 < java.length && java.charAt(i + 2) == '<' &&
+              i + 3 < java.length && java.charAt(i + 3) != '=' && java.charAt(i + 3) != '!') {
+            groupNo += 1
+            val close = java.indexOf('>', i + 3)
+            val name = java.substring(i + 3, close)
+            names += name
+            idxOf(name) = groupNo
+            i = close + 1
+          } else i += 1 // non-capturing / lookaround
+        } else {
+          groupNo += 1
+          i += 1
+        }
+      } else i += 1
+    }
+    CompiledRegex(rust, java, p, names.toSeq, idxOf.toMap)
+  }
+
+  /** JMESPath dotted-identifier subset `a.b.c` (all the reference configs
+    * use — e.g. hotdog.yml:46 `meta.topic`). Anything else fails the load,
+    * mirroring the reference's fatal compile error for invalid expressions
+    * (src/connection.rs:297-311, fixture single-rule-with-invalid-jmespath). */
+  def compileJmesPath(expr: String): Seq[String] = {
+    val ok = expr.nonEmpty &&
+      expr.split("\\.", -1).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    if (!ok) throw new IllegalArgumentException(s"unsupported jmespath: $expr")
+    expr.split("\\.").toSeq
+  }
+
+  sealed trait HAction
+  final case class AForward(topic: Template) extends HAction
+  /** jsonStr = compact serialization of the YAML `json:` value with keys
+    * sorted (the reference pre-serializes via serde_json into the json_str
+    * cache — src/settings.rs:82-89); it is itself a template (contains
+    * `{{version}}`/`{{iso8601}}`-style vars in string positions). */
+  final case class AMerge(jsonStr: Template, staticallyNonObject: Boolean) extends HAction
+  final case class AReplace(template: Template) extends HAction
+  case object AStop extends HAction
+
+  final case class HRule(
+      uuid: String,
+      field: String, // msg | appname | hostname | severity | facility
+      jmespath: Option[Seq[String]],
+      jmespathRaw: Option[String],
+      regex: Option[CompiledRegex],
+      actions: Seq[HAction]) {
+    /** Display form matching the reference's `impl Display for Rule`
+      * (src/settings.rs:110-118) used by test-mode output. */
+    def display: String =
+      if (jmespathRaw.isDefined) s"JMESPath: ${jmespathRaw.get}"
+      else s"Regex: ${regex.get.original}"
+  }
+
+  final case class HotdogConfig(rules: Seq[HRule])
+
+  private val ValidFields = Set("msg", "appname", "hostname", "severity", "facility")
+
+  /** Load a hotdog-shaped YAML config (rules section only; the transport
+    * `global` block is parsed but unused — sources are tables here). */
+  def load(path: String): HotdogConfig =
+    fromYamlString(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromYamlString(yaml: String): HotdogConfig = {
+    val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](yaml)
+    val rulesRaw = root.get("rules") match {
+      case l: java.util.List[_] => l.asScala.toSeq
+      case _ => throw new IllegalArgumentException("config missing `rules` list")
+    }
+    val rules = rulesRaw.zipWithIndex.map { case (r0, idx) =>
+      val r = r0.asInstanceOf[java.util.Map[String, Object]].asScala
+      val field = r.getOrElse("field",
+        throw new IllegalArgumentException(s"rule $idx missing field")).toString
+      require(ValidFields.contains(field), s"rule $idx: invalid field `$field`")
+      val jp = r.get("jmespath").map(_.toString)
+      val rx = r.get("regex").map(_.toString)
+      val actions = r.get("actions") match {
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.map(parseAction)
+        case _ => Seq.empty[HAction]
+      }
+      HRule(
+        uuid = f"rule-$idx%04d",
+        field = field,
+        jmespath = jp.map(compileJmesPath),
+        jmespathRaw = jp,
+        regex = rx.map(compileRegex),
+        actions = actions)
+    }
+    HotdogConfig(rules)
+  }
+
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def parseAction(a0: Any): HAction = {
+    val a = a0.asInstanceOf[java.util.Map[String, Object]].asScala
+    a.getOrElse("type", throw new IllegalArgumentException("action missing type")).toString match {
+      case "forward" => AForward(parseTemplate(a("topic").toString))
+      case "replace" => AReplace(parseTemplate(a("template").toString))
+      case "stop"    => AStop
+      case "merge" =>
+        val node = jackson.valueToTree[com.fasterxml.jackson.databind.JsonNode](a("json"))
+        val jsonStr = HotdogJson.serialize(node)
+        AMerge(parseTemplate(jsonStr), staticallyNonObject = !node.isObject)
+      case other => throw new IllegalArgumentException(s"unknown action type: $other")
+    }
+  }
+}

@@ -1,0 +1,11 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the private[sql] Column <-> Expression converters —
+  * the supported way for third-party Catalyst expressions to surface as
+  * Columns on Spark 4.x (Column no longer wraps Expression directly). */
+object graftshim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,223 @@
+package graft.hotdog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+class RouterSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  val FixedIso = "2020-04-18T22:16:09.956153+00:00"
+
+  def seqDF(lines: Seq[String]): DataFrame =
+    lines.zipWithIndex.map { case (l, i) =>
+      (f"doc-$i%06d", l.codePoints().toArray, l.codePointCount(0, l.length), s"src-${i % 3}")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+
+  def route(lines: Seq[String], cfg: config.HotdogConfig = Configs.flagship): Array[Oracle.OracleOut] = {
+    val out = Router.route(seqDF(lines), cfg, clock = lit(FixedIso))
+      .orderBy("doc_id")
+      .select("parse_ok", "topic", "output", "err_merge_invalid_json", "err_merge_target_not_json")
+      .collect()
+    out.map(r => Oracle.OracleOut(
+      r.getBoolean(0), Option(r.getString(1)), Option(r.getString(2)),
+      r.getLong(3), r.getLong(4)))
+  }
+
+  test("flagship: hello rule → replace + forward to `test`") {
+    val line = "<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - - hello world"
+    val Array(r) = route(Seq(line))
+    assert(r.parseOk)
+    assert(r.topic.contains("test"))
+    assert(r.output.contains(
+      "This is the total message: hello world\n\nAnd the name is: world\n"))
+  }
+
+  test("flagship: optional named group that did not participate") {
+    // msg "hello " + nothing capturable: group doesn't participate → {{name}} renders ""
+    val line = "<13>1 2020-04-18T15:16:09Z coconut tyler - - - hello "
+    val Array(r) = route(Seq(line))
+    assert(r.topic.contains("test"))
+    assert(r.output.contains("This is the total message: hello \n\nAnd the name is: \n"))
+  }
+
+  test("flagship: JSON meta.topic → merge + dynamic topic") {
+    val line = """<13>1 2020-04-15T21:16:43.268478-07:00 coconut tyler - - - {"meta":{"topic":"test"},"i":7}"""
+    val Array(r) = route(Seq(line))
+    assert(r.topic.contains("test"))
+    assert(r.output.contains(
+      s"""{"i":7,"meta":{"hotdog":{"timestamp":"$FixedIso","version":"0.5.1"},"topic":"test"}}"""))
+  }
+
+  test("flagship: catch-all → logs-unknown with raw msg") {
+    val line = "<190>May 13 21:45:18 coconut hotdog: some plain text"
+    val Array(r) = route(Seq(line))
+    assert(r.topic.contains("logs-unknown"))
+    assert(r.output.contains("some plain text"))
+  }
+
+  test("flagship: parse error is not routed") {
+    val Array(r) = route(Seq("blah"))
+    assert(!r.parseOk && r.topic.isEmpty)
+  }
+
+  test("non-string meta.topic: jmespath matches, `value` missing → empty topic") {
+    val line = """<13>1 2020-04-18T15:16:09Z h a - - - {"meta":{"topic":7}}"""
+    val Array(r) = route(Seq(line))
+    assert(r.topic.contains("")) // handlebars renders missing {{value}} as ""
+    assert(r.output.exists(_.contains("\"topic\":7")))
+  }
+
+  test("merge rule on non-JSON msg via regex matcher: kill + raw forward still happens") {
+    // rule: regex .* → merge → forward; non-JSON msg: merge fails (invalid json),
+    // action list continues, forward emits the raw msg (connection.rs:211-222 has no break)
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: merge
+        |        json:
+        |          a: 1
+        |      - type: forward
+        |        topic: t
+        |""".stripMargin)
+    val line = "<190>May 13 21:45:18 coconut hotdog: not json"
+    val Array(r) = route(Seq(line), cfg)
+    assert(r.topic.contains("t"))
+    assert(r.output.contains("not json"))
+    assert(r.mergeInvalidJson == 1L)
+  }
+
+  test("merge-only rule failure kills the cascade (later rules never run)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: merge
+        |        json:
+        |          a: 1
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: later
+        |""".stripMargin)
+    // non-JSON msg: merge fails → continue_rules=false → rule 2 skipped
+    val Array(bad) = route(Seq("<190>May 13 21:45:18 h a: not json"), cfg)
+    assert(bad.topic.isEmpty && bad.mergeInvalidJson == 1L)
+    // JSON msg: merge succeeds, rule 1 doesn't kill → rule 2 forwards raw msg
+    val Array(ok) = route(Seq("""<13>1 2020-04-18T15:16:09Z h a - - - {"x":1}"""), cfg)
+    assert(ok.topic.contains("later"))
+    assert(ok.output.contains("""{"x":1}""")) // output buffer resets per rule (A7)
+    assert(ok.mergeInvalidJson == 0L)
+  }
+
+  test("merge target not an object: buffer passes through + stat (connection.rs:325-329)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: merge
+        |        json:
+        |          - 1
+        |      - type: forward
+        |        topic: t
+        |""".stripMargin)
+    val Array(r) = route(Seq("""<13>1 2020-04-18T15:16:09Z h a - - - {"x":1}"""), cfg)
+    assert(r.topic.contains("t"))
+    assert(r.output.contains("""{"x":1}"""))
+    assert(r.mergeTargetNotJson == 1L)
+  }
+
+  test("hostname-field routing (single-rule-with-hostname-field.yml)") {
+    val cfg = config.fromYamlString(Configs.singleRuleWithHostnameField)
+    val lines = Seq(
+      "<13>1 2020-04-18T15:16:09Z coconut tyler - - - m1",
+      "<13>1 2020-04-18T15:16:09Z otherhost tyler - - - m2",
+      "<13>1 2020-04-18T15:16:09Z - tyler - - - m3") // nil hostname: no rule can match
+    val rs = route(lines, cfg)
+    assert(rs(0).topic.contains("test"))
+    assert(rs(0).output.contains("This messages was received by my workstation\n\nm1\n"))
+    assert(rs(1).topic.contains("test"))
+    assert(rs(1).output.contains("This message NOT received properly\n\nm2\n"))
+    assert(rs(2).topic.isEmpty) // null field never matches (connection.rs:129-147)
+  }
+
+  test("test-mode golden output (README.adoc:79-91, example.log + hotdog.yml)") {
+    val exampleLog = Seq(
+      "hello there",
+      "This is a somewhat longer line of logs?",
+      "This is a MUCH longer log line and it should not be truncated, hopefully",
+      """{"this": "is some JSON data", "which": "should also be transmitted properly", "meta" : {"topic" : "test"}}""")
+    val df = exampleLog.zipWithIndex.map { case (l, i) => (i + 1, l) }.toDF("line_no", "line")
+    val got = Router.testMode(df, Configs.flagship)
+      .orderBy("line_no").collect()
+      .map(r => (r.getInt(0), r.getSeq[String](1).toList))
+    assert(got(0) == (1, List("Regex: ^hello\\s+(?P<name>\\w+)?", "Regex: .*")))
+    assert(got(1) == (2, List("Regex: .*")))
+    assert(got(2) == (3, List("Regex: .*")))
+    assert(got(3) == (4, List("JMESPath: meta.topic", "Regex: .*")))
+    // and the driver-side oracle agrees
+    exampleLog.zip(got).foreach { case (l, (_, m)) =>
+      assert(Oracle.testMode(l, Configs.flagship) == m)
+    }
+  }
+
+  test("differential: Spark plan == Scala oracle on the synthesized corpus") {
+    val n = 4000
+    val seqs = Corpus.sequences(spark, n, seed = 7L)
+    val lines = seqs.select(exprs.codepointsToString(col("tokens")).as("line"),
+        col("doc_id"))
+      .orderBy("doc_id").collect().map(_.getString(0))
+    val got = Router.route(seqs, Configs.flagship, clock = lit(FixedIso))
+      .orderBy("doc_id")
+      .select("parse_ok", "topic", "output", "err_merge_invalid_json",
+        "err_merge_target_not_json", "line")
+      .collect()
+    assert(got.length == n)
+    var routedCount = 0
+    got.zip(lines).zipWithIndex.foreach { case ((r, line), i) =>
+      assert(r.getString(5) == line, s"decode mismatch at $i")
+      val o = Oracle.route(line, Configs.flagship, FixedIso)
+      assert(r.getBoolean(0) == o.parseOk, s"parse_ok mismatch at $i: $line")
+      assert(Option(r.getString(1)) == o.topic, s"topic mismatch at $i: $line got=${r.getString(1)} want=${o.topic}")
+      assert(Option(r.getString(2)) == o.output, s"output mismatch at $i: $line")
+      assert(r.getLong(3) == o.mergeInvalidJson, s"mi mismatch at $i")
+      assert(r.getLong(4) == o.mergeTargetNotJson, s"mt mismatch at $i")
+      if (o.topic.isDefined) routedCount += 1
+    }
+    assert(routedCount > n / 2, "corpus should route most rows")
+  }
+
+  test("token-array equality invariant on every routed row") {
+    val seqs = Corpus.sequences(spark, 2000, seed = 11L)
+    val routed = Router.route(seqs, Configs.flagship)
+      .filter(col("topic").isNotNull)
+    val bad = routed
+      .withColumn("rt", exprs.stringToCodepoints(col("line")))
+      .filter(not(col("rt") === col("tokens")))
+      .count()
+    assert(bad == 0)
+    // and joined back to the input by doc_id, token arrays are identical
+    val joined = routed.select("doc_id", "tokens")
+      .join(seqs.select(col("doc_id"), col("tokens").as("orig")), "doc_id")
+      .filter(not(col("tokens") === col("orig"))).count()
+    assert(joined == 0)
+  }
+
+  test("≤1 routed row per input (forward implies stop) — structural") {
+    val seqs = Corpus.sequences(spark, 1000, seed = 3L)
+    val routed = Router.route(seqs, Configs.flagship)
+    assert(routed.count() == 1000) // 1 output row per input row, exactly
+  }
+
+  test("single-pass plan: no shuffle before the routed projection") {
+    val seqs = Corpus.sequences(spark, 10, seed = 1L)
+    val plan = Router.route(seqs, Configs.flagship).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"router introduced a shuffle:\n$plan")
+  }
+}

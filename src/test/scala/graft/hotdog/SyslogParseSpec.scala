@@ -1,0 +1,94 @@
+package graft.hotdog
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference parse tests (src/parse.rs:68-112) plus edge cases. */
+class SyslogParseSpec extends AnyFunSuite {
+
+  test("invalid line fails to parse (src/parse.rs:72-80)") {
+    assert(SyslogParser.parseToOption("blah").isEmpty)
+    assert(SyslogParser.parseToOption("").isEmpty)
+    assert(SyslogParser.parseToOption("hello there").isEmpty)
+  }
+
+  test("RFC 5424 (src/parse.rs:82-95)") {
+    val line = """<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - [timeQuality tzKnown="1" isSynced="1" syncAccuracy="505061"] hi"""
+    val p = SyslogParser.parseToOption(line)
+    assert(p.isDefined)
+    val m = p.get
+    assert(m.msg == "hi")
+    assert(m.hostname.contains("coconut"))
+    assert(m.appname.contains("tyler"))
+    assert(m.facility.contains("user"))
+    assert(m.severity.contains("notice"))
+  }
+
+  test("RFC 3164 (src/parse.rs:97-111)") {
+    val p = SyslogParser.parseToOption("<190>May 13 21:45:18 coconut hotdog: hi")
+    assert(p.isDefined)
+    val m = p.get
+    assert(m.msg == "hi")
+    assert(m.hostname.contains("coconut"))
+    assert(m.appname.contains("hotdog"))
+    assert(m.facility.contains("local7"))
+    assert(m.severity.contains("info"))
+  }
+
+  test("RFC 5424 with nil structured data and JSON payload (tsung.xml:21)") {
+    val line = """<13>1 2020-04-15T21:16:43.268478-07:00 coconut tyler - - - {"meta":{"topic":"test"},"i":7}"""
+    val p = SyslogParser.parseToOption(line).get
+    assert(p.msg == """{"meta":{"topic":"test"},"i":7}""")
+    assert(p.hostname.contains("coconut"))
+  }
+
+  test("RFC 5424 nil hostname/appname become null") {
+    val p = SyslogParser.parseToOption("<13>1 2020-04-18T15:16:09Z - - - - - hi").get
+    assert(p.hostname.isEmpty)
+    assert(p.appname.isEmpty)
+    assert(p.msg == "hi")
+  }
+
+  test("PRI bounds: >191 rejected; 0 is kern/emerg") {
+    assert(SyslogParser.parseToOption("<192>1 2020-04-18T15:16:09Z h a - - - m").isEmpty)
+    val p = SyslogParser.parseToOption("<0>1 2020-04-18T15:16:09Z h a - - - m").get
+    assert(p.severity.contains("emerg") && p.facility.contains("kern"))
+  }
+
+  test("3164 app[pid]: form and padded day") {
+    val p = SyslogParser.parseToOption("<34>Oct  5 22:14:15 myhost app[123]: oops").get
+    assert(p.appname.contains("app"))
+    assert(p.hostname.contains("myhost"))
+    assert(p.msg == "oops")
+    assert(p.severity.contains("crit"))
+    assert(p.facility.contains("auth"))
+  }
+
+  test("SyslogParse expression over a DataFrame") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(
+      """<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - [timeQuality tzKnown="1"] hi""",
+      "<190>May 13 21:45:18 coconut hotdog: hi",
+      "blah").toDF("line")
+    val out = Router.parsed(df).selectExpr(
+      "p.msg", "p.severity", "p.facility", "p.hostname", "p.appname").collect()
+    assert(out(0).getString(0) == "hi")
+    assert(out(0).getString(1) == "notice")
+    assert(out(0).getString(2) == "user")
+    assert(out(1).getString(3) == "coconut")
+    assert(out(1).getString(4) == "hotdog")
+    assert(out(2).isNullAt(0) || out(2).anyNull) // parse failure → null struct
+  }
+
+  test("decode/encode round-trip incl non-ASCII") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("hello", "héllo wörld", "日本語テスト", "emoji 🌭 ok", "")
+      .toDF("s")
+    val rt = df.select(
+      col("s"),
+      exprs.codepointsToString(exprs.stringToCodepoints(col("s"))).as("rt"))
+    assert(rt.filter(col("s") =!= col("rt")).count() == 0)
+  }
+}

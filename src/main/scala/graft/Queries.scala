@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hotdog.{Configs, Router, Stats, exprs}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-checkable operator queries. Each `q*`/`hd*`/`dd*`/`txt*`/`sim*`
+  * entry in SparkEntry.queries pairs with a DuckDB oracle in
+  * SparkEntry.oracleSql. For the hotdog operators the syslog lines are
+  * BUILT from the events table via SQL fragments shared verbatim between
+  * the Spark query and the DuckDB oracle — the oracle then recomputes the
+  * expected parse/route results directly from the source columns, so the
+  * comparison proves the parser/router invert the construction exactly.
+  */
+object Queries {
+
+  /** pinned {{iso8601}} for reproducible merge outputs */
+  val FixedIso = "2024-01-01T00:00:00.000000+00:00"
+
+  // ---- shared Spark-SQL/DuckDB fragments (dialect-neutral) ----
+  val msgExpr: String =
+    """CASE event_type
+      |  WHEN 'signup' THEN 'hello user' || user_id || ' <' || event_type || '>'
+      |  WHEN 'purchase' THEN '{"k":' || event_id || ',"meta":{"topic":"t' || (user_id % 3) || '"}}'
+      |  ELSE event_type || ' item ' || event_id
+      |END""".stripMargin
+  val hostExpr: String =
+    "CASE WHEN user_id % 7 = 0 THEN 'coconut' ELSE 'host-' || (user_id % 40) END"
+  val appExpr: String = "'app-' || (user_id % 10)"
+  val priExpr: String = "(event_id % 192)"
+  val lineExpr: String =
+    s"""CASE WHEN event_type = 'error' THEN 'blah ' || event_id
+       |     WHEN event_type = 'click' THEN '<' || $priExpr || '>May 13 21:45:18 ' || ($hostExpr) || ' ' || ($appExpr) || ': ' || ($msgExpr)
+       |     ELSE '<' || $priExpr || '>1 2024-01-01T00:00:00.000000+00:00 ' || ($hostExpr) || ' ' || ($appExpr) || ' - - - ' || ($msgExpr)
+       |END""".stripMargin
+
+  /** expected topic, recomputed from source columns (used by oracles) */
+  val topicExpr: String =
+    """CASE event_type
+      |  WHEN 'error' THEN NULL
+      |  WHEN 'signup' THEN 'test'
+      |  WHEN 'purchase' THEN 't' || (user_id % 3)
+      |  ELSE 'logs-unknown'
+      |END""".stripMargin
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events → sequences-shaped frame (doc_id, tokens, n_tok, source, event cols kept) */
+  def eventSequences(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    ev.withColumn("line", expr(lineExpr))
+      .withColumn("doc_id", col("event_id").cast("string"))
+      .withColumn("tokens", exprs.stringToCodepoints(col("line")))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source", concat(lit("src-"), (col("user_id") % 25).cast("string")))
+      .select("doc_id", "tokens", "n_tok", "source", "event_id", "user_id", "event_type")
+  }
+
+  private def routedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = eventSequences(spark, dir)
+    Router.route(
+      seqs.select("doc_id", "tokens", "n_tok", "source"),
+      Configs.flagship, clock = lit(FixedIso))
+  }
+
+  // =================== hotdog operator queries ===================
+
+  def hdDecodeRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        exprs.codepointsToString(exprs.stringToCodepoints(col("text"))).as("line"))
+      .orderBy("doc_id")
+
+  def hdParseFields(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = eventSequences(spark, dir)
+    Router.parsed(Router.decoded(seqs))
+      .select(col("event_id"),
+        col("p").isNotNull.as("parse_ok"),
+        col("p.msg").as("msg"),
+        col("p.severity").as("severity"),
+        col("p.facility").as("facility"),
+        col("p.hostname").as("hostname"),
+        col("p.appname").as("appname"))
+      .orderBy("event_id")
+  }
+
+  def hdRouteTopics(spark: SparkSession, dir: String): DataFrame =
+    routedEvents(spark, dir)
+      .groupBy("topic").agg(count(lit(1)).as("n"))
+      .orderBy("topic")
+
+  def hdRouteRows(spark: SparkSession, dir: String): DataFrame =
+    routedEvents(spark, dir)
+      .select(col("doc_id").cast("long").as("event_id"), col("topic"), col("output"))
+      .orderBy("event_id")
+
+  def hdStats(spark: SparkSession, dir: String): DataFrame =
+    Stats.statsOf(routedEvents(spark, dir)).orderBy("metric")
+
+  def hdEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val nation = table(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    routedEvents(spark, dir)
+      .withColumn("event_id", col("doc_id").cast("long"))
+      .withColumn("nkey", col("event_id") % 25)
+      .join(broadcast(nation), col("nkey") === col("n_nationkey"), "left")
+      .filter(col("topic").isNotNull)
+      .groupBy("topic", "n_name").agg(count(lit(1)).as("n"))
+      .orderBy("topic", "n_name")
+  }
+
+  def hdTestmode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select((col("doc_id") + 1).as("line_no"),
+        when(col("doc_id") % 7 === 0, concat(lit("hello "), col("lang")))
+          .otherwise(col("text")).as("line"))
+    Router.testMode(docs, Configs.flagship)
+      .select(col("line_no"), array_join(col("matches"), "|").as("matches"))
+      .orderBy("line_no")
+  }
+
+  // =================== generic relational queries ===================
+
+  def qAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_value_c",
+        sum(round(col("value") * 100).cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "rn", "cum_value_c")
+      .orderBy("event_id")
+  }
+
+  def qJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      .orderBy("c_mktsegment")
+  }
+
+  def qJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def qRegex(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("text").rlike("vector|stream.*join"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  def qTopk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id").asc)
+      .limit(5)
+
+  // =================== training-data pipeline queries ===================
+
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(table(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash")
+
+  def ddWordsetJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val base = docs.select(col("source").as("g"), col("doc_id").as("id"),
+      array_distinct(TextAnalysis.words(col("text"))).as("sh"))
+    val a = base.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_pct", Dedup.jaccardPct(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_pct") >= 60)
+      .select("id_a", "id_b", "jaccard_pct")
+      .orderBy("id_a", "id_b")
+  }
+
+  def ddMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(table(spark, dir, "documents"), "doc_id", "text",
+      minJaccardPct = 60)
+      .orderBy("id_a", "id_b")
+
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(table(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 10)
+      .orderBy("id_a", "id_b")
+
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def ddEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(table(spark, dir, "embeddings"),
+      "vec_id", "embedding", minSimE6 = 300000L)
+      .orderBy("id_a", "id_b")
+
+  def txtQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityCounters(table(spark, dir, "documents"), col("text"))
+      .select("doc_id", "n_chars_norm", "n_words", "n_tokens_re", "n_punct",
+        "n_stopwords_en", "n_upper", "max_word_len")
+      .orderBy("doc_id")
+
+  def txtLangid(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

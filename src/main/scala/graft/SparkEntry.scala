@@ -1,13 +1,211 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md.
+  * Every operator family from SURVEY §2 has a `queries` entry; SQL-
+  * expressible ones also have a DuckDB oracle (column names match the
+  * Spark output exactly; rows are explicitly ordered on both sides).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full hotdog pipeline (decode → parse → route → per-topic
+    * counts) over a deterministically synthesized sequences corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val seqs = graft.hotdog.Corpus.sequences(spark, 20000)
+    graft.hotdog.Router.route(seqs, graft.hotdog.Configs.flagship)
+      .groupBy("topic").count()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hotdog operators (SURVEY §2.1-2.5)
+    "hd_decode_roundtrip" -> (Queries.hdDecodeRoundtrip _),
+    "hd_parse_fields" -> (Queries.hdParseFields _),
+    "hd_route_topics" -> (Queries.hdRouteTopics _),
+    "hd_route_rows" -> (Queries.hdRouteRows _),
+    "hd_stats" -> (Queries.hdStats _),
+    "hd_enrich" -> (Queries.hdEnrich _),
+    "hd_testmode" -> (Queries.hdTestmode _),
+    // generic relational operators
+    "q_agg" -> (Queries.qAgg _),
+    "q_window" -> (Queries.qWindow _),
+    "q_join" -> (Queries.qJoin _),
+    "q_json" -> (Queries.qJson _),
+    "q_regex" -> (Queries.qRegex _),
+    "q_topk" -> (Queries.qTopk _),
+    // training-data pipeline operators
+    "dd_exact" -> (Queries.ddExact _),
+    "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
+    "dd_minhash" -> (Queries.ddMinhash _),
+    "dd_simhash" -> (Queries.ddSimhash _),
+    "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
+    "sim_topk" -> (Queries.simTopk _),
+    "txt_quality" -> (Queries.txtQuality _),
+    "txt_langid" -> (Queries.txtLangid _),
+    "txt_fingerprint" -> (Queries.txtFingerprint _))
+
+  // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
+  private val msgE = Queries.msgExpr
+  private val lineE = Queries.lineExpr
+  private val topicE = Queries.topicExpr
+  private val hostE = Queries.hostExpr
+  private val normE =
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val sevList =
+    "['emerg','alert','crit','err','warning','notice','info','debug']"
+  private val facList =
+    "['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron','authpriv','ftp','ntp','audit','alert','clockd','local0','local1','local2','local3','local4','local5','local6','local7']"
+
+  /** expected routed output string, recomputed in pure SQL (for hd_route_rows) */
+  private val outputE: String =
+    s"""CASE event_type
+       |  WHEN 'error' THEN NULL
+       |  WHEN 'signup' THEN 'This is the total message: hello user' || user_id || ' &lt;signup&gt;' || chr(10) || chr(10) || 'And the name is: user' || user_id || chr(10)
+       |  WHEN 'purchase' THEN '{"k":' || event_id || ',"meta":{"hotdog":{"timestamp":"${Queries.FixedIso}","version":"0.5.1"},"topic":"t' || (user_id % 3) || '"}}'
+       |  ELSE $msgE
+       |END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "hd_decode_roundtrip" ->
+      "SELECT doc_id, text AS line FROM documents ORDER BY doc_id",
+
+    "hd_parse_fields" ->
+      s"""SELECT event_id,
+         |  event_type <> 'error' AS parse_ok,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE $msgE END AS msg,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE list_extract($sevList, (event_id % 192) % 8 + 1) END AS severity,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE list_extract($facList, (event_id % 192) // 8 + 1) END AS facility,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE $hostE END AS hostname,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE 'app-' || (user_id % 10) END AS appname
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "hd_route_topics" ->
+      s"""SELECT topic, count(*)::BIGINT AS n
+         |FROM (SELECT $topicE AS topic FROM events) t
+         |GROUP BY topic ORDER BY topic NULLS FIRST""".stripMargin,
+
+    "hd_route_rows" ->
+      s"""SELECT event_id, $topicE AS topic, $outputE AS output
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "hd_stats" ->
+      s"""WITH t AS (SELECT $topicE AS topic FROM events)
+         |SELECT metric, value FROM (
+         |  SELECT 'kafka.submitted.' || topic AS metric, count(*)::BIGINT AS value FROM t WHERE topic IS NOT NULL GROUP BY topic
+         |  UNION ALL SELECT 'kafka.submitted', count(*)::BIGINT FROM t WHERE topic IS NOT NULL
+         |  UNION ALL SELECT 'lines', count(*)::BIGINT FROM events WHERE event_type <> 'error'
+         |  UNION ALL SELECT 'error.log_parse', count(*)::BIGINT FROM events WHERE event_type = 'error'
+         |  UNION ALL SELECT 'error.merge_of_invalid_json', 0::BIGINT
+         |  UNION ALL SELECT 'error.merge_target_not_json', 0::BIGINT
+         |  UNION ALL SELECT 'connections', 0::BIGINT
+         |  UNION ALL SELECT 'error.full_internal_queue', 0::BIGINT
+         |  UNION ALL SELECT 'error.internal_push_failed', 0::BIGINT
+         |  UNION ALL SELECT 'error.topic_parse_failed', 0::BIGINT
+         |  UNION ALL SELECT 'kafka.producer.sent', 0::BIGINT
+         |) ORDER BY metric""".stripMargin,
+
+    "hd_enrich" ->
+      s"""SELECT topic, n_name, count(*)::BIGINT AS n
+         |FROM (SELECT $topicE AS topic, event_id % 25 AS nkey FROM events) t
+         |JOIN nation ON nkey = n_nationkey
+         |WHERE topic IS NOT NULL
+         |GROUP BY topic, n_name ORDER BY topic, n_name""".stripMargin,
+
+    "hd_testmode" ->
+      """SELECT doc_id + 1 AS line_no,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN 'Regex: ^hello\s+(?P<name>\w+)?|Regex: .*'
+        |    ELSE 'Regex: .*' END AS matches
+        |FROM documents ORDER BY line_no""".stripMargin,
+
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_c,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT AS rn,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_value_c
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_regex" ->
+      """SELECT lang, count(*)::BIGINT AS n FROM documents
+        |WHERE regexp_matches(text, 'vector|stream.*join')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk" ->
+      """SELECT user_id, count(*)::BIGINT AS n FROM events
+        |GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5""".stripMargin,
+
+    "dd_exact" ->
+      s"""SELECT md5($normE) AS text_hash, min(doc_id) AS keep_id,
+         |  count(*)::BIGINT AS n_dupes
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dd_wordset_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT source AS g, doc_id AS id,
+         |    list_distinct(string_split($normE, ' ')) AS sh
+         |  FROM documents)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_pct
+         |FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
+         |WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank::INT AS rank, CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "txt_quality" ->
+      s"""SELECT doc_id,
+         |  length($normE)::INT AS n_chars_norm,
+         |  len(string_split($normE, ' '))::INT AS n_words,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))::INT AS n_tokens_re,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]'))::INT AS n_punct,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('the','a','of','and','to','in','is','it')))::INT AS n_stopwords_en,
+         |  len(regexp_extract_all(text, '[A-Z]'))::INT AS n_upper,
+         |  coalesce(list_max(list_transform(string_split($normE, ' '), w -> length(w))), 0)::INT AS max_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('the','a','of','and','to','in','is','it'))) AS en,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('el','la','de','y','que','en','un','es'))) AS es,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('der','die','und','das','ist','ein','zu','den'))) AS de,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('le','la','de','et','un','est','en','que'))) AS fr
+         | FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+         |       WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de'
+         |       ELSE 'fr' END AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"SELECT doc_id, md5($normE) AS fp FROM documents ORDER BY doc_id")
 }

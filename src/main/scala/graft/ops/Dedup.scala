@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-shuffle on a 32-byte key (md5), map-side combine.
+  *  - minhash LSH: per-row signature (narrow) → explode to `bands` rows →
+  *    shuffle on band-hash buckets → candidate pairs only within buckets →
+  *    verified jaccard. Never a cross join.
+  *  - simhash: per-row 64-bit sketch (narrow) → band on 4×16-bit chunks →
+  *    bucket join → hamming verify.
+  *  - n-gram jaccard (exact pairwise): only for bounded groups (here:
+  *    per-source) — the verification primitive the LSH paths reuse.
+  *  - embedding near-dup: see Similarity.lshCandidates / bruteForceTopK.
+  */
+object Dedup {
+
+  /** word n-gram shingle set of the normalized text */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = TextAnalysis.words(text)
+    array_distinct(
+      when(size(w) < n, array(array_join(w, " ")))
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+  }
+
+  /** Exact dedup: group identical normalized texts, keep the smallest id.
+    * Returns (text_hash, keep_id, n_dupes). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** drop duplicates, keeping one row per normalized text (scale path:
+    * shuffle on the 128-bit hash, not the full text). */
+  def dropExactDupes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** exact jaccard over shingle sets between two docs (verification). */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)).cast("double"))
+
+  /** floor(100·|a∩b| / |a∪b|) as long — multiply-before-divide so the
+    * double math is bit-identical to the DuckDB oracle's
+    * floor(100.0 * len(intersect) / len(union)). */
+  def jaccardPct(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0L))
+      .otherwise(floor(lit(100.0) * size(array_intersect(a, b)) /
+        size(array_union(a, b))).cast("long"))
+
+  /** Pairwise n-gram-jaccard near-dups WITHIN a bounded group (groupCol) —
+    * O(g²) per group, only safe when groups are small; the LSH variants
+    * below are the unbounded-scale path. Returns (id_a, id_b, jaccard_pct)
+    * with integer percent so cross-engine compares are float-free. */
+  def jaccardPairsWithin(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minJaccardPct: Int): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      shingles(col(textCol)).as("sh"))
+    val a = base.select(col("g"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("g"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("g")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard_pct", jaccardPct(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_pct") >= minJaccardPct)
+      .select("id_a", "id_b", "jaccard_pct")
+  }
+
+  /** MinHash + LSH banding: returns VERIFIED near-dup pairs
+    * (id_a, id_b, jaccard_pct). numHashes=k, bands×rowsPerBand=k.
+    * Scale shape: narrow signature → explode(bands) → shuffle on
+    * (band, band_sig) → within-bucket pairs (skew-bounded by bucket
+    * size) → exact-jaccard verify on the candidate set only. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPer = numHashes / bands
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", opscol.minhashSig(col("sh"), numHashes))
+    val banded = sig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          b.cast("string"),
+          array_join(transform(sequence(b * rowsPer, (b + 1) * rowsPer - 1),
+            i => element_at(col("sig"), i + 1).cast("string")), "_"))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct() // candidates once
+      .withColumn("jaccard_pct", jaccardPct(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_pct") >= minJaccardPct)
+      .select("id_a", "id_b", "jaccard_pct")
+  }
+
+  /** SimHash near-dups: 64-bit sketch, banded into 4×16-bit chunks (any
+    * pair within hamming distance ≤ maxHamming with ≤3 differing chunks
+    * shares ≥1 chunk → no recall loss for maxHamming ≤ 3 per band theory
+    * caveats). Returns (id_a, id_b, hamming). */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"),
+      opscol.simhash64(TextAnalysis.words(col(textCol))).as("sh"))
+    val banded = sk.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: all
+  * pure Column compositions (codegen'd, no UDFs) so they scale to 100 TB
+  * as narrow per-row projections — and every one has an exact DuckDB-SQL
+  * oracle equivalent (see graft.SparkEntry.oracleSql).
+  */
+object TextAnalysis {
+
+  /** lowercase + collapse whitespace — normalization used by fingerprint
+    * and shingling so trivial formatting differences don't defeat dedup. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** whitespace word tokens of the normalized text */
+  def words(text: Column): Column = split(normalized(text), " ")
+
+  /** whitespace token count */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword-ish token count: word pieces + punctuation runs.
+    * The regex subset is shared Java/RE2 so the oracle matches. */
+  def tokenCountRe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** stable document fingerprint: md5 of the normalized text */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  private val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "en", "que"))
+
+  /** count of language-L stopwords among the word tokens */
+  def stopwordScore(text: Column, lang: String): Column = {
+    val set = Stopwords(lang)
+    size(filter(words(text), w => w.isin(set: _*)))
+  }
+
+  /** n-gram-heuristic language ID: argmax of stopword scores with a
+    * deterministic en>es>de>fr tie-break; 'und' (unknown) when all zero. */
+  def langId(text: Column): Column = {
+    val en = stopwordScore(text, "en")
+    val es = stopwordScore(text, "es")
+    val de = stopwordScore(text, "de")
+    val fr = stopwordScore(text, "fr")
+    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Integer-valued quality counters (ratios are left to the consumer so
+    * the oracle comparison stays float-free). */
+  def qualityCounters(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_chars_norm", length(normalized(text)))
+      .withColumn("n_words", tokenCountWs(text))
+      .withColumn("n_tokens_re", tokenCountRe(text))
+      .withColumn("n_punct", size(regexp_extract_all(text, lit("[^A-Za-z0-9_\\s]"), lit(0))))
+      .withColumn("n_stopwords_en", stopwordScore(text, "en"))
+      .withColumn("n_upper", size(regexp_extract_all(text, lit("[A-Z]"), lit(0))))
+      .withColumn("max_word_len",
+        coalesce(array_max(transform(words(text), w => length(w))), lit(0)))
+}

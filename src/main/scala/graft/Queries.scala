@@ -225,6 +225,14 @@ object Queries {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.ops.Multimodal.synthesizeFromText(
+      table(spark, dir, "documents"), "doc_id", "text")
+    graft.ops.Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("payload_md5"))
+      .orderBy("media_id")
+  }
+
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

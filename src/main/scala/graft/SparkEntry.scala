@@ -41,6 +41,7 @@ object SparkEntry {
     "dd_simhash" -> (Queries.ddSimhash _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "sim_topk" -> (Queries.simTopk _),
+    "mm_features" -> (Queries.mmFeatures _),
     "txt_quality" -> (Queries.txtQuality _),
     "txt_langid" -> (Queries.txtLangid _),
     "txt_fingerprint" -> (Queries.txtFingerprint _))
@@ -207,5 +208,12 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "txt_fingerprint" ->
-      s"SELECT doc_id, md5($normE) AS fp FROM documents ORDER BY doc_id")
+      s"SELECT doc_id, md5($normE) AS fp FROM documents ORDER BY doc_id",
+
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  list_extract(['image','audio','video'], (doc_id % 3) + 1) AS kind,
+        |  octet_length(encode(text))::INT AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
 }

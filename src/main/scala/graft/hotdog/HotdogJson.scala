@@ -24,13 +24,67 @@ import org.apache.spark.unsafe.types.UTF8String
 object HotdogJson {
   private val mapper = new ObjectMapper()
 
+  /** cheap reject before paying for a jackson parse (and its exception):
+    * every valid JSON document starts (after whitespace) with one of these. */
+  private def plausibleJsonStart(s: String): Boolean = {
+    var i = 0
+    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    if (i >= s.length) return false
+    val c = s.charAt(i)
+    c == '{' || c == '[' || c == '"' || c == '-' || (c >= '0' && c <= '9') ||
+      c == 't' || c == 'f' || c == 'n'
+  }
+
   /** Parse or null (mirrors serde_json::from_str Err). */
-  def parseOrNull(s: String): JsonNode =
+  def parseOrNull(s: String): JsonNode = {
+    if (!plausibleJsonStart(s)) return null
     try {
       val n = mapper.readTree(s)
       // jackson readTree of empty input returns MissingNode
       if (n == null || n.isMissingNode) null else n
     } catch { case _: Exception => null }
+  }
+
+  /** codegen entry for JsonHotdogMerge: null iff msg is not valid JSON. */
+  def mergeEval(msg: UTF8String, rhs: UTF8String): UTF8String = {
+    val out = performMerge(msg.toString, rhs.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+
+  private val pathCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private val NoMatchRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, null))
+
+  /** codegen entry for JmesPathDotted. A dotted path only matches when the
+    * root is a JSON object, so reject anything not starting with '{'
+    * before parsing. */
+  def jmesEval(json: UTF8String, path: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = json.toString
+    var i = 0
+    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+    if (i >= s.length || s.charAt(i) != '{') return NoMatchRow
+    var node = parseOrNull(s)
+    if (node == null) return NoMatchRow
+    val p = path.toString
+    var segs = pathCache.get(p)
+    if (segs == null) { segs = p.split("\\."); pathCache.putIfAbsent(p, segs) }
+    var k = 0
+    while (k < segs.length && node != null) {
+      node = if (node.isObject) node.get(segs(k)) else null
+      k += 1
+    }
+    if (node == null || node.isNull) NoMatchRow
+    else if (node.isTextual)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, UTF8String.fromString(node.textValue())))
+    else
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](true, null))
+  }
 
   /** In-place-style merge: returns the merged tree (a may be mutated). */
   def merge(a: JsonNode, b: JsonNode): JsonNode = (a, b) match {
@@ -168,36 +222,40 @@ object HotdogJson {
   *    (the reference only exposes the `value` variable for string results)
   */
 case class JmesPathDotted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("matched", org.apache.spark.sql.types.BooleanType, nullable = false),
     StructField("value", StringType, nullable = true)))
   override def nullable: Boolean = false
   override def foldable: Boolean = false
 
-  private lazy val pathSegs: Array[String] =
-    right.eval(null).toString.split("\\.")
-
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val noMatch = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](false, null))
     val l = left.eval(input)
-    if (l == null) return noMatch
-    var node = HotdogJson.parseOrNull(l.toString)
-    if (node == null) return noMatch
-    var i = 0
-    while (i < pathSegs.length && node != null) {
-      node = if (node.isObject) node.get(pathSegs(i)) else null
-      i += 1
-    }
-    if (node == null || node.isNull)
-      noMatch
-    else if (node.isTextual)
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](true, UTF8String.fromString(node.textValue())))
-    else
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](true, null))
+    if (l == null)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](false, null))
+    HotdogJson.jmesEval(l.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = null;
+        if (${l.isNull}) {
+          ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            new Object[]{false, null});
+        } else {
+          ${ev.value} = graft.hotdog.HotdogJson.jmesEval(${l.value}, ${r.value});
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JmesPathDotted =
     copy(left = l, right = r)
@@ -206,9 +264,10 @@ case class JmesPathDotted(left: Expression, right: Expression)
 
 /** `JsonHotdogMerge(msg, renderedMergeJson) -> string` — A3/A4 merge as a
   * Catalyst expression. Returns null iff `msg` is not valid JSON (the
-  * cascade-kill signal). Jackson-based, so CodegenFallback. */
+  * cascade-kill signal). Codegen via static helper so the router stays
+  * inside whole-stage codegen. */
 case class JsonHotdogMerge(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -216,8 +275,27 @@ case class JsonHotdogMerge(left: Expression, right: Expression)
     if (l == null) return null
     val r = right.eval(input)
     if (r == null) return null
-    val out = HotdogJson.performMerge(l.toString, r.toString)
-    if (out == null) null else UTF8String.fromString(out)
+    HotdogJson.mergeEval(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${l.isNull}) {
+          ${r.code}
+          if (!${r.isNull}) {
+            ${ev.value} = graft.hotdog.HotdogJson.mergeEval(${l.value}, ${r.value});
+            ${ev.isNull} = (${ev.value} == null);
+          }
+        }""")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonHotdogMerge =
     copy(left = l, right = r)

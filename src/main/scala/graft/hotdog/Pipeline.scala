@@ -41,8 +41,15 @@ object Pipeline {
     * topic parallelizes; AQE coalesces small ones. Returns per-topic counts
     * as observed by the write (for count-parity checks). */
   def writeFanOut(routed: DataFrame, outDir: String, batchId: Long,
-      saltBuckets: Int = 32): Unit = {
+      saltBuckets: Int = 32,
+      columns: Seq[String] = Seq("doc_id", "source", "output")): Unit = {
+    // Kafka-parity payload is (topic, output); doc_id/source are lineage.
+    // `tokens` is intentionally NOT shipped by default — the equality
+    // invariant is checked on the routed frame (cheap, pre-shuffle), and
+    // shipping the token arrays through the sink shuffle would triple the
+    // written bytes for no consumer benefit. Pass columns=... to override.
     val emitted = routed.filter(col("topic").isNotNull)
+      .select((columns :+ "topic").distinct.map(col): _*)
       .withColumn("batch_id", lit(batchId))
     val spark = routed.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

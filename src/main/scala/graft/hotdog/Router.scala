@@ -51,13 +51,119 @@ object Router {
     routeParsed(withParsed, cfg, clock)
   }
 
-  /** Route a DataFrame that already has `line` and `p`. */
+  /** Route a DataFrame that already has `line` and `p`.
+    *
+    * Plan shape (all layers fuse into ONE whole-stage-codegen stage; the
+    * layering exists so each expensive primitive — jmespath parse, regex
+    * match, group extract — is evaluated AT MOST ONCE per row instead of
+    * once per reference in the cascade):
+    *   L1 decode(line)  L2 parse(p)  L3 matchers (_hd_m_i / _hd_jm_i)
+    *   L4 guarded group extracts (_hd_g_i_name)  L5 the cascade.
+    * CollapseProject keeps non-cheap multiply-referenced producers in
+    * their own Project, so Catalyst preserves this shape. */
   def routeParsed(df: DataFrame, cfg: HotdogConfig, clock: Column): DataFrame = {
     val p = col("p")
     val parseOk = p.isNotNull
     val msgCol = p.getField("msg")
 
-    // Per-rule compiled pieces
+    def fieldOf(rule: HRule): Column = rule.field match {
+      case "msg" => msgCol
+      case f     => p.getField(f)
+    }
+
+    // ---- L3: hoisted matcher primitives, one column per rule ----
+    val matcherCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
+      case (rule, i) =>
+        rule.jmespath match {
+          case Some(_) =>
+            Seq(s"_hd_jm_$i" -> exprs.col(JmesPathDotted(
+              exprs.expr(fieldOf(rule)), exprs.expr(lit(rule.jmespathRaw.get)))))
+          case None =>
+            val rx = rule.regex.getOrElse(
+              throw new IllegalArgumentException(s"rule ${rule.uuid} has no matcher"))
+            Seq(s"_hd_m_$i" -> coalesce(
+              fieldOf(rule).isNotNull && fieldOf(rule).rlike(rx.javaPattern),
+              lit(false)))
+        }
+    }
+    val withMatchers = df.withColumns(matcherCols.toMap)
+
+    // per-rule matched column (cheap, derived from the hoisted primitives)
+    def matchedOf(rule: HRule, i: Int): Column = rule.jmespath match {
+      case Some(_) => coalesce(
+        fieldOf(rule).isNotNull && col(s"_hd_jm_$i").getField("matched"), lit(false))
+      case None => col(s"_hd_m_$i")
+    }
+
+    // ---- L4: guarded named-group extracts (evaluated only on match) ----
+    val extractCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
+      case (rule, i) =>
+        rule.regex match {
+          case Some(rx) if rule.jmespath.isEmpty =>
+            rx.namedGroups.map { name =>
+              s"_hd_g_${i}_$name" -> when(matchedOf(rule, i),
+                regexp_extract(fieldOf(rule), rx.javaPattern, rx.groupIndexOf(name)))
+            }
+          case _ => Seq.empty
+        }
+    }
+    val withExtracts =
+      if (extractCols.isEmpty) withMatchers
+      else withMatchers.withColumns(extractCols.toMap)
+
+    // per-rule variable maps + template rendering (A1/A2/F2/F3)
+    def varsOf(rule: HRule, i: Int): Map[String, Column] = {
+      val builtins = Map[String, Column](
+        "msg" -> msgCol,
+        "version" -> lit(model.Version),
+        "iso8601" -> clock)
+      val groupVars: Map[String, Column] = rule.regex match {
+        case Some(rx) if rule.jmespath.isEmpty =>
+          rx.namedGroups.map { name =>
+            val ext = col(s"_hd_g_${i}_$name")
+            // captured-only override: '' (did not participate) keeps builtin
+            val v = builtins.get(name) match {
+              case Some(b) => when(ext.isNotNull && ext =!= "", ext).otherwise(b)
+              case None    => coalesce(ext, lit(""))
+            }
+            name -> v
+          }.toMap
+        case _ => Map.empty
+      }
+      val valueVar: Map[String, Column] = rule.jmespath match {
+        case Some(_) => Map("value" -> coalesce(
+          col(s"_hd_jm_$i").getField("value"), builtins.getOrElse("value", lit(""))))
+        case None => Map.empty
+      }
+      builtins ++ groupVars ++ valueVar
+    }
+    def renderWith(vars: Map[String, Column])(t: Template): Column = {
+      val pieces = t.parts.map {
+        case TLit(s)  => lit(s)
+        case TVar(n)  => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
+      }
+      if (pieces.isEmpty) lit("") else concat(pieces: _*)
+    }
+
+    // ---- L5: hoisted merges, guarded by the rule's matched flag so the
+    // jackson work runs at most once per (row, merge action) and only on
+    // matching rows; multiply-referenced downstream, so CollapseProject
+    // keeps the layer (single evaluation) ----
+    val mergeCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
+      case (rule, i) =>
+        val render = renderWith(varsOf(rule, i)) _
+        rule.actions.zipWithIndex.collect {
+          case (AMerge(jsonT, staticallyNonObject), j) =>
+            val rhs = if (staticallyNonObject) lit("{}") else render(jsonT)
+            s"_hd_mg_${i}_$j" -> when(matchedOf(rule, i),
+              exprs.col(JsonHotdogMerge(exprs.expr(msgCol), exprs.expr(rhs))))
+        }
+    }
+    val staged =
+      if (mergeCols.isEmpty) withExtracts
+      else withExtracts.withColumns(mergeCols.toMap)
+
+    // ---- L6: the cascade ----
     final case class CompiledRule(
         fires: Column,              // rule matched AND cascade still alive
         kill: Column,               // continue_rules=false by end of this rule (given fires)
@@ -66,56 +172,9 @@ object Router {
         mergeTargetNotJson: Column) // count of merge-target-not-json errors (given fires)
 
     var alive: Column = parseOk
-    val compiled = cfg.rules.map { rule =>
-      val fieldCol: Column = rule.field match {
-        case "msg" => msgCol
-        case f     => p.getField(f)
-      }
-
-      // ---- matcher + variables (F1-F5) ----
-      val (matchedRaw, jmesValue): (Column, Option[Column]) = rule.jmespath match {
-        case Some(_) =>
-          val jm = exprs.col(JmesPathDotted(
-            exprs.expr(fieldCol), exprs.expr(lit(rule.jmespathRaw.get))))
-          (jm.getField("matched"), Some(jm.getField("value")))
-        case None =>
-          val rx = rule.regex.getOrElse(
-            throw new IllegalArgumentException(s"rule ${rule.uuid} has no matcher"))
-          (fieldCol.rlike(rx.javaPattern), None)
-      }
-      // a rule on a None field never matches
-      val matched = coalesce(fieldCol.isNotNull && matchedRaw, lit(false))
-
-      val builtins = Map[String, Column](
-        "msg" -> msgCol,
-        "version" -> lit(model.Version),
-        "iso8601" -> clock)
-      val groupVars: Map[String, Column] = rule.regex match {
-        case Some(rx) if rule.jmespath.isEmpty =>
-          rx.namedGroups.map { name =>
-            val ext = regexp_extract(fieldCol, rx.javaPattern, rx.groupIndexOf(name))
-            // captured-only override: '' (did not participate) keeps builtin
-            val v = builtins.get(name) match {
-              case Some(b) => when(ext =!= "", ext).otherwise(b)
-              case None    => ext
-            }
-            name -> v
-          }.toMap
-        case _ => Map.empty
-      }
-      val valueVar: Map[String, Column] = jmesValue match {
-        case Some(v) => Map("value" -> coalesce(v, builtins.getOrElse("value", lit(""))))
-        case None    => Map.empty
-      }
-      val vars = builtins ++ groupVars ++ valueVar
-
-      def render(t: Template): Column = {
-        val pieces = t.parts.map {
-          case TLit(s)  => lit(s)
-          case TVar(n)  => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
-        }
-        if (pieces.isEmpty) lit("") else concat(pieces: _*)
-      }
+    val compiled = cfg.rules.zipWithIndex.map { case (rule, i) =>
+      val matched = matchedOf(rule, i)
+      val render = renderWith(varsOf(rule, i)) _
 
       // ---- symbolic action execution (A1-A8) ----
       var output: Column = lit("")
@@ -125,7 +184,7 @@ object Router {
       var mergeInvalid: Column = lit(0L)
       var mergeTarget: Column = lit(0L)
       var broke = false
-      rule.actions.foreach { action =>
+      rule.actions.zipWithIndex.foreach { case (action, j) =>
         if (!broke) action match {
           case AForward(topicT) =>
             val topic = render(topicT)
@@ -135,20 +194,19 @@ object Router {
             emit = Some((topic, out))
             kill = lit(true)
             broke = true // forward breaks the action loop
-          case AMerge(jsonT, staticallyNonObject) =>
+          case AMerge(_, staticallyNonObject) =>
+            // hoisted in L5: null ⇔ (not matched) OR msg wasn't valid JSON;
+            // under `fires` (⊆ matched) null means exactly merge-failure
+            val merged = col(s"_hd_mg_${i}_$j")
             if (staticallyNonObject) {
               // perform_merge returns the buffer (the msg) unchanged + stat
               // — but only when the msg itself IS valid json
-              val msgValid = exprs.col(JsonHotdogMerge(
-                exprs.expr(msgCol), exprs.expr(lit("{}"))))
-              output = when(msgValid.isNotNull, msgCol).otherwise(output)
+              output = when(merged.isNotNull, msgCol).otherwise(output)
               outputIsInitial = false
-              mergeTarget = mergeTarget + when(msgValid.isNotNull, 1L).otherwise(0L)
-              kill = kill || msgValid.isNull
-              mergeInvalid = mergeInvalid + when(msgValid.isNull, 1L).otherwise(0L)
+              mergeTarget = mergeTarget + when(merged.isNotNull, 1L).otherwise(0L)
+              kill = kill || merged.isNull
+              mergeInvalid = mergeInvalid + when(merged.isNull, 1L).otherwise(0L)
             } else {
-              val merged = exprs.col(JsonHotdogMerge(
-                exprs.expr(msgCol), exprs.expr(render(jsonT))))
               // null → msg wasn't JSON: continue_rules=false, buffer unchanged,
               // and the action list continues (NO break)
               kill = kill || merged.isNull
@@ -183,8 +241,13 @@ object Router {
       when(r.fires, r.mergeTargetNotJson).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
 
-    df.select(
-      col("doc_id"), col("tokens"), col("n_tok"), col("source"), col("line"),
+    // pass through every input column (doc_id, tokens, n_tok, source, plus
+    // any extras like event_time for streaming windows)
+    val passthrough = df.columns
+      .filterNot(c => c == "line" || c == "p" || c.startsWith("_hd_"))
+      .map(col).toSeq
+    staged.select(passthrough ++ Seq(
+      col("line"),
       parseOk.as("parse_ok"),
       msgCol.as("msg"),
       p.getField("severity").as("severity"),
@@ -194,7 +257,7 @@ object Router {
       topicCol.as("topic"),
       outputCol.as("output"),
       mergeInvalidCol.as("err_merge_invalid_json"),
-      mergeTargetCol.as("err_merge_target_not_json"))
+      mergeTargetCol.as("err_merge_target_not_json")): _*)
   }
 
   /** E2 test-mode (reference src/rules.rs:11-52): per line, which rules'

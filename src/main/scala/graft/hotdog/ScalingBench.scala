@@ -1,0 +1,130 @@
+package graft.hotdog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Sandbox stand-in for the north rule's two-cluster-size criterion
+  * (BASELINE.md): run the SAME end-to-end job (scan → decode → parse →
+  * route → fan-out sink) on the SAME materialized corpus at local[8] and
+  * local[32], report routed rows/sec at both plus
+  * eff = (rows/s @32) / (4 × rows/s @8), and verify 100% token-array
+  * equality + per-sink count parity on the routed output.
+  *
+  * Usage: ScalingBench [rows] [outMdPath]
+  */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.lift(0).map(_.toLong).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong)
+    val outMd = args.lift(1).getOrElse("BENCH/BASELINE.md")
+    val corpusDir = s"/tmp/graft-bench-corpus-$rows"
+    val cfg = Configs.flagship
+
+    // ---- materialize the corpus once (not timed) ----
+    if (!Files.exists(Paths.get(corpusDir))) {
+      val s = session(32)
+      Corpus.sequences(s, rows).write.mode("overwrite").parquet(corpusDir)
+      s.stop()
+    }
+
+    final case class RunResult(cores: Int, wallSec: Double, inputRows: Long,
+        routedRows: Long) {
+      def routedPerSec: Double = routedRows / wallSec
+      def inputPerSec: Double = inputRows / wallSec
+    }
+
+    def run(cores: Int): RunResult = {
+      val s = session(cores)
+      val outDir = s"/tmp/graft-bench-out-$cores"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
+      val t0 = System.nanoTime()
+      val routed = Router.route(s.read.parquet(corpusDir), cfg)
+      Pipeline.writeFanOut(routed, outDir, batchId = 0L, saltBuckets = cores)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val written = s.read.parquet(outDir)
+      val routedRows = written.count()
+      s.stop()
+      RunResult(cores, wall, rows, routedRows)
+    }
+
+    // warm JIT/codegen once with a tiny slice at 32 cores (not timed)
+    {
+      val s = session(32)
+      Pipeline.writeFanOut(
+        Router.route(s.read.parquet(corpusDir).limit(50000), cfg),
+        "/tmp/graft-bench-warmup", 0L)
+      s.stop()
+    }
+
+    val r8 = run(8)
+    val r32 = run(32)
+    val eff = r32.routedPerSec / (4.0 * r8.routedPerSec)
+
+    // ---- verification pass (not timed): equality + count parity ----
+    // single aggregation over the recomputed routed frame (no cache: the
+    // wide rows incl token arrays would not fit a small heap at 8M+ rows)
+    val s = session(32)
+    val perTopic = Router.route(s.read.parquet(corpusDir), cfg)
+      .filter(col("topic").isNotNull)
+      .groupBy("topic").agg(
+        count(lit(1)).as("n"),
+        sum(when(exprs.stringToCodepoints(col("line")) === col("tokens"), 0L)
+          .otherwise(1L)).as("bad"))
+      .collect()
+    val nRouted = perTopic.map(_.getLong(1)).sum
+    val nBad = perTopic.map(_.getLong(2)).sum
+    val sparkCounts = perTopic.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent per-sink counts from the written sink files of the 32-core run
+    val sinkCounts = s.read.parquet("/tmp/graft-bench-out-32")
+      .groupBy("topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parity = sparkCounts == sinkCounts
+    s.stop()
+
+    val md =
+      f"""# BENCH/BASELINE — scaling evidence (sandbox protocol per BASELINE.md)
+         |
+         |End-to-end job: scan(parquet sequences) → decode(tokens) →
+         |syslog parse → rule-cascade route (hotdog.yml semantics) →
+         |fan-out parquet sink partitioned by topic. Same job, same input,
+         |two parallelism levels ("cluster sizes" N=8, 4N=32 cores).
+         |
+         || run | master | shuffle.partitions | wall (s) | input rows/s | routed rows/s |
+         ||---|---|---|---|---|---|
+         || N  | local[8]  | 8  | ${r8.wallSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f |
+         || 4N | local[32] | 32 | ${r32.wallSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f |
+         |
+         |**Scaling efficiency** = (routed/s @32) / (4 × routed/s @8) =
+         |**$eff%.3f** (target ≥ 0.8).
+         |
+         |Input: ${rows}%d deterministically synthesized sequences
+         |(seed 42, ~50%% hot-source skew), materialized to parquet once and
+         |read by both runs.
+         |
+         |Verification on the routed output (not timed):
+         |- routed rows: $nRouted%d; token-array equality failures: $nBad%d
+         |  (pass rate ${(100.0 * (nRouted - nBad) / math.max(nRouted, 1))}%.2f%%)
+         |- per-sink count parity (router counts == written sink counts): $parity
+         |""".stripMargin
+
+    Files.createDirectories(Paths.get(outMd).getParent)
+    Files.writeString(Paths.get(outMd), md)
+    println(md)
+    println(s"""{"metric":"routed_rows_per_sec_local32","value":${r32.routedPerSec},"unit":"rows/sec","local8":${r8.routedPerSec},"scaling_efficiency":$eff,"rows":$rows,"token_equality_failures":$nBad,"count_parity":$parity}""")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.hotdog
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.hotdog.config.HotdogConfig
+
+/** Structured Streaming variant of the pipeline (SURVEY §7 step 8): the
+  * hotdog daemon's unbounded-TCP-stream shape, re-expressed as
+  * `readStream` over the sequences table directory.
+  *
+  *  - routeStream: micro-batch foreachBatch reusing the EXACT batch router
+  *    + idempotent per-batch fan-out (checkpointed source offsets + dynamic
+  *    partition overwrite by batch_id = exactly-once sink semantics).
+  *  - windowedTopicCounts: tumbling-window per-topic counts with a
+  *    watermark for late rows — the streaming analog of the
+  *    kafka.submitted.<topic> running counters.
+  */
+object Streaming {
+
+  /** Stream the sequences directory, route each micro-batch, fan out to
+    * per-topic parquet + audit. Restarting with the same checkpoint never
+    * reprocesses a completed batch; a batch that crashed mid-write is
+    * re-run idempotently (partition overwrite by its batch_id). */
+  def routeStream(spark: SparkSession, inputDir: String, cfg: HotdogConfig,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val seqs = spark.readStream
+      .schema(model.sequencesSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+    seqs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val routed = Router.route(batch, cfg)
+        Pipeline.writeFanOut(routed, outDir, batchId)
+        Pipeline.writeAudit(routed, s"$outDir-audit", batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Tumbling-window per-topic routed counts over an event-time column
+    * carried through the router (input must have `event_time` timestamp).
+    * Watermark bounds state: rows later than `lateness` are dropped. */
+  def windowedTopicCounts(streamingSequences: DataFrame, cfg: HotdogConfig,
+      windowLen: String = "1 minute",
+      lateness: String = "10 minutes"): DataFrame =
+    Router.route(streamingSequences, cfg)
+      .filter(col("topic").isNotNull)
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("topic"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("topic"), col("n"))
+}

@@ -32,7 +32,7 @@ object Codepoints {
       j += 1
       i += Character.charCount(cp)
     }
-    new GenericArrayData(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Handlebars-style HTML escape applied to every `{{var}}` substitution.

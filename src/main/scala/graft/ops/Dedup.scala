@@ -115,7 +115,8 @@ object Dedup {
     val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }

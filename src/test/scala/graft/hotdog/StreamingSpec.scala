@@ -1,0 +1,73 @@
+package graft.hotdog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("streaming route == batch route; restart is exactly-once") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val seqs = Corpus.sequences(spark, 5000, seed = 13L)
+    seqs.repartition(4).write.parquet(in)
+
+    val q = Streaming.routeStream(spark, in, Configs.flagship, out, ckpt,
+      maxFilesPerTrigger = 2)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Router.route(seqs, Configs.flagship)
+      .filter(col("topic").isNotNull)
+      .groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(spark.read.parquet(out).count() ==
+      Router.route(seqs, Configs.flagship).filter(col("topic").isNotNull).count())
+
+    // restart with the same checkpoint: nothing reprocessed, no duplicates
+    val q2 = Streaming.routeStream(spark, in, Configs.flagship, out, ckpt)
+    q2.awaitTermination()
+    val after = spark.read.parquet(out)
+      .groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == batch)
+  }
+
+  test("windowed per-topic counts with watermark (memory sink)") {
+    val tmp = Files.createTempDirectory("graft-stream-w").toString
+    val in = s"$tmp/in"
+    // sequences + event_time spread over 3 minutes
+    Corpus.sequences(spark, 3000, seed = 17L)
+      .withColumn("event_time",
+        timestamp_seconds(lit(1700000000L) +
+          pmod(xxhash64(col("doc_id")), lit(180L))))
+      .write.parquet(in)
+
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema).parquet(in)
+    val counts = Streaming.windowedTopicCounts(stream, Configs.flagship)
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val got = spark.sql("SELECT topic, sum(n) AS n FROM win_counts GROUP BY topic")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Router.route(spark.read.parquet(in), Configs.flagship)
+      .filter(col("topic").isNotNull)
+      .groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // windows are minute-aligned
+    val starts = spark.sql("SELECT DISTINCT window_start FROM win_counts")
+      .collect().map(_.getTimestamp(0))
+    assert(starts.forall(t => t.getTime % 60000 == 0))
+    assert(starts.length >= 3)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.hotdog.SparkSpec
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "s0"),  // exact dup of 0
+    (2L, "The  quick brown FOX jumps over the lazy dog", "s0"), // dup after normalize? no: fox≠FOX→lower→ yes dup
+    (3L, "the quick brown fox jumps over the lazy cat", "s0"),  // near dup (1 word)
+    (4L, "completely different text about spark pipelines", "s1"),
+    (5L, "el gato la casa de la madre y el perro", "s1"),
+    (6L, "der hund und die katze ist ein tier", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    val byKeep = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep(0L) == 3L) // docs 0,1,2 identical after lower+ws collapse
+    assert(byKeep(3L) == 1L)
+    assert(out.length == 5)
+  }
+
+  test("dropExactDupes keeps smallest id") {
+    val kept = Dedup.dropExactDupes(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds the near-dup pair and verifies jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", minJaccardPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 0-1, 0-2, 1-2 are exact (jaccard 100); 0-3 etc are near (shingle overlap)
+    assert(pairs.contains((0L, 1L, 100L)))
+    assert(pairs.contains((0L, 2L, 100L)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L)) // near-dup caught
+    assert(!pairs.exists(p => p._2 == 4L)) // unrelated text not paired
+  }
+
+  test("simhash near-dups: identical docs at hamming 0") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1L, 0L)))
+    assert(pairs.contains((0L, 2L, 0L)))
+  }
+
+  test("brute-force cosine top-k is exact and deterministic") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1), (0L, 4L, 2)))
+  }
+
+  test("embedding LSH near-dups find close vectors") {
+    val vecs = (0 until 50).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, base)
+    } ++ Seq((100L, Array.tabulate(8)(d => math.sin(0 * 8 + d).toFloat))) // clone of 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDups(df, "vec_id", "embedding",
+      minSimE6 = 999000L, planes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(5L) == "es")
+    assert(out(6L) == "de")
+  }
+
+  test("token counts + fingerprint") {
+    val row = docs.filter($"doc_id" === 0)
+      .select(
+        TextAnalysis.tokenCountWs($"text"),
+        TextAnalysis.tokenCountRe($"text"),
+        TextAnalysis.fingerprint($"text"))
+      .collect()(0)
+    assert(row.getInt(0) == 9)
+    assert(row.getInt(1) == 9)
+    assert(row.getString(2).length == 32)
+    // normalization-invariant fingerprint
+    val fps = docs.filter($"doc_id".isin(0L, 2L))
+      .select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal: feature extraction over binary payloads") {
+    val media = Multimodal.synthesizeFromText(docs, "doc_id", "text")
+    assert(media.schema.fields.find(_.name == "payload").get.dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 7)
+    val f0 = feats.find(_.media_id == 0L).get
+    assert(f0.n_bytes == "the quick brown fox jumps over the lazy dog".length)
+    assert(f0.payload_md5.length == 32)
+    assert(f0.mean_byte > 0 && f0.frames_sampled >= 1)
+    // identical payloads → identical features
+    val f1 = feats.find(_.media_id == 1L).get
+    assert(f0.payload_md5 == f1.payload_md5 && f0.mean_byte == f1.mean_byte)
+  }
+
+  test("shingles: n-grams of normalized words") {
+    val sh = docs.filter($"doc_id" === 0)
+      .select(Dedup.shingles($"text", 3)).collect()(0).getSeq[String](0)
+    assert(sh.contains("the quick brown"))
+    assert(sh.contains("the lazy dog"))
+    assert(sh.length == 7)
+  }
+}

@@ -96,9 +96,15 @@ object Pipeline {
     * skipped iff its audit rows exist — audit is written AFTER the fan-out,
     * so a crash between the two re-runs the batch idempotently). */
   def completedBatches(spark: SparkSession, auditDir: String): Set[Long] =
-    try spark.read.parquet(auditDir).select("batch_id").distinct()
+    // partition-column type inference yields IntegerType for small ids —
+    // cast explicitly; only swallow "path does not exist"
+    try spark.read.parquet(auditDir)
+      .select(col("batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
-    catch { case _: Exception => Set.empty }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Set.empty
+    }
 
   /** Full batch job with resume: process only batches not yet in the audit
     * table. `batches` maps batch_id → its sequences slice. */

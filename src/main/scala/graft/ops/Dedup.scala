@@ -80,20 +80,30 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPer = numHashes / bands
+    // shingle sets for verification joins (no signature attached)
     val sig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", opscol.minhashSig(col("sh"), numHashes))
-    val banded = sig.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_",
-          b.cast("string"),
-          array_join(transform(sequence(b * rowsPer, (b + 1) * rowsPer - 1),
-            i => element_at(col("sig"), i + 1).cast("string")), "_"))))))
+    // banding needs only (id, band, bucket) — signatures never shuffle
+    val banded = df
+      .select(col(idCol).as("id"),
+        opscol.minhashSig(shingles(col(textCol)), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            b.cast("string"),
+            array_join(transform(sequence(b * rowsPer, (b + 1) * rowsPer - 1),
+              i => element_at(col("sig"), i + 1).cast("string")), "_"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct() // candidates once
+    // candidate id pairs only — the distinct shuffles 16 bytes/pair, never
+    // the shingle arrays; sets are re-joined afterwards (narrow recompute)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard_pct", jaccardPct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_pct") >= minJaccardPct)
       .select("id_a", "id_b", "jaccard_pct")

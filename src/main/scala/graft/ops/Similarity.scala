@@ -56,10 +56,14 @@ object Similarity {
           array_join(transform(sequence(b * per, (b + 1) * per - 1),
             i => element_at(col("s"), i + 1).cast("string")), "_"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    // id-pairs-only distinct, then re-join the vectors (see Dedup notes)
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      .select("id_a", "id_b").distinct()
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim_e6",
         floor(opscol.cosineSimF(col("v_a"), col("v_b")) * 1e6).cast("long"))
       .filter(col("sim_e6") >= minSimE6)

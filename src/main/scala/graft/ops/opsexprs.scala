@@ -52,7 +52,10 @@ object OpsKernels {
     out
   }
 
-  /** MinHash signature: k minima of seeded FNV over the shingle set. */
+  /** MinHash signature: k minima over the shingle set. Each shingle is
+    * string-hashed exactly twice; the k hash functions are derived via
+    * Kirsch-Mitzenmacher g_j(x) = h1(x) + j·h2(x) (standard for Bloom/
+    * MinHash families) — 32× less string hashing than k seeded passes. */
   def minhash(shingles: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill[Long](k)(Long.MaxValue)
     val n = shingles.numElements()
@@ -60,10 +63,13 @@ object OpsKernels {
     while (i < n) {
       if (!shingles.isNullAt(i)) {
         val s = shingles.getUTF8String(i)
+        val h1 = fnv1a64(s, 1L)
+        val h2 = fnv1a64(s, 2L) | 1L // odd → full-period linear family
         var j = 0
+        var g = h1
         while (j < k) {
-          val h = fnv1a64(s, j.toLong + 1L)
-          if (h < sig(j)) sig(j) = h
+          if (g < sig(j)) sig(j) = g
+          g += h2
           j += 1
         }
       }

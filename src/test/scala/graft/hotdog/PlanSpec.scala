@@ -1,0 +1,94 @@
+package graft.hotdog
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions — the structural properties that make the
+  * pipeline scale (SURVEY §4): whole-stage codegen, column pruning,
+  * predicate pushdown, broadcast joins, shuffle inventory. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  lazy val corpusDir: String = {
+    val d = Files.createTempDirectory("graft-plan").toString + "/seq"
+    Corpus.sequences(spark, 2000, seed = 5L).write.parquet(d)
+    d
+  }
+
+  test("router is one whole-stage-codegen stage over the scan (no shuffle)") {
+    val plan = Router.route(spark.read.parquet(corpusDir), Configs.flagship)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("Exchange"), s"unexpected shuffle:\n$s")
+    // exactly one whole-stage-codegen subtree: every Project carries the
+    // same `*(1)` codegen id (a `Project` without `*` = interpreted)
+    val ids = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet
+    assert(ids == Set("1"), s"expected one codegen stage, got ids=$ids:\n$s")
+    val bareProjects = s.linesIterator
+      .filter(l => l.contains("Project [") && !l.contains("*("))
+    assert(bareProjects.isEmpty,
+      s"interpreted Project(s):\n${bareProjects.mkString("\n")}")
+  }
+
+  test("column pruning reaches the parquet scan for topic counts") {
+    val counts = Router.route(spark.read.parquet(corpusDir), Configs.flagship)
+      .groupBy("topic").count()
+    val s = counts.queryExecution.executedPlan.toString
+    // only `tokens` is needed to compute the topic; doc_id/n_tok/source pruned
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("tokens"), readSchema)
+    assert(!readSchema.contains("doc_id"), s"doc_id not pruned: $readSchema")
+    assert(!readSchema.contains("n_tok"), s"n_tok not pruned: $readSchema")
+  }
+
+  test("predicate on source is pushed down to the scan") {
+    val q = Router.decoded(spark.read.parquet(corpusDir))
+      .filter(col("source") === "src-hot")
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(source), EqualTo(source,src-hot)]"),
+      s.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("enrich join is a broadcast hash join (no shuffle of the fact side)") {
+    val dim = Corpus.sourceDim(spark)
+    val routed = Pipeline.run(spark.read.parquet(corpusDir), Configs.flagship,
+      dim = Some(dim)).routed
+    val s = routed.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+  }
+
+  test("stats is a single aggregation over the data (partial + final)") {
+    val stats = Stats.statsOf(Router.route(spark.read.parquet(corpusDir), Configs.flagship))
+    val s = stats.queryExecution.executedPlan.toString
+    // exactly one shuffle reads the full corpus: the groupBy(topic);
+    // everything after operates on the tiny cached aggregate
+    assert(s.contains("HashAggregate"))
+  }
+
+  test("resumable batches: completed batch_ids are skipped") {
+    val tmp = Files.createTempDirectory("graft-resume").toString
+    val seqs1 = Corpus.sequences(spark, 500, seed = 1L)
+    val seqs2 = Corpus.sequences(spark, 500, seed = 2L)
+    val batches = Map(1L -> seqs1, 2L -> seqs2)
+    val ran1 = Pipeline.runResumable(spark, Configs.flagship, batches,
+      s"$tmp/out", s"$tmp/audit")
+    assert(ran1 == Seq(1L, 2L))
+    // second invocation: nothing to do
+    val ran2 = Pipeline.runResumable(spark, Configs.flagship, batches,
+      s"$tmp/out", s"$tmp/audit")
+    assert(ran2.isEmpty)
+    // add a third batch: only it runs
+    val ran3 = Pipeline.runResumable(spark, Configs.flagship,
+      batches + (3L -> Corpus.sequences(spark, 500, seed = 3L)),
+      s"$tmp/out", s"$tmp/audit")
+    assert(ran3 == Seq(3L))
+    // no duplicates in the sink
+    val n = spark.read.parquet(s"$tmp/out").count()
+    val expect = Seq(seqs1, seqs2, Corpus.sequences(spark, 500, seed = 3L))
+      .map(d => Router.route(d, Configs.flagship)
+        .filter(col("topic").isNotNull).count()).sum
+    assert(n == expect)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.hotdog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** SQL-callable registration of every custom expression, so `spark.sql`
+  * users get the full operator surface:
+  *
+  * {{{
+  *   graft.hotdog.Functions.registerAll(spark)
+  *   spark.sql("SELECT syslog_parse(codepoints_to_string(tokens)).msg FROM seq")
+  * }}}
+  */
+object Functions {
+  def registerAll(spark: SparkSession): Unit = {
+    def reg(name: String)(b: Seq[Expression] => Expression): Unit =
+      graftshim.registerFunction(spark, name, b)
+    reg("codepoints_to_string")(a => CodepointsToString(a.head))
+    reg("string_to_codepoints")(a => StringToCodepoints(a.head))
+    reg("handlebars_escape")(a => HandlebarsEscape(a.head))
+    reg("syslog_parse")(a => SyslogParse(a.head))
+    reg("jmespath_dotted")(a => JmesPathDotted(a(0), a(1)))
+    reg("json_hotdog_merge")(a => JsonHotdogMerge(a(0), a(1)))
+    reg("simhash64")(a => graft.ops.SimHash64(a.head))
+    reg("minhash_sig")(a => graft.ops.MinHashSig(a(0), a(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval(null).asInstanceOf[Number].intValue()
+    }))
+    reg("cosine_sim_f")(a => graft.ops.CosineSimF(a(0), a(1)))
+    reg("hyperplane_bit")(a => graft.ops.HyperplaneBit(a(0), a(1)))
+  }
+}

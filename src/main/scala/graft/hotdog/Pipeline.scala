@@ -70,6 +70,16 @@ object Pipeline {
     }
   }
 
+  /** Kafka-sink drop-in: the reference produces KafkaMessage(topic, msg)
+    * (src/kafka.rs:23-26). With a kafka connector jar on the classpath this
+    * frame writes directly:
+    * `kafkaFrame(routed).write.format("kafka").option("kafka.bootstrap.servers", ...)`.
+    * No connector ships in this sandbox, so the fan-out parquet sink above
+    * is the default; this keeps the migration one line. */
+  def kafkaFrame(routed: DataFrame): DataFrame =
+    routed.filter(col("topic").isNotNull)
+      .select(col("topic"), col("output").as("value"))
+
   /** Per-partition lineage + metrics audit rows (north_rule: resumable with
     * per-partition lineage). One row per (batch, topic): input/routed
     * counts; written idempotently per batch_id. */

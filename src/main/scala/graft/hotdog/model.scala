@@ -58,7 +58,10 @@ object model {
     IndexedSeq("emerg", "alert", "crit", "err", "warning", "notice", "info", "debug")
 
   /** Facility keywords 0-23 — pinned by reference src/parse.rs:90,105-107
-    * (pri 13 → "user", pri 190 → "local7"). */
+    * (pri 13 → "user", pri 190 → "local7"). Names 12-15 follow the
+    * syslog_rfc5424 crate (ntp/audit/alert/clockd); the reference's 3164
+    * path goes through a different crate (syslog_loose) whose 12-15 names
+    * are not pinned by any reference test — we use one table for both. */
   val FacilityNames: IndexedSeq[String] = IndexedSeq(
     "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
     "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clockd",

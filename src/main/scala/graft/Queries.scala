@@ -237,4 +237,9 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  def txtRolling(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+      .orderBy("doc_id")
 }

@@ -44,7 +44,8 @@ object SparkEntry {
     "mm_features" -> (Queries.mmFeatures _),
     "txt_quality" -> (Queries.txtQuality _),
     "txt_langid" -> (Queries.txtLangid _),
-    "txt_fingerprint" -> (Queries.txtFingerprint _))
+    "txt_fingerprint" -> (Queries.txtFingerprint _),
+    "txt_rolling" -> (Queries.txtRolling _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -209,6 +210,24 @@ object SparkEntry {
 
     "txt_fingerprint" ->
       s"SELECT doc_id, md5($normE) AS fp FROM documents ORDER BY doc_id",
+
+    "txt_rolling" ->
+      s"""WITH n AS (SELECT doc_id, $normE AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(t) + 1), i -> unicode(t[i])::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "txt_rolling" ->
+      s"""WITH n AS (SELECT doc_id, $normE AS t FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(t) + 1), i -> unicode(t[i])::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
       """SELECT doc_id AS media_id,

@@ -41,10 +41,10 @@ object Main {
     val dim = Corpus.sourceDim(spark)
     val result = Pipeline.run(sequences, cfg, dim = Some(dim))
 
-    Pipeline.writeFanOut(result.routed, s"$out/routed", batchId)
+    val sentMicros = Pipeline.writeFanOut(result.routed, s"$out/routed", batchId)
     Pipeline.writeAudit(result.routed, s"$out/audit", batchId)
 
-    println(Stats.formatJson(result.stats))
+    println(Stats.formatJson(Stats.withSentTimer(result.stats, sentMicros)))
     println(s"[graft-hotdog] batch $batchId written to $out/routed")
     spark.stop()
   }

@@ -40,9 +40,12 @@ object Pipeline {
     * `saltBuckets` bounds the number of write tasks per topic so a hot
     * topic parallelizes; AQE coalesces small ones. Returns per-topic counts
     * as observed by the write (for count-parity checks). */
+  /** @return wall time of the sink write in microseconds (feeds the
+    *         kafka.producer.sent timer slot — reference src/kafka.rs:176-183
+    *         keeps the LAST send duration; we keep the last batch's). */
   def writeFanOut(routed: DataFrame, outDir: String, batchId: Long,
       saltBuckets: Int = 32,
-      columns: Seq[String] = Seq("doc_id", "source", "output")): Unit = {
+      columns: Seq[String] = Seq("doc_id", "source", "output")): Long = {
     // Kafka-parity payload is (topic, output); doc_id/source are lineage.
     // `tokens` is intentionally NOT shipped by default — the equality
     // invariant is checked on the routed frame (cheap, pre-shuffle), and
@@ -54,6 +57,7 @@ object Pipeline {
     val spark = routed.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val t0 = System.nanoTime()
     try {
       emitted
         .repartition(col("batch_id"), col("topic"),
@@ -62,12 +66,26 @@ object Pipeline {
         .partitionBy("batch_id", "topic")
         .mode(SaveMode.Overwrite)
         .parquet(outDir)
+      (System.nanoTime() - t0) / 1000L
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+  }
+
+  /** Typed-API variant: routed rows as Dataset[RoutedRow] (only emitted
+    * rows; the untyped frame keeps the error-flag columns for stats). */
+  def routeTyped(ds: org.apache.spark.sql.Dataset[model.SyslogSequence],
+      cfg: HotdogConfig,
+      clock: Column = Router.DefaultClock): org.apache.spark.sql.Dataset[model.RoutedRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    Router.route(ds.toDF(), cfg, clock)
+      .filter(col("topic").isNotNull)
+      .select(col("doc_id"), col("tokens"), col("source"), col("topic"), col("output"))
+      .as[model.RoutedRow]
   }
 
   /** Kafka-sink drop-in: the reference produces KafkaMessage(topic, msg)

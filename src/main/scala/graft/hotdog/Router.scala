@@ -265,6 +265,17 @@ object Router {
     * Returns (line_no, matches array<string>) where each match is the
     * rule's Display form. The raw line (not the parsed msg) is matched —
     * test-mode skips syslog parsing entirely. */
+  def testModeFile(spark: org.apache.spark.sql.SparkSession, path: String,
+      cfg: HotdogConfig): DataFrame = {
+    import spark.implicits._
+    // line numbers must follow file order: zipWithIndex is the one place
+    // an RDD primitive is genuinely needed (monotonically_increasing_id
+    // does not promise file-order density)
+    val numbered = spark.read.textFile(path).rdd.zipWithIndex()
+      .map { case (l, i) => (i + 1, l) }.toDF("line_no", "line")
+    testMode(numbered, cfg)
+  }
+
   def testMode(lines: DataFrame, cfg: HotdogConfig): DataFrame = {
     val lineCol = col("line")
     val matchCols = cfg.rules.filter(_.field == "msg").map { rule =>

@@ -49,6 +49,13 @@ object Stats {
     perTopic.union(totalRows).union(zeros)
   }
 
+  /** Set the kafka.producer.sent timer slot (µs of the last sink write —
+    * the reference keeps the last value, src/status.rs:155-164). */
+  def withSentTimer(statsDf: DataFrame, micros: Long): DataFrame =
+    statsDf.withColumn("value",
+      when(col("metric") === "kafka.producer.sent", lit(micros))
+        .otherwise(col("value")))
+
   /** The `GET /stats` JSON snapshot (src/status.rs:22-25,170-181), with
     * the canonical greeting. Driver-side collect of the tiny stats frame. */
   def statsJson(routed: DataFrame): String = formatJson(statsOf(routed))

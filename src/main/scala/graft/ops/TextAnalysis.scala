@@ -29,6 +29,16 @@ object TextAnalysis {
   /** stable document fingerprint: md5 of the normalized text */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** polynomial rolling hash (Rabin-Karp style) over the normalized text's
+    * codepoints: left fold acc = (acc*31 + cp) mod 1e9+7. Kept inside a
+    * 31-bit modulus so the arithmetic is exactly reproducible in any
+    * engine (the DuckDB oracle recomputes it with list_reduce). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      graft.hotdog.exprs.stringToCodepoints(normalized(text)),
+      lit(0L),
+      (acc, c) => (acc * 31L + c.cast("long")) % 1000000007L)
+
   private val Stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
     "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es"),

@@ -57,4 +57,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(kf.columns.toSeq == Seq("topic", "value"))
     assert(kf.count() > 0)
   }
+
+  test("testModeFile: E2 golden output from a real log file") {
+    val f = java.nio.file.Files.createTempFile("example", ".log")
+    java.nio.file.Files.writeString(f,
+      """hello there
+        |This is a somewhat longer line of logs?
+        |This is a MUCH longer log line and it should not be truncated, hopefully
+        |{"this": "is some JSON data", "which": "should also be transmitted properly", "meta" : {"topic" : "test"}}
+        |""".stripMargin)
+    val got = Router.testModeFile(spark, f.toString, Configs.flagship)
+      .orderBy("line_no").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(got(0) == (1L, List("Regex: ^hello\\s+(?P<name>\\w+)?", "Regex: .*")))
+    assert(got(1) == (2L, List("Regex: .*")))
+    assert(got(2) == (3L, List("Regex: .*")))
+    assert(got(3) == (4L, List("JMESPath: meta.topic", "Regex: .*")))
+  }
+
+  test("typed Dataset API: route SyslogSequence -> RoutedRow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ds = Corpus.sequences(spark, 500, seed = 31L).as[model.SyslogSequence]
+    val routed = Pipeline.routeTyped(ds, Configs.flagship)
+    val rows = routed.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.topic != null && r.output != null))
+    // token-array equality invariant holds on the typed surface too
+    val orig = ds.collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    rows.take(50).foreach(r => assert(r.tokens.toSeq == orig(r.doc_id)))
+  }
+
+  test("rolling fingerprint: deterministic, normalization-invariant") {
+    import spark.implicits._
+    val df = Seq("the quick  Brown fox", "THE quick brown FOX ").toDF("text")
+    val fps = df.select(graft.ops.TextAnalysis.rollingFingerprint($"text"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) >= 0 && fps(0) < 1000000007L)
+  }
 }

@@ -24,6 +24,12 @@ object Pipeline {
 
   final case class Result(routed: DataFrame, stats: DataFrame)
 
+  /** Routed rows that actually emitted, filtered WITHOUT letting the
+    * optimizer push the predicate beneath the router projection (see
+    * NoPushdown — pushing would re-inline the whole cascade). */
+  def emittedOnly(routed: DataFrame): DataFrame =
+    routed.filter(exprs.noPushdown(col("topic").isNotNull))
+
   /** Logical pipeline without sinks. */
   def run(sequences: DataFrame, cfg: HotdogConfig,
       dim: Option[DataFrame] = None,
@@ -51,7 +57,7 @@ object Pipeline {
     // invariant is checked on the routed frame (cheap, pre-shuffle), and
     // shipping the token arrays through the sink shuffle would triple the
     // written bytes for no consumer benefit. Pass columns=... to override.
-    val emitted = routed.filter(col("topic").isNotNull)
+    val emitted = emittedOnly(routed)
       .select((columns :+ "topic").distinct.map(col): _*)
       .withColumn("batch_id", lit(batchId))
     val spark = routed.sparkSession
@@ -82,8 +88,7 @@ object Pipeline {
       clock: Column = Router.DefaultClock): org.apache.spark.sql.Dataset[model.RoutedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    Router.route(ds.toDF(), cfg, clock)
-      .filter(col("topic").isNotNull)
+    emittedOnly(Router.route(ds.toDF(), cfg, clock))
       .select(col("doc_id"), col("tokens"), col("source"), col("topic"), col("output"))
       .as[model.RoutedRow]
   }
@@ -95,8 +100,7 @@ object Pipeline {
     * No connector ships in this sandbox, so the fan-out parquet sink above
     * is the default; this keeps the migration one line. */
   def kafkaFrame(routed: DataFrame): DataFrame =
-    routed.filter(col("topic").isNotNull)
-      .select(col("topic"), col("output").as("value"))
+    emittedOnly(routed).select(col("topic"), col("output").as("value"))
 
   /** Per-partition lineage + metrics audit rows (north_rule: resumable with
     * per-partition lineage). One row per (batch, topic): input/routed

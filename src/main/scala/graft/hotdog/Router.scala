@@ -172,7 +172,7 @@ object Router {
         mergeTargetNotJson: Column) // count of merge-target-not-json errors (given fires)
 
     var alive: Column = parseOk
-    val compiled = cfg.rules.zipWithIndex.map { case (rule, i) =>
+    val compiledAndEmits = cfg.rules.zipWithIndex.map { case (rule, i) =>
       val matched = matchedOf(rule, i)
       val render = renderWith(varsOf(rule, i)) _
 
@@ -224,16 +224,39 @@ object Router {
 
       val fires = alive && matched
       alive = alive && !(matched && kill)
-      CompiledRule(fires, kill, emit, mergeInvalid, mergeTarget)
+      // hoist the (possibly large) render trees into guarded columns so
+      // they are generated ONCE and the cascade below handles attributes —
+      // keeps each whole-stage-codegen method under the JVM 64KB limit
+      // even when a join/filter/write fuses into the same stage
+      val hoistedEmit = emit.map { case (topicTree, outTree) =>
+        (s"_hd_topic_$i" -> when(matched, topicTree),
+          s"_hd_out_$i" -> when(matched, outTree))
+      }
+      (CompiledRule(fires, kill, hoistedEmit.map { case ((tn, _), (on, _)) =>
+        (col(tn), col(on))
+      }, mergeInvalid, mergeTarget), hoistedEmit)
     }
 
+    val emitCols: Seq[(String, Column)] =
+      compiledAndEmits.flatMap(_._2).flatMap { case (t, o) => Seq(t, o) }
+    val compiled = compiledAndEmits.map(_._1)
+    val stagedFinal =
+      if (emitCols.isEmpty) staged else staged.withColumns(emitCols.toMap)
+
     val emitting = compiled.filter(_.emit.isDefined)
+    // the extra `isNotNull &&` is a semantic no-op (a matched rule's render
+    // is never null) that references each hoisted column twice — keeping
+    // CollapseProject from inlining the big render trees back into this
+    // projection (which would blow the per-operator codegen method past
+    // the JVM 64KB limit when a join/filter/sink fuses into the stage)
     val topicCol =
       if (emitting.isEmpty) lit(null).cast("string")
-      else coalesce(emitting.map(r => when(r.fires, r.emit.get._1)): _*)
+      else coalesce(emitting.map(r =>
+        when(r.fires && r.emit.get._1.isNotNull, r.emit.get._1)): _*)
     val outputCol =
       if (emitting.isEmpty) lit(null).cast("string")
-      else coalesce(emitting.map(r => when(r.fires, r.emit.get._2)): _*)
+      else coalesce(emitting.map(r =>
+        when(r.fires && r.emit.get._2.isNotNull, r.emit.get._2)): _*)
     val mergeInvalidCol = compiled.map(r =>
       when(r.fires, r.mergeInvalid).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
@@ -246,7 +269,7 @@ object Router {
     val passthrough = df.columns
       .filterNot(c => c == "line" || c == "p" || c.startsWith("_hd_"))
       .map(col).toSeq
-    staged.select(passthrough ++ Seq(
+    stagedFinal.select(passthrough ++ Seq(
       col("line"),
       parseOk.as("parse_ok"),
       msgCol.as("msg"),

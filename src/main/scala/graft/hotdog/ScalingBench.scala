@@ -42,33 +42,44 @@ object ScalingBench {
       s.stop()
     }
 
+    // small warm corpus with the SAME schema/layout: warming with the
+    // identical plan shape hits the JVM-global codegen cache, so the timed
+    // trials run fully C2-JIT-compiled code (a cold generated class runs
+    // tiered for tens of seconds and skews results 3-10x on this box)
+    val warmDir = "/tmp/graft-bench-corpus-warm"
+    if (!Files.exists(Paths.get(warmDir))) {
+      val s = session(32)
+      Corpus.sequences(s, 2000000).write.mode("overwrite").parquet(warmDir)
+      s.stop()
+    }
+
     final case class RunResult(cores: Int, wallSec: Double, inputRows: Long,
-        routedRows: Long) {
+        routedRows: Long, trialsSec: Seq[Double]) {
       def routedPerSec: Double = routedRows / wallSec
       def inputPerSec: Double = inputRows / wallSec
     }
 
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+
     def run(cores: Int): RunResult = {
       val s = session(cores)
       val outDir = s"/tmp/graft-bench-out-$cores"
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outDir))
-      val t0 = System.nanoTime()
-      val routed = Router.route(s.read.parquet(corpusDir), cfg)
-      Pipeline.writeFanOut(routed, outDir, batchId = 0L, saltBuckets = cores)
-      val wall = (System.nanoTime() - t0) / 1e9
-      val written = s.read.parquet(outDir)
-      val routedRows = written.count()
+      def job(in: String, out: String): Unit = {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        Pipeline.writeFanOut(Router.route(s.read.parquet(in), cfg), out,
+          batchId = 0L, saltBuckets = cores)
+      }
+      job(warmDir, s"$outDir-warm") // same plan shape → codegen cache + JIT hot
+      val walls = (1 to trials).map { _ =>
+        val t0 = System.nanoTime()
+        job(corpusDir, outDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val routedRows = s.read.parquet(outDir).count()
       s.stop()
-      RunResult(cores, wall, rows, routedRows)
-    }
-
-    // warm JIT/codegen once with a tiny slice at 32 cores (not timed)
-    {
-      val s = session(32)
-      Pipeline.writeFanOut(
-        Router.route(s.read.parquet(corpusDir).limit(50000), cfg),
-        "/tmp/graft-bench-warmup", 0L)
-      s.stop()
+      // min of trials = the machine's actual capability (shared-box noise
+      // and stray JIT recompiles only ever ADD time)
+      RunResult(cores, walls.min, rows, routedRows, walls)
     }
 
     val r8 = run(8)
@@ -79,8 +90,7 @@ object ScalingBench {
     // single aggregation over the recomputed routed frame (no cache: the
     // wide rows incl token arrays would not fit a small heap at 8M+ rows)
     val s = session(32)
-    val perTopic = Router.route(s.read.parquet(corpusDir), cfg)
-      .filter(col("topic").isNotNull)
+    val perTopic = Pipeline.emittedOnly(Router.route(s.read.parquet(corpusDir), cfg))
       .groupBy("topic").agg(
         count(lit(1)).as("n"),
         sum(when(exprs.stringToCodepoints(col("line")) === col("tokens"), 0L)
@@ -108,6 +118,11 @@ object ScalingBench {
          ||---|---|---|---|---|---|
          || N  | local[8]  | 8  | ${r8.wallSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f |
          || 4N | local[32] | 32 | ${r32.wallSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f |
+         |
+         |Per-level protocol: one untimed warmup with the identical plan
+         |shape (JIT/codegen warm), then best of ${r8.trialsSec.length}%d timed trials
+         |(all trials, s — local[8]: ${r8.trialsSec.map(w => f"$w%.1f").mkString(", ")};
+         |local[32]: ${r32.trialsSec.map(w => f"$w%.1f").mkString(", ")}).
          |
          |**Scaling efficiency** = (routed/s @32) / (4 × routed/s @8) =
          |**$eff%.3f** (target ≥ 0.8).

@@ -47,8 +47,7 @@ object Streaming {
   def windowedTopicCounts(streamingSequences: DataFrame, cfg: HotdogConfig,
       windowLen: String = "1 minute",
       lateness: String = "10 minutes"): DataFrame =
-    Router.route(streamingSequences, cfg)
-      .filter(col("topic").isNotNull)
+    Pipeline.emittedOnly(Router.route(streamingSequences, cfg))
       .withWatermark("event_time", lateness)
       .groupBy(window(col("event_time"), windowLen), col("topic"))
       .agg(count(lit(1)).as("n"))

@@ -116,12 +116,35 @@ case class HandlebarsEscape(child: Expression)
   override def prettyName: String = "handlebars_escape"
 }
 
+/** Identity wrapper marked non-deterministic: an optimizer barrier.
+  *
+  * Spark's PushDownPredicate substitutes Project aliases into pushed
+  * predicates with no cost model — `routed.filter($"topic".isNotNull)`
+  * would re-inline the ENTIRE cascade (parse, jmespath, merges, renders)
+  * into a Filter beneath the router, duplicating the per-row work and
+  * blowing the whole-stage-codegen method past the JVM 64KB limit once a
+  * join/sink fuses into the stage. Wrapping the predicate in this barrier
+  * keeps it above the projection. Evaluation is the child's, unchanged. */
+case class NoPushdown(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override lazy val deterministic: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.genCode(ctx)
+  override protected def withNewChildInternal(newChild: Expression): NoPushdown =
+    copy(child = newChild)
+  override def prettyName: String = "no_pushdown"
+}
+
 /** Column-level wrappers. */
 object exprs {
   import org.apache.spark.sql.graftshim
   def codepointsToString(c: Column): Column = graftshim.column(CodepointsToString(expr(c)))
   def stringToCodepoints(c: Column): Column = graftshim.column(StringToCodepoints(expr(c)))
   def handlebarsEscape(c: Column): Column = graftshim.column(HandlebarsEscape(expr(c)))
+  def noPushdown(c: Column): Column = graftshim.column(NoPushdown(expr(c)))
   def expr(c: Column): Expression = graftshim.expression(c)
   def col(e: Expression): Column = graftshim.column(e)
 }

@@ -47,7 +47,11 @@ object Router {
     * the `{{iso8601}}` builtin. */
   def route(sequences: DataFrame, cfg: HotdogConfig,
       clock: Column = DefaultClock): DataFrame = {
-    val withParsed = parsed(decoded(sequences))
+    // parse straight from tokens (fused decode+parse); the decoded `line`
+    // column is declared independently and only materializes when a
+    // consumer reads it (column pruning drops it on the sink path)
+    val withParsed = decoded(sequences)
+      .withColumn("p", exprs.col(SyslogParseTokens(exprs.expr(col("tokens")))))
     routeParsed(withParsed, cfg, clock)
   }
 

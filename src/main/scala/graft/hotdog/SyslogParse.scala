@@ -31,6 +31,15 @@ object SyslogParser {
     * appname) or null on parse failure. */
   def parse(line: UTF8String): InternalRow = parseStr(line.toString)
 
+  /** Fused decode+parse: codepoints → String → parse, skipping the
+    * intermediate UTF8String round-trip (2 fewer copies per row on the
+    * hot path; the separate `line` column is only materialized when a
+    * consumer actually reads it — column pruning drops it otherwise). */
+  def parseTokens(tokens: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val ints = tokens.toIntArray()
+    parseStr(new String(ints, 0, ints.length))
+  }
+
   def parseStr(s: String): InternalRow = {
     val r5 = parse5424(s)
     if (r5 != null) r5 else parse3164(s)
@@ -255,4 +264,34 @@ case class SyslogParse(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SyslogParse =
     copy(child = newChild)
   override def prettyName: String = "syslog_parse"
+}
+
+/** `SyslogParseTokens(tokens array<int>) -> struct<...>` — fused P6+P1-P4:
+  * parse straight from the codepoint array (used on the hot path where the
+  * decoded `line` string is not otherwise consumed). */
+case class SyslogParseTokens(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = model.parsedSchema
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SyslogParser.parseTokens(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = graft.hotdog.SyslogParser.parseTokens(${childGen.value});
+          ${ev.isNull} = (${ev.value} == null);
+        }""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): SyslogParseTokens =
+    copy(child = newChild)
+  override def prettyName: String = "syslog_parse_tokens"
 }

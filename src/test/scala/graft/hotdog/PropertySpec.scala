@@ -130,6 +130,76 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("differential holds across rule-config shapes (field routing, merge-only, stop-less)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val configs = Seq(
+      // severity-field routing (P5 on a PRI-derived field)
+      """rules:
+        |  - regex: '^(err|crit|alert|emerg)$'
+        |    field: severity
+        |    actions:
+        |      - type: replace
+        |        template: 'ALERT[{{iso8601}}]: {{msg}}'
+        |      - type: forward
+        |        topic: alerts
+        |  - regex: '.*'
+        |    field: facility
+        |    actions:
+        |      - type: forward
+        |        topic: 'by-facility'
+        |""".stripMargin,
+      // merge-only rule then catch-all (merge kill semantics on random JSON)
+      """rules:
+        |  - regex: '\{'
+        |    field: msg
+        |    actions:
+        |      - type: merge
+        |        json:
+        |          tag: '{{version}}'
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: rest
+        |""".stripMargin,
+      // forward without stop + rule after it (forward implies stop anyway)
+      """rules:
+        |  - jmespath: 'meta.topic'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: '{{value}}'
+        |  - regex: 'hello'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: 'H:{{msg}}'
+        |      - type: forward
+        |        topic: hello
+        |""".stripMargin)
+    configs.foreach { yml =>
+      val cfg = config.fromYamlString(yml)
+      val lines = Gen.listOfN(250, lineGen).sample.get
+      val df = lines.zipWithIndex.map { case (l, i) =>
+        (f"doc-$i%05d", l.codePoints().toArray, l.codePointCount(0, l.length), "s")
+      }.toDF("doc_id", "tokens", "n_tok", "source")
+      val got = Router.route(df, cfg, clock = lit(FixedIso))
+        .orderBy("doc_id")
+        .select("parse_ok", "topic", "output",
+          "err_merge_invalid_json", "err_merge_target_not_json").collect()
+      got.zip(lines).foreach { case (r, line) =>
+        val o = Oracle.route(line, cfg, FixedIso)
+        assert(r.getBoolean(0) == o.parseOk, s"parse_ok: $line")
+        assert(Option(r.getString(1)) == o.topic, s"topic: $line\ncfg: $yml")
+        assert(Option(r.getString(2)) == o.output, s"output: $line\ncfg: $yml")
+        assert(r.getLong(3) == o.mergeInvalidJson, s"mi: $line")
+        assert(r.getLong(4) == o.mergeTargetNotJson, s"mt: $line")
+      }
+    }
+  }
+
   test("encode/decode round-trips arbitrary unicode strings") {
     val piece: Gen[String] = Gen.oneOf(
       Gen.alphaNumChar.map(_.toString), Gen.oneOf("日", "本", "🌭", "é", " "))

@@ -14,17 +14,24 @@ object Bench {
     // fresh generated class executes tiered (C1) while C2 compiles, which
     // can dominate small-SF timings 3-10x on this box (see BENCH/BASELINE.md)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val walls = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> walls.min
+      // a failed query must never masquerade as a fast success
+      name -> (if (runs.forall(_._2)) runs.map(_._1).min else Double.NaN)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-2","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v.isNaN => k }.toSeq.sorted
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN) "\"FAILED\"" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.values.filterNot(_.isNaN).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-2","ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

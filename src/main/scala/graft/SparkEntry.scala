@@ -220,15 +220,6 @@ object SparkEntry {
          |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
          |FROM n ORDER BY doc_id""".stripMargin,
 
-    "txt_rolling" ->
-      s"""WITH n AS (SELECT doc_id, $normE AS t FROM documents)
-         |SELECT doc_id,
-         |  list_reduce(
-         |    list_prepend(0::BIGINT,
-         |      list_transform(range(1, length(t) + 1), i -> unicode(t[i])::BIGINT)),
-         |    (a, b) -> (a * 31 + b) % 1000000007) AS rfp
-         |FROM n ORDER BY doc_id""".stripMargin,
-
     "mm_features" ->
       """SELECT doc_id AS media_id,
         |  list_extract(['image','audio','video'], (doc_id % 3) + 1) AS kind,

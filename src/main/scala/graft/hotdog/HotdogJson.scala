@@ -22,7 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * object keys serialize sorted ascending; output is compact (no spaces).
   */
 object HotdogJson {
-  private val mapper = new ObjectMapper()
+  private val mapper = {
+    val m = new ObjectMapper()
+    // serde_json::from_str rejects trailing content after the JSON document
+    // ('{"a":1} tail' is a parse error, reference src/connection.rs:331 via
+    // merge.rs); jackson's readTree would silently stop at the value end.
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS,
+      true)
+    m
+  }
 
   /** cheap reject before paying for a jackson parse (and its exception):
     * every valid JSON document starts (after whitespace) with one of these. */
@@ -42,8 +51,23 @@ object HotdogJson {
     try {
       val n = mapper.readTree(s)
       // jackson readTree of empty input returns MissingNode
-      if (n == null || n.isMissingNode) null else n
+      if (n == null || n.isMissingNode || hasNonFinite(n)) null else n
     } catch { case _: Exception => null }
+  }
+
+  /** serde_json has no representation for non-finite numbers: '1e999'
+    * overflows f64 and from_str fails. Jackson parses it to
+    * DoubleNode(Infinity), so reject those trees (parse failure). */
+  private def hasNonFinite(n: JsonNode): Boolean = {
+    if (n.isFloatingPointNumber) {
+      val d = n.doubleValue()
+      return d.isNaN || d.isInfinite
+    }
+    if (n.isContainerNode) {
+      val it = n.elements()
+      while (it.hasNext) if (hasNonFinite(it.next())) return true
+    }
+    false
   }
 
   /** codegen entry for JsonHotdogMerge: null iff msg is not valid JSON. */
@@ -168,9 +192,60 @@ object HotdogJson {
     } else if (n.isIntegralNumber) {
       sb.append(n.numberValue().toString)
     } else {
-      // floating point: Java's shortest repr is close to ryu for common values
-      sb.append(n.numberValue().toString)
+      // floating point: serde_json prints f64 via ryu (shortest round-trip
+      // digits, ryu::Buffer::format placement rules); Java's Double.toString
+      // differs ('E' notation, different thresholds), so format explicitly
+      sb.append(formatDoubleRyu(n.doubleValue()))
     }
+  }
+
+  /** serde_json/ryu-compatible f64 formatting (ryu::Buffer::format_finite):
+    * shortest round-trip digits; plain decimal notation when the decimal
+    * point position kk = E+1 is in (-5, 16] (always with a fractional part,
+    * integers get ".0"), scientific 'd.ddde±E' otherwise (no '+', no
+    * zero-padding). Examples: 1e23→"1e23", 1e15→"1000000000000000.0",
+    * 1e-5→"0.00001", 1e-6→"1e-6", 123.0→"123.0". */
+  def formatDoubleRyu(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val a = math.abs(d)
+    // shortest round-trip digits: minimal precision whose %.*e round-trips
+    var p = 0
+    var s: String = null
+    var found = false
+    while (!found && p <= 17) {
+      s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(a))
+      if (java.lang.Double.parseDouble(s) == a) found = true else p += 1
+    }
+    val ei = s.indexOf('e')
+    var digits = s.substring(0, ei).replace(".", "")
+    // a rounding carry can leave a trailing zero ("1.0e23" digits "10")
+    while (digits.length > 1 && digits.endsWith("0"))
+      digits = digits.substring(0, digits.length - 1)
+    val exp = Integer.parseInt(
+      if (s.charAt(ei + 1) == '+') s.substring(ei + 2) else s.substring(ei + 1))
+    val kk = exp + 1 // position of the decimal point: 10^(kk-1) <= a < 10^kk
+    val sb = new java.lang.StringBuilder(24)
+    if (neg) sb.append('-')
+    if (kk > 16 || kk <= -5) {
+      // scientific
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits, 1, digits.length)
+      sb.append('e').append(exp)
+    } else if (kk <= 0) {
+      sb.append("0.")
+      var i = kk
+      while (i < 0) { sb.append('0'); i += 1 }
+      sb.append(digits)
+    } else if (kk >= digits.length) {
+      sb.append(digits)
+      var i = digits.length
+      while (i < kk) { sb.append('0'); i += 1 }
+      sb.append(".0")
+    } else {
+      sb.append(digits, 0, kk).append('.').append(digits, kk, digits.length)
+    }
+    sb.toString
   }
 
   private def writeString(s: String, sb: java.lang.StringBuilder): Unit = {

@@ -83,11 +83,17 @@ object Router {
             Seq(s"_hd_jm_$i" -> exprs.col(JmesPathDotted(
               exprs.expr(fieldOf(rule)), exprs.expr(lit(rule.jmespathRaw.get)))))
           case None =>
-            val rx = rule.regex.getOrElse(
-              throw new IllegalArgumentException(s"rule ${rule.uuid} has no matcher"))
-            Seq(s"_hd_m_$i" -> coalesce(
-              fieldOf(rule).isNotNull && fieldOf(rule).rlike(rx.javaPattern),
-              lit(false)))
+            rule.regex match {
+              case Some(rx) =>
+                Seq(s"_hd_m_$i" -> coalesce(
+                  fieldOf(rule).isNotNull && fieldOf(rule).rlike(rx.javaPattern),
+                  lit(false)))
+              case None =>
+                // a rule with neither matcher loads fine in the reference
+                // (settings.rs defaults both to None) and simply never
+                // matches (rules.rs:59-100 falls through) — constant false
+                Seq(s"_hd_m_$i" -> lit(false))
+            }
         }
     }
     val withMatchers = df.withColumns(matcherCols.toMap)
@@ -311,7 +317,10 @@ object Router {
           exprs.col(JmesPathDotted(
             exprs.expr(lineCol), exprs.expr(lit(rule.jmespathRaw.get))))
             .getField("matched")
-        case None => coalesce(lineCol.rlike(rule.regex.get.javaPattern), lit(false))
+        case None => rule.regex match {
+          case Some(rx) => coalesce(lineCol.rlike(rx.javaPattern), lit(false))
+          case None     => lit(false) // matcher-less rule: never matches
+        }
       }
       when(matched, lit(rule.display)).otherwise(lit(null))
     }

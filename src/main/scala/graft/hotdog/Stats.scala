@@ -20,7 +20,12 @@ object Stats {
     "error.topic_parse_failed",
     "kafka.producer.sent")
 
-  /** (metric string, value long) from a Router.route output frame. */
+  /** (metric string, value long) from a Router.route output frame.
+    *
+    * ONE distributed job: groupBy(topic) with map-side partial agg, then the
+    * ≤(#topics+1)-row result is collected and reshaped driver-side — the
+    * exact analog of the reference's in-memory counter map (src/status.rs),
+    * and it avoids caching the aggregate just to scan it twice. */
   def statsOf(routed: DataFrame): DataFrame = {
     val spark = routed.sparkSession
     import spark.implicits._
@@ -28,25 +33,20 @@ object Stats {
     val per = routed.groupBy("topic").agg(
       count(lit(1)).as("n"),
       sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed"),
-      sum(col("err_merge_invalid_json")).as("mi"),
-      sum(col("err_merge_target_not_json")).as("mt"))
-    per.cache()
+      coalesce(sum(col("err_merge_invalid_json")), lit(0L)).as("mi"),
+      coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"))
+      .collect()
 
-    val perTopic = per.filter(col("topic").isNotNull)
-      .select(concat(lit("kafka.submitted."), col("topic")).as("metric"),
-        col("n").as("value"))
-    val totals = per.agg(
-      sum(when(col("topic").isNotNull, col("n")).otherwise(0L)).as("kafka.submitted"),
-      sum(col("parsed")).as("lines"),
-      sum(col("n") - col("parsed")).as("error.log_parse"),
-      sum(col("mi")).as("error.merge_of_invalid_json"),
-      sum(col("mt")).as("error.merge_target_not_json"))
-    val totalRows = totals.columns.toSeq.map { c =>
-      totals.select(lit(c).as("metric"), coalesce(col(s"`$c`"), lit(0L)).as("value"))
-    }.reduce(_ union _)
-    val zeros = ZeroSlots.map(m => (m, 0L)).toDF("metric", "value")
-
-    perTopic.union(totalRows).union(zeros)
+    val perTopic = per.toSeq.filter(!_.isNullAt(0))
+      .map(r => ("kafka.submitted." + r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val totals = Seq(
+      "kafka.submitted" -> per.filter(!_.isNullAt(0)).map(_.getLong(1)).sum,
+      "lines" -> per.map(_.getLong(2)).sum,
+      "error.log_parse" -> per.map(r => r.getLong(1) - r.getLong(2)).sum,
+      "error.merge_of_invalid_json" -> per.map(_.getLong(3)).sum,
+      "error.merge_target_not_json" -> per.map(_.getLong(4)).sum)
+    (perTopic ++ totals ++ ZeroSlots.map(_ -> 0L)).toDF("metric", "value")
   }
 
   /** Set the kafka.producer.sent timer slot (µs of the last sink write —

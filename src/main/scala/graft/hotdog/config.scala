@@ -145,10 +145,14 @@ object config {
       regex: Option[CompiledRegex],
       actions: Seq[HAction]) {
     /** Display form matching the reference's `impl Display for Rule`
-      * (src/settings.rs:110-118) used by test-mode output. */
+      * (src/settings.rs:110-118) used by test-mode output. Note the
+      * reference shows the REGEX when both matchers are present (the
+      * inverse of the match precedence) and panics on a matcher-less rule
+      * — which test-mode never displays, since it cannot match. */
     def display: String =
-      if (jmespathRaw.isDefined) s"JMESPath: ${jmespathRaw.get}"
-      else s"Regex: ${regex.get.original}"
+      if (regex.isDefined) s"Regex: ${regex.get.original}"
+      else if (jmespathRaw.isDefined) s"JMESPath: ${jmespathRaw.get}"
+      else "Regex: <none>" // unreachable from test-mode (never matches)
   }
 
   final case class HotdogConfig(rules: Seq[HRule])

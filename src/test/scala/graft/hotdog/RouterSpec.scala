@@ -220,4 +220,28 @@ class RouterSpec extends AnyFunSuite {
     val plan = Router.route(seqs, Configs.flagship).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"router introduced a shuffle:\n$plan")
   }
+
+  test("matcher-less rule is a loadable no-op (reference settings.rs defaults both matchers to None)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: never
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: always
+        |""".stripMargin)
+    val line = "<13>1 2020-04-18T15:16:09Z coconut tyler - - - anything"
+    val Array(r) = route(Seq(line), cfg)
+    assert(r.parseOk)
+    assert(r.topic.contains("always")) // rule 0 never matches, rule 1 catches
+    assert(Oracle.route(line, cfg, FixedIso).topic.contains("always"))
+    // test-mode with a matcher-less rule must not throw either
+    val tm = Router.testMode(Seq((1L, "anything")).toDF("line_no", "line"), cfg)
+      .collect()
+    assert(tm.head.getSeq[String](1) == Seq("Regex: .*"))
+  }
 }

@@ -61,8 +61,9 @@ object Router {
     * layering exists so each expensive primitive — jmespath parse, regex
     * match, group extract — is evaluated AT MOST ONCE per row instead of
     * once per reference in the cascade):
-    *   L1 decode(line)  L2 parse(p)  L3 matchers (_hd_m_i / _hd_jm_i)
-    *   L4 guarded group extracts (_hd_g_i_name)  L5 the cascade.
+    *   L1 decode(line)  L2 parse(p)
+    *   L3 matchers (_hd_rx_i captures-struct / _hd_m_i / _hd_jm_i)
+    *   L5 the cascade.
     * CollapseProject keeps non-cheap multiply-referenced producers in
     * their own Project, so Catalyst preserves this shape. */
   def routeParsed(df: DataFrame, cfg: HotdogConfig, clock: Column): DataFrame = {
@@ -75,7 +76,9 @@ object Router {
       case f     => p.getField(f)
     }
 
-    // ---- L3: hoisted matcher primitives, one column per rule ----
+    // ---- L3: hoisted matcher primitives, one column per rule (each runs
+    // its regex/jmespath engine exactly ONCE per row: RegexCaptures returns
+    // matched + all named groups from a single find()) ----
     val matcherCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
       case (rule, i) =>
         rule.jmespath match {
@@ -84,6 +87,10 @@ object Router {
               exprs.expr(fieldOf(rule)), exprs.expr(lit(rule.jmespathRaw.get)))))
           case None =>
             rule.regex match {
+              case Some(rx) if rx.namedGroups.nonEmpty =>
+                Seq(s"_hd_rx_$i" -> exprs.col(RegexCaptures(
+                  exprs.expr(fieldOf(rule)), exprs.expr(lit(rx.javaPattern)),
+                  rx.namedGroups.map(rx.groupIndexOf))))
               case Some(rx) =>
                 Seq(s"_hd_m_$i" -> coalesce(
                   fieldOf(rule).isNotNull && fieldOf(rule).rlike(rx.javaPattern),
@@ -102,24 +109,13 @@ object Router {
     def matchedOf(rule: HRule, i: Int): Column = rule.jmespath match {
       case Some(_) => coalesce(
         fieldOf(rule).isNotNull && col(s"_hd_jm_$i").getField("matched"), lit(false))
-      case None => col(s"_hd_m_$i")
+      case None => rule.regex match {
+        case Some(rx) if rx.namedGroups.nonEmpty =>
+          col(s"_hd_rx_$i").getField("matched")
+        case _ => col(s"_hd_m_$i")
+      }
     }
-
-    // ---- L4: guarded named-group extracts (evaluated only on match) ----
-    val extractCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
-      case (rule, i) =>
-        rule.regex match {
-          case Some(rx) if rule.jmespath.isEmpty =>
-            rx.namedGroups.map { name =>
-              s"_hd_g_${i}_$name" -> when(matchedOf(rule, i),
-                regexp_extract(fieldOf(rule), rx.javaPattern, rx.groupIndexOf(name)))
-            }
-          case _ => Seq.empty
-        }
-    }
-    val withExtracts =
-      if (extractCols.isEmpty) withMatchers
-      else withMatchers.withColumns(extractCols.toMap)
+    val withExtracts = withMatchers
 
     // per-rule variable maps + template rendering (A1/A2/F2/F3)
     def varsOf(rule: HRule, i: Int): Map[String, Column] = {
@@ -129,11 +125,13 @@ object Router {
         "iso8601" -> clock)
       val groupVars: Map[String, Column] = rule.regex match {
         case Some(rx) if rule.jmespath.isEmpty =>
-          rx.namedGroups.map { name =>
-            val ext = col(s"_hd_g_${i}_$name")
-            // captured-only override: '' (did not participate) keeps builtin
+          rx.namedGroups.zipWithIndex.map { case (name, k) =>
+            // null ⇔ group did not participate (or no match); "" ⇔ captured
+            // an empty string, which DOES override a colliding builtin —
+            // reference src/rules.rs:90-96 inserts for every Some(capture)
+            val ext = element_at(col(s"_hd_rx_$i").getField("gs"), k + 1)
             val v = builtins.get(name) match {
-              case Some(b) => when(ext.isNotNull && ext =!= "", ext).otherwise(b)
+              case Some(b) => when(ext.isNotNull, ext).otherwise(b)
               case None    => coalesce(ext, lit(""))
             }
             name -> v

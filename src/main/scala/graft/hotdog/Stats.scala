@@ -30,12 +30,7 @@ object Stats {
     val spark = routed.sparkSession
     import spark.implicits._
 
-    val per = routed.groupBy("topic").agg(
-      count(lit(1)).as("n"),
-      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed"),
-      coalesce(sum(col("err_merge_invalid_json")), lit(0L)).as("mi"),
-      coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"))
-      .collect()
+    val per = perTopicAgg(routed).collect()
 
     val perTopic = per.toSeq.filter(!_.isNullAt(0))
       .map(r => ("kafka.submitted." + r.getString(0), r.getLong(1)))
@@ -48,6 +43,15 @@ object Stats {
       "error.merge_target_not_json" -> per.map(_.getLong(4)).sum)
     (perTopic ++ totals ++ ZeroSlots.map(_ -> 0L)).toDF("metric", "value")
   }
+
+  /** The ONE distributed aggregation behind [[statsOf]] (its ≤(#topics+1)-row
+    * result is collected and reshaped driver-side). Exposed for plan tests. */
+  def perTopicAgg(routed: DataFrame): DataFrame =
+    routed.groupBy("topic").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed"),
+      coalesce(sum(col("err_merge_invalid_json")), lit(0L)).as("mi"),
+      coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"))
 
   /** Set the kafka.producer.sent timer slot (µs of the last sink write —
     * the reference keeps the last value, src/status.rs:155-164). */

@@ -116,6 +116,80 @@ case class HandlebarsEscape(child: Expression)
   override def prettyName: String = "handlebars_escape"
 }
 
+/** Static helper for [[RegexCaptures]]: one compiled-pattern cache shared
+  * across the executor JVM, one `find()` per row. */
+object RegexHelp {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private val NoMatch =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, null))
+
+  def captures(s: UTF8String, pattern: UTF8String, groupIdx: Array[Int])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (s == null) return NoMatch
+    val p = cache.computeIfAbsent(pattern.toString,
+      (k: String) => java.util.regex.Pattern.compile(k))
+    val m = p.matcher(s.toString)
+    if (!m.find()) return NoMatch
+    val gs = new Array[Any](groupIdx.length)
+    var i = 0
+    while (i < groupIdx.length) {
+      val g = m.group(groupIdx(i))
+      gs(i) = if (g == null) null else UTF8String.fromString(g)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, new GenericArrayData(gs)))
+  }
+}
+
+/** `RegexCaptures(str, pattern) -> struct<matched boolean, gs array<string>>`
+  * — rule matching + named-group extraction in ONE regex execution per row
+  * (rlike + k × regexp_extract would run the matcher k+1 times).
+  *
+  * `gs(i)` is the value of the i-th NAMED group (appearance order, indices
+  * resolved at plan build from [[config.CompiledRegex]]): null when the
+  * group did not participate in the match, "" when it captured an empty
+  * string. The distinction carries the reference's semantics
+  * (src/rules.rs:90-96: `captures.name(n)` is `Some("")` for an empty
+  * capture — which DOES override a colliding builtin variable — and `None`
+  * for a non-participating group, which does not). Null input → no match. */
+case class RegexCaptures(left: Expression, right: Expression,
+    groupIdx: Seq[Int])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("matched", BooleanType, nullable = false),
+    StructField("gs", ArrayType(StringType, containsNull = true), nullable = true)))
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  private lazy val idxArray: Array[Int] = groupIdx.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    RegexHelp.captures(
+      left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String],
+      idxArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val idxRef = ctx.addReferenceObj("groupIdx", idxArray, "int[]")
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = graft.hotdog.RegexHelp.captures(
+          ${l.isNull} ? null : ${l.value}, ${r.value}, $idxRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexCaptures =
+    copy(left = l, right = r)
+  override def prettyName: String = "regex_captures"
+}
+
 /** Identity wrapper marked non-deterministic: an optimizer barrier.
   *
   * Spark's PushDownPredicate substitutes Project aliases into pushed

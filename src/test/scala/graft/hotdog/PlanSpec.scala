@@ -60,11 +60,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("stats is a single aggregation over the data (partial + final)") {
-    val stats = Stats.statsOf(Router.route(spark.read.parquet(corpusDir), Configs.flagship))
-    val s = stats.queryExecution.executedPlan.toString
-    // exactly one shuffle reads the full corpus: the groupBy(topic);
-    // everything after operates on the tiny cached aggregate
+    val per = Stats.perTopicAgg(Router.route(spark.read.parquet(corpusDir), Configs.flagship))
+    val s = per.queryExecution.executedPlan.toString
+    // exactly ONE shuffle reads the full corpus: the groupBy(topic) with
+    // map-side partial agg; the ≤(#topics+1)-row result is then reshaped
+    // driver-side (statsOf), so nothing else ever rescans the data
     assert(s.contains("HashAggregate"))
+    assert(s.split("Exchange", -1).length - 1 == 1, s"expected exactly 1 shuffle:\n$s")
+    val stats = Stats.statsOf(Router.route(spark.read.parquet(corpusDir), Configs.flagship))
+    assert(stats.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
   test("resumable batches: completed batch_ids are skipped") {

@@ -221,6 +221,46 @@ class RouterSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"router introduced a shuffle:\n$plan")
   }
 
+  test("empty-string capture overrides a colliding builtin (rules.rs:90-96 Some(\"\") semantics)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '(?P<msg>x*)y'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: '[{{msg}}]'
+        |      - type: forward
+        |        topic: t
+        |""".stripMargin)
+    def msgLine(m: String) = s"<13>1 2020-04-18T15:16:09Z coconut tyler - - - $m"
+    // "y": the group participates, captures "" → overrides builtin msg → "[]"
+    // "xxy": captures "xx" → "[xx]"
+    val Array(r1, r2) = route(Seq(msgLine("y"), msgLine("xxy")), cfg)
+    assert(r1.output.contains("[]"))
+    assert(r2.output.contains("[xx]"))
+    // and the differential oracle agrees
+    assert(Oracle.route(msgLine("y"), cfg, FixedIso).output.contains("[]"))
+    assert(Oracle.route(msgLine("xxy"), cfg, FixedIso).output.contains("[xx]"))
+  }
+
+  test("non-participating group does NOT override a builtin") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '(?:(?P<msg>zz))?hello'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: '[{{msg}}]'
+        |      - type: forward
+        |        topic: t
+        |""".stripMargin)
+    val line = "<13>1 2020-04-18T15:16:09Z coconut tyler - - - hello there"
+    val Array(r) = route(Seq(line), cfg)
+    // group never participates → builtin msg survives
+    assert(r.output.contains("[hello there]"))
+    assert(Oracle.route(line, cfg, FixedIso).output == r.output)
+  }
+
   test("matcher-less rule is a loadable no-op (reference settings.rs defaults both matchers to None)") {
     val cfg = config.fromYamlString(
       """rules:

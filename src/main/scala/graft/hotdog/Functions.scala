@@ -20,7 +20,7 @@ object Functions {
     reg("string_to_codepoints")(a => StringToCodepoints(a.head))
     reg("handlebars_escape")(a => HandlebarsEscape(a.head))
     reg("syslog_parse")(a => SyslogParse(a.head))
-    reg("jmespath_dotted")(a => JmesPathDotted(a(0), a(1)))
+    reg("jmespath_eval")(a => JmesPathEval(a(0), a(1)))
     reg("json_hotdog_merge")(a => JsonHotdogMerge(a(0), a(1)))
     reg("simhash64")(a => graft.ops.SimHash64(a.head))
     reg("minhash_sig")(a => graft.ops.MinHashSig(a(0), a(1) match {

@@ -77,28 +77,41 @@ object HotdogJson {
   }
 
   private val pathCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[config.JmesSeg]]()
   private val NoMatchRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](false, null))
 
-  /** codegen entry for JmesPathDotted. A dotted path only matches when the
-    * root is a JSON object, so reject anything not starting with '{'
-    * before parsing. */
+  /** Walk one compiled JMESPath step. Null ⇔ the path falls off the data
+    * (wrong container type, missing key, index out of bounds) — exactly the
+    * jmespath crate's null result for access chains. */
+  def jmesStep(node: JsonNode, seg: config.JmesSeg): JsonNode = seg match {
+    case config.JKey(k) => if (node.isObject) node.get(k) else null
+    case config.JIndex(ix) =>
+      if (!node.isArray) null
+      else node.get(if (ix < 0) node.size() + ix else ix) // null when OOB
+  }
+
+  /** codegen entry for JmesPathEval. An access chain only matches when the
+    * root is a JSON object or array, so reject scalars before paying for
+    * the parse. */
   def jmesEval(json: UTF8String, path: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val s = json.toString
     var i = 0
     while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
         s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
-    if (i >= s.length || s.charAt(i) != '{') return NoMatchRow
+    if (i >= s.length || (s.charAt(i) != '{' && s.charAt(i) != '[')) return NoMatchRow
     var node = parseOrNull(s)
     if (node == null) return NoMatchRow
     val p = path.toString
     var segs = pathCache.get(p)
-    if (segs == null) { segs = p.split("\\."); pathCache.putIfAbsent(p, segs) }
+    if (segs == null) {
+      segs = config.compileJmesPath(p).toArray
+      pathCache.putIfAbsent(p, segs)
+    }
     var k = 0
     while (k < segs.length && node != null) {
-      node = if (node.isObject) node.get(segs(k)) else null
+      node = jmesStep(node, segs(k))
       k += 1
     }
     if (node == null || node.isNull) NoMatchRow
@@ -287,16 +300,16 @@ object HotdogJson {
   }
 }
 
-/** `JmesPathDotted(json, 'a.b.c') -> struct<matched boolean, value string>`
-  * — the JMESPath dotted-identifier subset used by hotdog configs
-  * (reference src/rules.rs:70-85):
+/** `JmesPathEval(json, 'a[0].b') -> struct<matched boolean, value string>`
+  * — the JMESPath access-chain subset (identifiers, quoted identifiers,
+  * index subscripts) used by hotdog configs (reference src/rules.rs:70-85):
   *  - input not valid JSON → matched=false (silent, F5)
   *  - path resolves to null / missing → matched=false
   *  - path resolves to a JSON string → matched=true, value=that string
   *  - path resolves to any other non-null value → matched=true, value=null
   *    (the reference only exposes the `value` variable for string results)
   */
-case class JmesPathDotted(left: Expression, right: Expression)
+case class JmesPathEval(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("matched", org.apache.spark.sql.types.BooleanType, nullable = false),
@@ -332,9 +345,9 @@ case class JmesPathDotted(left: Expression, right: Expression)
         }""",
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): JmesPathDotted =
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JmesPathEval =
     copy(left = l, right = r)
-  override def prettyName: String = "jmespath_dotted"
+  override def prettyName: String = "jmespath_eval"
 }
 
 /** `JsonHotdogMerge(msg, renderedMergeJson) -> string` — A3/A4 merge as a

@@ -93,7 +93,7 @@ object Oracle {
         if (node == null) return false
         var i = 0
         while (i < path.length && node != null) {
-          node = if (node.isObject) node.get(path(i)) else null
+          node = HotdogJson.jmesStep(node, path(i))
           i += 1
         }
         if (node == null || node.isNull) false

@@ -83,7 +83,7 @@ object Router {
       case (rule, i) =>
         rule.jmespath match {
           case Some(_) =>
-            Seq(s"_hd_jm_$i" -> exprs.col(JmesPathDotted(
+            Seq(s"_hd_jm_$i" -> exprs.col(JmesPathEval(
               exprs.expr(fieldOf(rule)), exprs.expr(lit(rule.jmespathRaw.get)))))
           case None =>
             rule.regex match {
@@ -147,8 +147,9 @@ object Router {
     }
     def renderWith(vars: Map[String, Column])(t: Template): Column = {
       val pieces = t.parts.map {
-        case TLit(s)  => lit(s)
-        case TVar(n)  => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
+        case TLit(s)    => lit(s)
+        case TVar(n)    => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
+        case TVarRaw(n) => coalesce(vars.getOrElse(n, lit("")), lit("")) // {{{raw}}}
       }
       if (pieces.isEmpty) lit("") else concat(pieces: _*)
     }
@@ -312,7 +313,7 @@ object Router {
     val matchCols = cfg.rules.filter(_.field == "msg").map { rule =>
       val matched = rule.jmespath match {
         case Some(_) =>
-          exprs.col(JmesPathDotted(
+          exprs.col(JmesPathEval(
             exprs.expr(lineCol), exprs.expr(lit(rule.jmespathRaw.get))))
             .getField("matched")
         case None => rule.regex match {

@@ -53,6 +53,20 @@ object Stats {
       coalesce(sum(col("err_merge_invalid_json")), lit(0L)).as("mi"),
       coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"))
 
+  /** Kafka producer-error string → statsd-suitable metric token, porting
+    * the reference's `metric_name_for` (src/kafka.rs:226-231, tests
+    * src/kafka.rs:256-273): lowercase the error's Display form, take the
+    * first space-separated token. */
+  def kafkaErrorMetricName(errString: String): String =
+    errString.toLowerCase.split(' ').headOption.getOrElse("unknown")
+
+  /** Full metric key for a producer error, mirroring
+    * `Stats::KafkaMsgErrored{errcode}` → "kafka.producer.error.<errcode>"
+    * (src/status.rs:141-146,196). Used when a real Kafka sink is swapped in
+    * via [[Pipeline.kafkaFrame]]. */
+  def kafkaErrorMetric(errString: String): String =
+    "kafka.producer.error." + kafkaErrorMetricName(errString)
+
   /** Set the kafka.producer.sent timer slot (µs of the last sink write —
     * the reference keeps the last value, src/status.rs:155-164). */
   def withSentTimer(statsDf: DataFrame, micros: Long): DataFrame =

@@ -15,17 +15,22 @@ import scala.jdk.CollectionConverters._
   */
 object config {
 
-  /** A handlebars-lite template: literal chunks + `{{var}}` placeholders.
+  /** A handlebars-lite template: literal chunks, `{{var}}` placeholders
+    * (HTML-escaped) and `{{{var}}}` placeholders (raw, no escaping).
     * The reference renders through handlebars 3.5.5 in non-strict mode:
-    * unknown variables render as "", `{{var}}` HTML-escapes the value. */
+    * unknown variables render as "". */
   final case class Template(parts: Seq[TPart]) {
-    def varNames: Seq[String] = parts.collect { case TVar(n) => n }
+    def varNames: Seq[String] = parts.collect {
+      case TVar(n) => n
+      case TVarRaw(n) => n
+    }
     /** Render driver-side with plain strings (oracle path). */
     def renderString(vars: collection.Map[String, String]): String = {
       val sb = new StringBuilder
       parts.foreach {
-        case TLit(s) => sb.append(s)
-        case TVar(n) => sb.append(htmlEscapeStr(vars.getOrElse(n, "")))
+        case TLit(s)    => sb.append(s)
+        case TVar(n)    => sb.append(htmlEscapeStr(vars.getOrElse(n, "")))
+        case TVarRaw(n) => sb.append(vars.getOrElse(n, ""))
       }
       sb.toString
     }
@@ -33,6 +38,8 @@ object config {
   sealed trait TPart
   final case class TLit(s: String) extends TPart
   final case class TVar(name: String) extends TPart
+  /** `{{{name}}}` — substituted without the HTML escape. */
+  final case class TVarRaw(name: String) extends TPart
 
   def htmlEscapeStr(s: String): String =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -41,28 +48,42 @@ object config {
     def pipe[B](f: A => B): B = f(a)
   }
 
-  /** Parse `{{name}}` placeholders. Only simple identifiers are supported —
-    * the full handlebars language (helpers, blocks, partials) is out of the
-    * reference configs' usage and rejected at load time. */
+  /** Parse `{{name}}` (escaped) and `{{{name}}}` (raw) placeholders. Only
+    * simple identifiers are supported — the rest of the handlebars language
+    * (helpers, blocks, partials, `{{&name}}`) is outside the reference
+    * configs' usage and rejected at load time. */
   def parseTemplate(t: String): Template = {
     val parts = ArrayBuffer.empty[TPart]
     val lit = new StringBuilder
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    def flushLit(): Unit =
+      if (lit.nonEmpty) { parts += TLit(lit.toString); lit.clear() }
     var i = 0
     while (i < t.length) {
-      if (i + 1 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{') {
+      if (i + 2 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{' &&
+          t.charAt(i + 2) == '{') {
+        val close = t.indexOf("}}}", i + 3)
+        if (close < 0) throw new IllegalArgumentException(s"unclosed {{{ in template: $t")
+        val name = t.substring(i + 3, close).trim
+        if (!name.matches(ident))
+          throw new IllegalArgumentException(s"unsupported handlebars expression: {{{$name}}}")
+        flushLit()
+        parts += TVarRaw(name)
+        i = close + 3
+      } else if (i + 1 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{') {
         val close = t.indexOf("}}", i + 2)
         if (close < 0) throw new IllegalArgumentException(s"unclosed {{ in template: $t")
         val name = t.substring(i + 2, close).trim
-        if (!name.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        if (!name.matches(ident))
           throw new IllegalArgumentException(s"unsupported handlebars expression: {{$name}}")
-        if (lit.nonEmpty) { parts += TLit(lit.toString); lit.clear() }
+        flushLit()
         parts += TVar(name)
         i = close + 2
       } else {
         lit.append(t.charAt(i)); i += 1
       }
     }
-    if (lit.nonEmpty) parts += TLit(lit.toString)
+    flushLit()
     Template(parts.toSeq)
   }
 
@@ -116,15 +137,75 @@ object config {
     CompiledRegex(rust, java, p, names.toSeq, idxOf.toMap)
   }
 
-  /** JMESPath dotted-identifier subset `a.b.c` (all the reference configs
-    * use — e.g. hotdog.yml:46 `meta.topic`). Anything else fails the load,
-    * mirroring the reference's fatal compile error for invalid expressions
+  /** One step of a compiled JMESPath chain. */
+  sealed trait JmesSeg
+  /** object key access (`a` / `"quoted key"`) */
+  final case class JKey(name: String) extends JmesSeg
+  /** array index subscript (`[0]`, `[-1]` = from the end, per JMESPath) */
+  final case class JIndex(idx: Int) extends JmesSeg
+
+  /** Compile the JMESPath subset used by hotdog configs (dotted identifiers
+    * — e.g. hotdog.yml:46 `meta.topic`) extended to full access chains:
+    * unquoted/quoted identifiers and index subscripts, e.g. `a[0].b`,
+    * `"a b".c`, `items[-1].id`, `[0].x`. Filters, projections, slices,
+    * wildcards and functions remain load-time errors, mirroring the
+    * reference's fatal compile for invalid expressions
     * (src/connection.rs:297-311, fixture single-rule-with-invalid-jmespath). */
-  def compileJmesPath(expr: String): Seq[String] = {
-    val ok = expr.nonEmpty &&
-      expr.split("\\.", -1).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-    if (!ok) throw new IllegalArgumentException(s"unsupported jmespath: $expr")
-    expr.split("\\.").toSeq
+  def compileJmesPath(expr: String): Seq[JmesSeg] = {
+    val segs = ArrayBuffer.empty[JmesSeg]
+    val n = expr.length
+    var i = 0
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"unsupported jmespath: $expr ($msg)")
+    def identStart(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+    def identChar(c: Char) = identStart(c) || (c >= '0' && c <= '9')
+    def parseKey(): Unit = {
+      if (i >= n) fail("expected identifier")
+      expr.charAt(i) match {
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            expr.charAt(i) match {
+              case '\\' =>
+                if (i + 1 >= n) fail("bad escape")
+                sb.append(expr.charAt(i + 1)); i += 2
+              case '"' => closed = true; i += 1
+              case c => sb.append(c); i += 1
+            }
+          }
+          if (!closed) fail("unterminated quoted identifier")
+          if (sb.isEmpty) fail("empty quoted identifier")
+          segs += JKey(sb.toString)
+        case c if identStart(c) =>
+          val st = i
+          while (i < n && identChar(expr.charAt(i))) i += 1
+          segs += JKey(expr.substring(st, i))
+        case _ => fail("expected identifier")
+      }
+    }
+    def parseIndex(): Unit = {
+      i += 1 // past '['
+      val st = i
+      if (i < n && expr.charAt(i) == '-') i += 1
+      while (i < n && expr.charAt(i).isDigit) i += 1
+      if (i == st || expr.substring(st, i) == "-") fail("expected array index")
+      if (i >= n || expr.charAt(i) != ']') fail("expected ]")
+      segs += JIndex(expr.substring(st, i).toInt)
+      i += 1
+    }
+    if (n == 0) fail("empty expression")
+    if (expr.charAt(0) == '[') parseIndex() else parseKey()
+    while (i < n) {
+      expr.charAt(i) match {
+        case '.' => i += 1; parseKey()
+        case '[' => parseIndex()
+        case c => fail(s"unexpected '$c'")
+      }
+    }
+    segs.toSeq
   }
 
   sealed trait HAction
@@ -140,7 +221,7 @@ object config {
   final case class HRule(
       uuid: String,
       field: String, // msg | appname | hostname | severity | facility
-      jmespath: Option[Seq[String]],
+      jmespath: Option[Seq[JmesSeg]],
       jmespathRaw: Option[String],
       regex: Option[CompiledRegex],
       actions: Seq[HAction]) {
@@ -155,17 +236,46 @@ object config {
       else "Regex: <none>" // unreachable from test-mode (never matches)
   }
 
-  final case class HotdogConfig(rules: Seq[HRule])
+  final case class HotdogConfig(rules: Seq[HRule],
+      settings: Map[String, Any] = Map.empty) {
+    /** Dotted lookup into the loaded settings tree, mirroring the
+      * reference's `conf.get("global.listen.port")` (settings.rs:43-46).
+      * Env-overlaid keys are flat top-level entries (see [[fromYamlString]]). */
+    def setting(path: String): Option[Any] = {
+      // a flat key (possibly env-overlaid) wins over a dotted walk
+      settings.get(path).orElse {
+        path.split('.').foldLeft(Option[Any](settings)) {
+          case (Some(m: Map[_, _]), k) => m.asInstanceOf[Map[String, Any]].get(k)
+          case _ => None
+        }
+      }
+    }
+  }
 
   private val ValidFields = Set("msg", "appname", "hostname", "severity", "facility")
 
-  /** Load a hotdog-shaped YAML config (rules section only; the transport
-    * `global` block is parsed but unused — sources are tables here). */
-  def load(path: String): HotdogConfig =
+  /** Load a hotdog-shaped YAML config. The transport parts of the `global`
+    * block are parsed into `settings` but drive nothing (sources/sinks are
+    * tables here); rules are compiled to plan. */
+  def load(path: String, env: collection.Map[String, String] = sys.env): HotdogConfig =
     fromYamlString(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8), env)
 
-  def fromYamlString(yaml: String): HotdogConfig = {
+  private def toScalaTree(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => String.valueOf(k) -> toScalaTree(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScalaTree).toSeq
+    case other => other
+  }
+
+  /** Parse the YAML, then overlay `HOTDOG_*` environment variables exactly
+    * like the reference's config-rs layering (settings.rs:30-42:
+    * `Environment::with_prefix("HOTDOG")`): each `HOTDOG_FOO` becomes the
+    * flat top-level key `foo` (lowercased; no nesting separator is
+    * configured in the reference either, so `HOTDOG_GLOBAL_LISTEN_PORT`
+    * yields the flat key `global_listen_port`, NOT `global.listen.port`). */
+  def fromYamlString(yaml: String,
+      env: collection.Map[String, String] = sys.env): HotdogConfig = {
     val root = new org.yaml.snakeyaml.Yaml().load[java.util.Map[String, Object]](yaml)
     val rulesRaw = root.get("rules") match {
       case l: java.util.List[_] => l.asScala.toSeq
@@ -190,7 +300,14 @@ object config {
         regex = rx.map(compileRegex),
         actions = actions)
     }
-    HotdogConfig(rules)
+    val fromYaml = toScalaTree(root).asInstanceOf[Map[String, Any]] - "rules"
+    val fromEnv = env.collect {
+      case (k, v) if k.startsWith("HOTDOG_") =>
+        // scalars keep their YAML-typed form (config-rs coerces on get)
+        k.stripPrefix("HOTDOG_").toLowerCase -> toScalaTree(
+          new org.yaml.snakeyaml.Yaml().load[Object](v))
+    }
+    HotdogConfig(rules, fromYaml ++ fromEnv)
   }
 
   private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -60,6 +60,67 @@ class ConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](parseTemplate("{{a.b}}"))
   }
 
+  test("jmespath access chains compile: index subscripts + quoted identifiers") {
+    assert(compileJmesPath("meta.topic") == Seq(JKey("meta"), JKey("topic")))
+    assert(compileJmesPath("a[0].b") == Seq(JKey("a"), JIndex(0), JKey("b")))
+    assert(compileJmesPath("items[-1].id") ==
+      Seq(JKey("items"), JIndex(-1), JKey("id")))
+    assert(compileJmesPath("[2]") == Seq(JIndex(2)))
+    assert(compileJmesPath("\"a b\".c") == Seq(JKey("a b"), JKey("c")))
+    assert(compileJmesPath("\"x\\\"y\"") == Seq(JKey("x\"y")))
+  }
+
+  test("jmespath beyond the access-chain subset still fails the load") {
+    // the reference's own invalid fixture
+    assertThrows[IllegalArgumentException](compileJmesPath(". 0 meta.topic"))
+    // filters / projections / slices / functions / wildcards
+    for (e <- Seq("a[?b=='x']", "a[*].b", "a[0:2]", "length(a)", "a.*",
+        "a | b", "", "a..b", "a[", "a[]", "a[1", "0abc"))
+      assertThrows[IllegalArgumentException](compileJmesPath(e))
+  }
+
+  test("triple-stache {{{var}}} loads and renders WITHOUT html escape") {
+    val t = parseTemplate("esc={{msg}} raw={{{msg}}}")
+    assert(t.renderString(Map("msg" -> "a<b>&")) == "esc=a&lt;b&gt;&amp; raw=a<b>&")
+    assert(t.varNames == Seq("msg", "msg"))
+    // unknown raw var renders empty; helpers inside {{{ }}} still rejected
+    assert(parseTemplate("{{{nope}}}").renderString(Map.empty) == "")
+    assertThrows[IllegalArgumentException](parseTemplate("{{{a.b}}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{{x}} y"))
+  }
+
+  test("HOTDOG_* env overlay: flat lowercased top-level keys (settings.rs:30-42 config-rs layering)") {
+    val yaml =
+      """global:
+        |  kafka:
+        |    topic: 'test'
+        |  metrics:
+        |    statsd: 'localhost:8125'
+        |rules: []
+        |""".stripMargin
+    val cfg = config.fromYamlString(yaml,
+      env = Map("HOTDOG_THREADS" -> "8", "HOTDOG_REGION" -> "eu", "PATH" -> "/ignored"))
+    // yaml tree reachable via dotted paths
+    assert(cfg.setting("global.kafka.topic").contains("test"))
+    assert(cfg.setting("global.metrics.statsd").contains("localhost:8125"))
+    // env vars land as flat top-level keys, YAML-typed
+    assert(cfg.setting("threads").contains(8))
+    assert(cfg.setting("region").contains("eu"))
+    assert(cfg.setting("global.listen.port").isEmpty)
+    // env does NOT address nested keys (config-rs has no separator configured)
+    val cfg2 = config.fromYamlString(yaml,
+      env = Map("HOTDOG_GLOBAL_KAFKA_TOPIC" -> "other"))
+    assert(cfg2.setting("global.kafka.topic").contains("test"))
+    assert(cfg2.setting("global_kafka_topic").contains("other"))
+  }
+
+  test("kafka producer errcode → metric name (kafka.rs:256-273 ports)") {
+    assert(Stats.kafkaErrorMetricName("MessageTimedOut") == "messagetimedout")
+    assert(Stats.kafkaErrorMetricName("UnknownTopic") == "unknowntopic")
+    assert(Stats.kafkaErrorMetricName("ReadOnly") == "readonly")
+    assert(Stats.kafkaErrorMetric("ReadOnly") == "kafka.producer.error.readonly")
+  }
+
   test("field values validated") {
     assertThrows[IllegalArgumentException] {
       config.fromYamlString(

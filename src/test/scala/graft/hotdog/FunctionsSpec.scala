@@ -16,7 +16,7 @@ class FunctionsSpec extends AnyFunSuite {
         |  syslog_parse(line).severity AS sev,
         |  codepoints_to_string(string_to_codepoints(line)) = line AS rt,
         |  handlebars_escape('a<b') AS esc,
-        |  jmespath_dotted('{"meta":{"topic":"t"}}', 'meta.topic').value AS v,
+        |  jmespath_eval('{"meta":{"topic":"t"}}', 'meta.topic').value AS v,
         |  json_hotdog_merge('{"b":1}', '{"a":2}') AS m,
         |  simhash64(array('x','y')) IS NOT NULL AS sh,
         |  size(minhash_sig(array('x','y'), 8)) AS mh,

@@ -76,7 +76,7 @@ class HotdogJsonSpec extends AnyFunSuite {
     assert(serialize(parseOrNull("""{"k":"césar"}""")) == """{"k":"césar"}""")
   }
 
-  test("JmesPathDotted over a DataFrame") {
+  test("JmesPathEval over a DataFrame") {
     val spark = SparkSpec.spark
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -86,7 +86,7 @@ class HotdogJsonSpec extends AnyFunSuite {
       """{"meta":{}}""",
       """not json""",
       """{"meta":null}""").toDF("j")
-    val jm = exprs.col(JmesPathDotted(
+    val jm = exprs.col(JmesPathEval(
       exprs.expr(col("j")), exprs.expr(lit("meta.topic"))))
     val out = df.select(jm.getField("matched").as("m"), jm.getField("value").as("v")).collect()
     assert(out(0).getBoolean(0) && out(0).getString(1) == "test")

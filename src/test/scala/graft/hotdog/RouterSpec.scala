@@ -221,6 +221,46 @@ class RouterSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"router introduced a shuffle:\n$plan")
   }
 
+  test("jmespath index chain a[0].b routes (extended access-chain subset)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - jmespath: 'routing[0].topic'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: '{{value}}'
+        |""".stripMargin)
+    def msgLine(m: String) = s"<13>1 2020-04-18T15:16:09Z coconut tyler - - - $m"
+    val lines = Seq(
+      msgLine("""{"routing":[{"topic":"alpha"},{"topic":"beta"}]}"""),
+      msgLine("""{"routing":[]}"""),          // index OOB → no match
+      msgLine("""{"routing":{"topic":"x"}}""")) // not an array → no match
+    val rs = route(lines, cfg)
+    assert(rs(0).topic.contains("alpha"))
+    assert(rs(1).topic.isEmpty)
+    assert(rs(2).topic.isEmpty)
+    lines.zip(rs).foreach { case (l, r) =>
+      assert(Oracle.route(l, cfg, FixedIso).topic == r.topic, l)
+    }
+  }
+
+  test("{{{msg}}} raw template emits unescaped (handlebars 3.5.5 triple-stache)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: 'esc:{{msg}} raw:{{{msg}}}'
+        |      - type: forward
+        |        topic: t
+        |""".stripMargin)
+    val line = "<13>1 2020-04-18T15:16:09Z coconut tyler - - - a<b>&c"
+    val Array(r) = route(Seq(line), cfg)
+    assert(r.output.contains("esc:a&lt;b&gt;&amp;c raw:a<b>&c"))
+    assert(Oracle.route(line, cfg, FixedIso).output == r.output)
+  }
+
   test("empty-string capture overrides a colliding builtin (rules.rs:90-96 Some(\"\") semantics)") {
     val cfg = config.fromYamlString(
       """rules:

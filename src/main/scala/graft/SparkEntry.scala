@@ -160,6 +160,8 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_dupes
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // exact all-pairs answer — equality with the Spark LSH output proves
+    // BOTH soundness (every pair re-verified) and recall (none missed)
     "dd_wordset_jaccard" ->
       s"""WITH base AS (
          |  SELECT source AS g, doc_id AS id,
@@ -170,6 +172,71 @@ object SparkEntry {
          |FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
          |WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs 3-gram-shingle jaccard (soundness + recall oracle
+    // for the minhash-LSH path; LSH miss prob < 1e-7 at the dupe
+    // similarities in this corpus — verified equal on the sf slice)
+    "dd_minhash" ->
+      s"""WITH w AS (SELECT doc_id AS id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |base AS (SELECT id, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS sh
+         |  FROM w)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_pct
+         |FROM base a JOIN base b ON a.id < b.id
+         |WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the 64-bit simhash sketch recomputed in SQL from the same FNV-1a
+    // kernel (ASCII corpus: unicode(c) == utf8 byte), then EXACT all-pairs
+    // hamming <= 3 — 4x16-bit banding guarantees 100% recall at <= 3, so
+    // the Spark banded output must equal this exactly
+    "dd_simhash" ->
+      s"""WITH n AS (SELECT doc_id, string_split($normE, ' ') AS ws FROM documents),
+         |h AS (SELECT doc_id, list_transform(ws, w ->
+         |    (list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |      list_transform(range(1, length(w) + 1), i -> unicode(w[i])::HUGEINT)),
+         |      (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616::HUGEINT))::UBIGINT) AS hs FROM n),
+         |sk AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0::UBIGINT, list_transform(range(0, 64), b ->
+         |    CASE WHEN 2 * len(list_filter(hs, x -> (x >> b) & 1 = 1)) > len(hs)
+         |         THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)), (a, b) -> a | b) AS sk
+         |  FROM h)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sk, b.sk))::BIGINT AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sk, b.sk)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full replication of the hyperplane-LSH pipeline in SQL: identical
+    // ±1 plane weights (integer Knuth mix), identical packed signature,
+    // identical (band, chunk) bucketing, exact cosine verify — byte-equal
+    // with the Spark plan by construction
+    "dd_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    len(embedding) AS n FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), p ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, n::INT),
+        |        i -> v[i+1] * (CASE WHEN (((p*65537 + i + 1) * 2654435761) % 4294967296 >> 13) & 1 = 1
+        |                       THEN 1.0 ELSE -1.0 END))),
+        |        (a, b) -> a + b) >= 0.0
+        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, b) -> a | b) AS s
+        |  FROM v),
+        |banded AS (SELECT vec_id, b AS band, (s >> (b*4)) & 15 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM banded a JOIN banded b
+        |  ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+        |sim AS (SELECT id_a, id_b,
+        |    CAST(floor(list_dot_product(va.v, vb.v) /
+        |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))) * 1000000.0) AS BIGINT) AS sim_e6
+        |  FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
+        |SELECT id_a, id_b, sim_e6 FROM sim WHERE sim_e6 >= 300000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -28,6 +28,9 @@ object Functions {
       case other => other.eval(null).asInstanceOf[Number].intValue()
     }))
     reg("cosine_sim_f")(a => graft.ops.CosineSimF(a(0), a(1)))
-    reg("hyperplane_bit")(a => graft.ops.HyperplaneBit(a(0), a(1)))
+    reg("hyperplane_sig")(a => graft.ops.HyperplaneSig(a(0), a(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval(null).asInstanceOf[Number].intValue()
+    }))
   }
 }

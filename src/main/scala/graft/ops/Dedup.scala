@@ -76,29 +76,41 @@ object Dedup {
     * (id_a, id_b, jaccard_pct). numHashes=k, bands×rowsPerBand=k.
     * Scale shape: narrow signature → explode(bands) → shuffle on
     * (band, band_sig) → within-bucket pairs (skew-bounded by bucket
-    * size) → exact-jaccard verify on the candidate set only. */
+    * size) → exact-jaccard verify on the candidate set only.
+    *
+    * `shingleN`=1 dedups on word SETS (the scale-safe replacement for an
+    * all-pairs jaccard self-join). `groupCol` scopes pairs to a group
+    * (e.g. same source) by adding the group to the bucket join key — the
+    * group column is never the ONLY key, so a hot group cannot force an
+    * all-pairs join. Recall tuning: P(candidate) = 1-(1-j^rowsPer)^bands;
+    * more bands / fewer rowsPer raises recall near the threshold (the
+    * wordset query uses 32×2 → miss ≈ (1-0.6²)^32 < 1e-6 at j=0.6). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
+    val gCols = groupCol.toSeq.map(col)
     // shingle sets for verification joins (no signature attached)
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    // banding needs only (id, band, bucket) — signatures never shuffle
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // banding needs only (group?, id, band, bucket) — signatures never shuffle
     val banded = df
-      .select(col(idCol).as("id"),
-        opscol.minhashSig(shingles(col(textCol)), numHashes).as("sig"))
-      .select(col("id"),
+      .select(gCols :+ col(idCol).as("id") :+
+        opscol.minhashSig(shingles(col(textCol), shingleN), numHashes).as("sig"): _*)
+      .select(gCols :+ col("id") :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
             b.cast("string"),
             array_join(transform(sequence(b * rowsPer, (b + 1) * rowsPer - 1),
-              i => element_at(col("sig"), i + 1).cast("string")), "_"))))))
+              i => element_at(col("sig"), i + 1).cast("string")), "_"))))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+    val joinKeys = groupCol.toSeq ++ Seq("band", "bucket")
     // candidate id pairs only — the distinct shuffles 16 bytes/pair, never
     // the shingle arrays; sets are re-joined afterwards (narrow recompute)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("band", "bucket"))
+    val l = banded.select(joinKeys.map(col) :+ col("id").as("id_a"): _*)
+    val r = banded.select(joinKeys.map(col) :+ col("id").as("id_b"): _*)
+    val candidates = l.join(r, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     candidates
@@ -109,12 +121,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_pct")
   }
 
-  /** SimHash near-dups: 64-bit sketch, banded into 4×16-bit chunks (any
-    * pair within hamming distance ≤ maxHamming with ≤3 differing chunks
-    * shares ≥1 chunk → no recall loss for maxHamming ≤ 3 per band theory
-    * caveats). Returns (id_a, id_b, hamming). */
+  /** SimHash near-dups: 64-bit sketch, banded into 4×16-bit chunks.
+    * Pigeonhole: a pair with hamming ≤ 3 differs in at most 3 of the 4
+    * chunks, so it always shares ≥1 chunk — recall is EXACTLY 100% for
+    * maxHamming ≤ 3 (the driver query and its exact all-pairs oracle rely
+    * on this). Larger maxHamming would silently lose recall; pass it only
+    * with banding widened accordingly (k differing bits need ≥ k+1
+    * chunks — but narrower chunks shrink bucket cardinality, 2^bits per
+    * band, which at large scale concentrates candidates; 16-bit chunks =
+    * 65536 buckets/band is the balance chosen here).
+    * Returns (id_a, id_b, hamming). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4x16-bit banding guarantees recall only for hamming <= 3")
     val sk = df.select(col(idCol).as("id"),
       opscol.simhash64(TextAnalysis.words(col(textCol))).as("sh"))
     val banded = sk.select(col("id"), col("sh"),

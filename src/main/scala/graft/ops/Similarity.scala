@@ -36,31 +36,32 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
-  /** `planes`-bit random-hyperplane signature of an embedding. */
-  def lshSignature(vec: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)),
-      p => org.apache.spark.sql.graftshim.column(
-        HyperplaneBit(org.apache.spark.sql.graftshim.expression(vec),
-          org.apache.spark.sql.graftshim.expression(p))))
-
   /** Candidate pairs sharing ≥1 LSH band, re-ranked by exact cosine.
-    * Returns near-dup pairs (id_a, id_b, sim_e6) with cosine ≥ minSimE6. */
+    * Returns near-dup pairs (id_a, id_b, sim_e6) with cosine ≥ minSimE6.
+    *
+    * Shuffle profile: the signature is ONE codegen'd expression per row
+    * ([[HyperplaneSig]], packed long, cached ±1 plane matrix); banding
+    * explodes to `bands` rows of (band int, chunk long, id) — 20 B/row —
+    * and buckets join on (band, chunk). Candidate id-pairs are distinct'd
+    * BEFORE the vectors re-join, so embeddings never ride the pair shuffle.
+    * At larger scale raise `planes`/`bands` to keep per-bucket populations
+    * bounded (chunk cardinality is 2^(planes/bands) per band). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       minSimE6: Long, planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
     val per = planes / bands
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("s", lshSignature(col("v"), planes))
-    val banded = sig.select(col("id"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", b.cast("string"),
-          array_join(transform(sequence(b * per, (b + 1) * per - 1),
-            i => element_at(col("s"), i + 1).cast("string")), "_"))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // id-pairs-only distinct, then re-join the vectors (see Dedup notes)
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val mask = (1L << per) - 1L
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+    val banded = vecs
+      .withColumn("s", opscol.hyperplaneSig(col("v"), planes))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    // id-pairs-only distinct, then re-join the vectors (see Dedup notes)
+    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
+    l.join(r, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -69,26 +70,4 @@ object Similarity {
       .filter(col("sim_e6") >= minSimE6)
       .select("id_a", "id_b", "sim_e6")
   }
-}
-
-/** `HyperplaneBit(vec array<float>, plane int) -> boolean` — sign of the
-  * dot product against a deterministic pseudo-random ±1 hyperplane. */
-case class HyperplaneBit(left: org.apache.spark.sql.catalyst.expressions.Expression,
-    right: org.apache.spark.sql.catalyst.expressions.Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-  override def dataType: org.apache.spark.sql.types.DataType =
-    org.apache.spark.sql.types.BooleanType
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(v: Any, p: Any): Any =
-    OpsKernels.hyperplaneBit(
-      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      p.asInstanceOf[Int])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (v, p) => s"graft.ops.OpsKernels.hyperplaneBit($v, $p)")
-  override protected def withNewChildrenInternal(
-      l: org.apache.spark.sql.catalyst.expressions.Expression,
-      r: org.apache.spark.sql.catalyst.expressions.Expression): HyperplaneBit =
-    copy(left = l, right = r)
-  override def prettyName: String = "hyperplane_bit"
 }

@@ -96,21 +96,41 @@ object OpsKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Dot product of a float array against one deterministic pseudo-random
-    * hyperplane (unit-free): plane weights derived from fnv of (plane, dim).
-    * Used for LSH signatures over embeddings. */
-  def hyperplaneBit(v: ArrayData, plane: Int): Boolean = {
+  /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once
+    * per JVM, shared by every partition. Weight(p,i) = bit 13 of the 32-bit
+    * Knuth multiplicative mix of (p·65537 + i + 1) — pure integer math, so
+    * a SQL oracle can recompute it exactly:
+    * `(((p*65537 + i + 1) * 2654435761) % 4294967296 >> 13) & 1`. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+  def planeMatrix(planes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes.toLong << 32) | dims.toLong, _ =>
+      Array.tabulate(planes, dims) { (p, i) =>
+        val h = ((p.toLong * 65537L + i.toLong + 1L) * 2654435761L) % 4294967296L
+        if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
+      })
+
+  /** Packed `planes`-bit random-hyperplane signature of a float vector:
+    * bit p = (dot(v, plane_p) >= 0). ONE pass per row against the cached
+    * weight matrix — no per-element hashing, no allocation (replaces the
+    * per-(row, dim, plane) string-hash kernel flagged in round 1). */
+  def hyperplaneSig(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      val h = fnv1a64(UTF8String.fromString(plane + ":" + i), 7L)
-      // map hash to {-1, +1}
-      val w = if ((h & 1L) == 1L) 1.0 else -1.0
-      dot += v.getFloat(i).toDouble * w
-      i += 1
+    val m = planeMatrix(planes, n)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val w = m(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += v.getFloat(i) * w(i)
+        i += 1
+      }
+      if (dot >= 0.0) sig |= (1L << p)
+      p += 1
     }
-    dot >= 0.0
+    sig
   }
 }
 
@@ -151,6 +171,20 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "cosine_sim_f"
 }
 
+/** `HyperplaneSig(vec array<float>, planes) -> long` (planes literal ≤ 64):
+  * the whole LSH signature in one codegen'd expression call. */
+case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes > 0 && planes <= 64, s"planes must be in [1,64], got $planes")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.hyperplaneSig(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.hyperplaneSig($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 object opscol {
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
@@ -158,4 +192,6 @@ object opscol {
     graftshim.column(MinHashSig(graftshim.expression(c), k))
   def cosineSimF(a: Column, b: Column): Column =
     graftshim.column(CosineSimF(graftshim.expression(a), graftshim.expression(b)))
+  def hyperplaneSig(c: Column, planes: Int): Column =
+    graftshim.column(HyperplaneSig(graftshim.expression(c), planes))
 }

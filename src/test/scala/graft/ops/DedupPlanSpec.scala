@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** Structural scale guards for the dedup/similarity queries: LSH banding
+  * means every join is keyed by bounded bucket/id columns — an all-pairs
+  * join on an unbounded key (e.g. the round-1 self-join on `source`)
+  * explodes quadratically with group size at 100 TB. */
+class DedupPlanSpec extends AnyFunSuite {
+  lazy val spark = graft.hotdog.SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every join in every dd_* plan references a bounded bucket/id key") {
+    val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b")
+    for ((name, fn) <- graft.SparkEntry.queries if name.startsWith("dd_")) {
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      var joins = 0
+      plan.foreach {
+        case j: Join =>
+          joins += 1
+          val refs = j.condition
+            .map(_.references.toSeq.map(_.name).toSet)
+            .getOrElse(Set.empty[String])
+          assert(refs.intersect(bounded).nonEmpty,
+            s"$name join keys $refs include no bounded bucket/id column")
+        case _ => ()
+      }
+      // the near-dup queries are join-based; make sure we actually checked
+      if (name != "dd_exact") assert(joins > 0, s"$name had no joins to audit")
+    }
+  }
+
+  test("no cartesian/nested-loop join in any dd_* or sim_* physical plan") {
+    for ((name, fn) <- graft.SparkEntry.queries
+         if name.startsWith("dd_")) {
+      val phys = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct"), s"$name:\n$phys")
+      assert(!phys.contains("BroadcastNestedLoopJoin"), s"$name:\n$phys")
+    }
+  }
+}

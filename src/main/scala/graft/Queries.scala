@@ -55,7 +55,8 @@ object Queries {
       .withColumn("tokens", exprs.stringToCodepoints(col("line")))
       .withColumn("n_tok", size(col("tokens")))
       .withColumn("source", concat(lit("src-"), (col("user_id") % 25).cast("string")))
-      .select("doc_id", "tokens", "n_tok", "source", "event_id", "user_id", "event_type")
+      .select("doc_id", "tokens", "n_tok", "source", "event_id", "user_id",
+        "event_type", "ts")
   }
 
   private def routedEvents(spark: SparkSession, dir: String): DataFrame = {
@@ -221,6 +222,36 @@ object Queries {
     Similarity.embeddingNearDups(table(spark, dir, "embeddings"),
       "vec_id", "embedding", minSimE6 = 300000L)
       .orderBy("id_a", "id_b")
+
+  /** The STREAMING path through the driver contract: sequences stream →
+    * router → watermarked tumbling-window per-topic counts, run to
+    * completion with Trigger.AvailableNow in append mode. Append emits a
+    * window only once the watermark (max event_time − 10 min) passes its
+    * end, so the trailing window is deliberately withheld — the DuckDB
+    * oracle applies the same cutoff, giving the watermark logic a hard
+    * cross-engine correctness signal. */
+  def hdWindow(spark: SparkSession, dir: String): DataFrame = {
+    val in = s"/tmp/graft-hdwindow-${math.abs(dir.hashCode)}/in"
+    // watermarks require TIMESTAMP (with local tz); parquet ts arrives as
+    // TIMESTAMP_NTZ — the session runs in UTC so the cast is value-exact
+    val seqs = eventSequences(spark, dir)
+      .withColumn("event_time", col("ts").cast("timestamp"))
+      .select("doc_id", "tokens", "n_tok", "source", "event_time")
+    seqs.write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+    val counts = graft.hotdog.Streaming.windowedTopicCounts(
+      stream, Configs.flagship, windowLen = "1 hour", lateness = "10 minutes")
+    val sink = s"hd_window_sink_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("topic"), col("n"))
+      .orderBy("window_start", "topic")
+  }
 
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityCounters(table(spark, dir, "documents"), col("text"))

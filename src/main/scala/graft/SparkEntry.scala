@@ -27,6 +27,7 @@ object SparkEntry {
     "hd_stats" -> (Queries.hdStats _),
     "hd_enrich" -> (Queries.hdEnrich _),
     "hd_testmode" -> (Queries.hdTestmode _),
+    "hd_window" -> (Queries.hdWindow _),
     // generic relational operators
     "q_agg" -> (Queries.qAgg _),
     "q_window" -> (Queries.qWindow _),
@@ -120,6 +121,18 @@ object SparkEntry {
         |    THEN 'Regex: ^hello\s+(?P<name>\w+)?|Regex: .*'
         |    ELSE 'Regex: .*' END AS matches
         |FROM documents ORDER BY line_no""".stripMargin,
+
+    // append-mode watermark cutoff: a window emits only once the watermark
+    // (max event_time − 10 min) passes its END — the trailing window is
+    // withheld by the streaming job AND excluded here, symmetrically
+    "hd_window" ->
+      s"""WITH t AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS ws, $topicE AS topic FROM events),
+         |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, topic,
+         |  count(*)::BIGINT AS n
+         |FROM t, wm
+         |WHERE topic IS NOT NULL AND ws + INTERVAL 1 HOUR <= w
+         |GROUP BY ws, topic ORDER BY 1, 2""".stripMargin,
 
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,

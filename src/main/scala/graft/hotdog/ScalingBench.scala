@@ -53,38 +53,64 @@ object ScalingBench {
       s.stop()
     }
 
-    final case class RunResult(cores: Int, wallSec: Double, inputRows: Long,
-        routedRows: Long, trialsSec: Seq[Double]) {
+    final case class RunResult(cores: Int, wallSec: Double, medianSec: Double,
+        inputRows: Long, routedRows: Long, trialsSec: Seq[Double],
+        warmupsSec: Seq[Double], spreadPct: Double) {
       def routedPerSec: Double = routedRows / wallSec
       def inputPerSec: Double = inputRows / wallSec
     }
 
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val minTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+    val maxTrials = math.max(minTrials, 8)
 
     def run(cores: Int): RunResult = {
       val s = session(cores)
       val outDir = s"/tmp/graft-bench-out-$cores"
-      def job(in: String, out: String): Unit = {
+      def job(in: String, out: String): Double = {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val t0 = System.nanoTime()
         Pipeline.writeFanOut(Router.route(s.read.parquet(in), cfg), out,
           batchId = 0L, saltBuckets = cores)
-      }
-      job(warmDir, s"$outDir-warm") // same plan shape → codegen cache + JIT hot
-      val walls = (1 to trials).map { _ =>
-        val t0 = System.nanoTime()
-        job(corpusDir, outDir)
         (System.nanoTime() - t0) / 1e9
+      }
+      // adaptive warmup on the identical-plan-shape warm corpus: repeat
+      // until two consecutive warm runs agree within 15% (codegen cached,
+      // C2-JIT steady) so the FIRST timed trial is already representative
+      val warmups = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var steady = false
+      while (!steady && warmups.length < 6) {
+        val t = job(warmDir, s"$outDir-warm")
+        if (warmups.nonEmpty) {
+          val prev = warmups.last
+          steady = math.abs(t - prev) / math.min(t, prev) < 0.15
+        }
+        warmups += t
+      }
+      // timed trials, extended until the trial spread (max/min - 1) of the
+      // best `minTrials` window is under 15% or the cap is hit
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def spread(ts: collection.Seq[Double]): Double = ts.max / ts.min - 1.0
+      while (walls.length < minTrials ||
+          (walls.length < maxTrials &&
+            spread(walls.sorted.take(minTrials)) >= 0.15)) {
+        walls += job(corpusDir, outDir)
       }
       val routedRows = s.read.parquet(outDir).count()
       s.stop()
+      val sorted = walls.sorted
+      val median = sorted(sorted.length / 2)
       // min of trials = the machine's actual capability (shared-box noise
-      // and stray JIT recompiles only ever ADD time)
-      RunResult(cores, walls.min, rows, routedRows, walls)
+      // and stray JIT recompiles only ever ADD time); median reported
+      // alongside so the reader can judge stability
+      RunResult(cores, walls.min, median, rows, routedRows, walls.toSeq,
+        warmups.toSeq, spread(sorted.take(minTrials)) * 100.0)
     }
 
     val r8 = run(8)
     val r32 = run(32)
     val eff = r32.routedPerSec / (4.0 * r8.routedPerSec)
+    // medians are robust to the slow tail on a shared box; report both
+    val effMedian = r8.medianSec / (4.0 * r32.medianSec)
 
     // ---- verification pass (not timed): equality + count parity ----
     // single aggregation over the recomputed routed frame (no cache: the
@@ -114,18 +140,24 @@ object ScalingBench {
          |fan-out parquet sink partitioned by topic. Same job, same input,
          |two parallelism levels ("cluster sizes" N=8, 4N=32 cores).
          |
-         || run | master | shuffle.partitions | wall (s) | input rows/s | routed rows/s |
-         ||---|---|---|---|---|---|
-         || N  | local[8]  | 8  | ${r8.wallSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f |
-         || 4N | local[32] | 32 | ${r32.wallSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f |
+         || run | master | shuffle.partitions | wall min (s) | wall median (s) | input rows/s | routed rows/s | best-3 spread |
+         ||---|---|---|---|---|---|---|---|
+         || N  | local[8]  | 8  | ${r8.wallSec}%.1f | ${r8.medianSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f | ${r8.spreadPct}%.1f%% |
+         || 4N | local[32] | 32 | ${r32.wallSec}%.1f | ${r32.medianSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f | ${r32.spreadPct}%.1f%% |
          |
-         |Per-level protocol: one untimed warmup with the identical plan
-         |shape (JIT/codegen warm), then best of ${r8.trialsSec.length}%d timed trials
-         |(all trials, s — local[8]: ${r8.trialsSec.map(w => f"$w%.1f").mkString(", ")};
-         |local[32]: ${r32.trialsSec.map(w => f"$w%.1f").mkString(", ")}).
+         |Per-level protocol: UNTIMED warmups with the identical plan shape
+         |repeated until two consecutive agree within 15%% (codegen cache +
+         |C2-JIT steady state), then timed trials extended until the best-3
+         |spread is <15%% (cap 8). Min reported as capability, median for
+         |stability.
+         |warmups (s) — local[8]: ${r8.warmupsSec.map(w => f"$w%.1f").mkString(", ")};
+         |local[32]: ${r32.warmupsSec.map(w => f"$w%.1f").mkString(", ")}.
+         |timed trials (s) — local[8]: ${r8.trialsSec.map(w => f"$w%.1f").mkString(", ")};
+         |local[32]: ${r32.trialsSec.map(w => f"$w%.1f").mkString(", ")}.
          |
          |**Scaling efficiency** = (routed/s @32) / (4 × routed/s @8) =
-         |**$eff%.3f** (target ≥ 0.8).
+         |**$eff%.3f** from min-of-trials, **$effMedian%.3f** from medians
+         |(target ≥ 0.8).
          |
          |Input: ${rows}%d deterministically synthesized sequences
          |(seed 42, ~50%% hot-source skew), materialized to parquet once and
@@ -140,6 +172,7 @@ object ScalingBench {
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)
     println(md)
-    println(s"""{"metric":"routed_rows_per_sec_local32","value":${r32.routedPerSec},"unit":"rows/sec","local8":${r8.routedPerSec},"scaling_efficiency":$eff,"rows":$rows,"token_equality_failures":$nBad,"count_parity":$parity}""")
+    def arr(ts: Seq[Double]) = ts.map(t => f"$t%.2f").mkString("[", ",", "]")
+    println(s"""{"metric":"routed_rows_per_sec_local32","value":${r32.routedPerSec},"unit":"rows/sec","local8":${r8.routedPerSec},"scaling_efficiency":$eff,"rows":$rows,"token_equality_failures":$nBad,"count_parity":$parity,"trials8":${arr(r8.trialsSec)},"trials32":${arr(r32.trialsSec)},"warmups8":${arr(r8.warmupsSec)},"warmups32":${arr(r32.warmupsSec)},"median8":${r8.medianSec},"median32":${r32.medianSec},"spread8_pct":${r8.spreadPct},"spread32_pct":${r32.spreadPct},"scaling_efficiency_median":$effMedian}""")
   }
 }

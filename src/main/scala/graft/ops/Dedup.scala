@@ -89,20 +89,18 @@ object Dedup {
       minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPer = numHashes / bands
     val gCols = groupCol.toSeq.map(col)
     // shingle sets for verification joins (no signature attached)
     val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    // banding needs only (group?, id, band, bucket) — signatures never shuffle
+    // banding needs only (group?, id, band, bucket) — signatures never
+    // shuffle; bucket hashes are integer-native (MinHashBands, no string
+    // round-trip per band)
     val banded = df
       .select(gCols :+ col(idCol).as("id") :+
-        opscol.minhashSig(shingles(col(textCol), shingleN), numHashes).as("sig"): _*)
-      .select(gCols :+ col("id") :+
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws("_",
-            b.cast("string"),
-            array_join(transform(sequence(b * rowsPer, (b + 1) * rowsPer - 1),
-              i => element_at(col("sig"), i + 1).cast("string")), "_"))))): _*)
+        opscol.minhashBands(
+          opscol.minhashSig(shingles(col(textCol), shingleN), numHashes),
+          bands).as("bb"): _*)
+      .select(gCols :+ col("id") :+ posexplode(col("bb")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val joinKeys = groupCol.toSeq ++ Seq("band", "bucket")

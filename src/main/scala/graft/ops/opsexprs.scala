@@ -78,6 +78,34 @@ object OpsKernels {
     new GenericArrayData(sig)
   }
 
+  /** Per-band bucket hashes straight from the minhash signature longs —
+    * no string round-trip (replaces concat_ws + xxhash64-over-strings:
+    * ~70 allocations/row gone). bucket_b = FNV-style mix of
+    * (b, sig[b·r .. (b+1)·r)). Equal band slices ⇒ equal bucket, so LSH
+    * recall is preserved; hash collisions only ever ADD candidates, which
+    * the exact verification then filters. */
+  def minhashBands(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var i = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ (b.toLong * 0x9e3779b97f4a7c15L)
+      var j = 0
+      while (j < r) {
+        h ^= sig.getLong(i)
+        h *= 0x100000001b3L
+        h ^= (h >>> 33)
+        i += 1
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Cosine similarity between two float arrays, accumulated in double. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -171,6 +199,19 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "cosine_sim_f"
 }
 
+/** `MinHashBands(sig array<long>, bands) -> array<long>` (bands literal):
+  * the LSH band-bucket hashes, computed integer-native in one pass. */
+case class MinHashBands(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.minhashBands(input.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.minhashBands($c, $bands)")
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+  override def prettyName: String = "minhash_bands"
+}
+
 /** `HyperplaneSig(vec array<float>, planes) -> long` (planes literal ≤ 64):
   * the whole LSH signature in one codegen'd expression call. */
 case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression {
@@ -194,4 +235,6 @@ object opscol {
     graftshim.column(CosineSimF(graftshim.expression(a), graftshim.expression(b)))
   def hyperplaneSig(c: Column, planes: Int): Column =
     graftshim.column(HyperplaneSig(graftshim.expression(c), planes))
+  def minhashBands(c: Column, bands: Int): Column =
+    graftshim.column(MinHashBands(graftshim.expression(c), bands))
 }

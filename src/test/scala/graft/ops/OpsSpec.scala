@@ -33,6 +33,44 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 3L, 4L, 5L, 6L))
   }
 
+  test("hyperplaneSig: packed-long signature matches a per-plane recomputation") {
+    val v = Array(0.3f, -1.2f, 0.05f, 2.4f, -0.7f)
+    val arr = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(v)
+    val sig = OpsKernels.hyperplaneSig(arr, 16)
+    val m = OpsKernels.planeMatrix(16, v.length)
+    (0 until 16).foreach { p =>
+      var dot = 0.0
+      v.indices.foreach(i => dot += v(i) * m(p)(i))
+      assert(((sig >> p) & 1L) == (if (dot >= 0.0) 1L else 0L), s"plane $p")
+    }
+    // weight derivation pinned to the oracle formula
+    (0 until 16).foreach { p =>
+      v.indices.foreach { i =>
+        val h = ((p.toLong * 65537L + i + 1L) * 2654435761L) % 4294967296L
+        val want = if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
+        assert(m(p)(i) == want)
+      }
+    }
+  }
+
+  test("minhashBands: equal band slices bucket together, different ones apart") {
+    def sigOf(longs: Seq[Long]) =
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(longs.toArray)
+    val a = (1L to 8L)
+    val b = Seq(1L, 2L, 99L, 4L, 5L, 6L, 7L, 8L) // band 0 (r=4) differs, band 1 same
+    val ba = OpsKernels.minhashBands(sigOf(a), 2).toLongArray()
+    val bb = OpsKernels.minhashBands(sigOf(b), 2).toLongArray()
+    assert(ba.length == 2)
+    assert(ba(0) != bb(0))
+    assert(ba(1) == bb(1))
+    // band index participates in the bucket (same slice, different band)
+    val c = sigOf(Seq(1L, 2L, 3L, 4L, 1L, 2L, 3L, 4L))
+    val bc = OpsKernels.minhashBands(c, 2).toLongArray()
+    assert(bc(0) != bc(1))
+  }
+
   test("minhash LSH finds the near-dup pair and verifies jaccard") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", minJaccardPct = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -13,7 +13,14 @@ object Bench {
     // two timed executions per query, min reported: the first run of a
     // fresh generated class executes tiered (C1) while C2 compiles, which
     // can dominate small-SF timings 3-10x on this box (see BENCH/BASELINE.md)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=dd_minhash,dd_wordset_jaccard → subset run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

@@ -19,14 +19,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
-  /** word n-gram shingle set of the normalized text */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = TextAnalysis.words(text)
-    array_distinct(
-      when(size(w) < n, array(array_join(w, " ")))
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " "))))
-  }
+  /** word n-gram shingle set of the normalized text — one codegen'd pass
+    * (see [[OpsKernels.wordShingles]]; the equivalent transform/slice
+    * Column chain is interpreted and O(words²)·regexp per doc). */
+  def shingles(text: Column, n: Int = 3): Column = opscol.wordShingles(text, n)
 
   /** Exact dedup: group identical normalized texts, keep the smallest id.
     * Returns (text_hash, keep_id, n_dupes). */

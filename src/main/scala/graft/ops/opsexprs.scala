@@ -106,6 +106,67 @@ object OpsKernels {
     new GenericArrayData(out)
   }
 
+  /** Normalize → word-split → n-gram shingle → distinct, in ONE pass of
+    * JVM code. Byte-equal to the Column composition it replaces (and to
+    * the DuckDB oracles):
+    *   norm  = regexp_replace(trim(lower(text)), "\\s+", " ")   [trim = ' ' only]
+    *   words = split(norm, " ", -1)
+    *   out   = distinct(words.length < n ? [words.mkString(" ")]
+    *                    : sliding n-grams joined by ' ')
+    * The Column version's transform(slice(words…)) re-evaluates the whole
+    * normalize+split per shingle in interpreted mode (higher-order
+    * functions fall out of codegen) — O(words²)·regexp per doc. This
+    * kernel is O(chars). */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    // lower via UTF8String (Spark Lower semantics), trim ' ' only, collapse \s+
+    val s = text.toLowerCase.trim.toString
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // split normalized text into words (collapsed whitespace ⇒ delimiters
+    // are whitespace runs); a leading run yields the "" word that
+    // split(" ", -1) would produce after \s+→' ' collapsing
+    val words = new java.util.ArrayList[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) {
+        words.add(sb.toString); sb.setLength(0)
+        while (i + 1 < s.length && isWs(s.charAt(i + 1))) i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    words.add(sb.toString) // final word ("" for empty input, like split)
+    val w = words.size()
+    val out = new java.util.LinkedHashSet[String]()
+    if (w < n) {
+      val j = new java.lang.StringBuilder
+      var k = 0
+      while (k < w) {
+        if (k > 0) j.append(' ')
+        j.append(words.get(k)); k += 1
+      }
+      out.add(j.toString)
+    } else {
+      var st = 0
+      while (st + n <= w) {
+        val j = new java.lang.StringBuilder
+        var k = 0
+        while (k < n) {
+          if (k > 0) j.append(' ')
+          j.append(words.get(st + k)); k += 1
+        }
+        out.add(j.toString)
+        st += 1
+      }
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Cosine similarity between two float arrays, accumulated in double. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -199,6 +260,20 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "cosine_sim_f"
 }
 
+/** `WordShingles(text, n) -> array<string>` (n literal): normalized
+  * distinct word n-gram shingles in one codegen'd pass. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
 /** `MinHashBands(sig array<long>, bands) -> array<long>` (bands literal):
   * the LSH band-bucket hashes, computed integer-native in one pass. */
 case class MinHashBands(child: Expression, bands: Int) extends UnaryExpression {
@@ -237,4 +312,6 @@ object opscol {
     graftshim.column(HyperplaneSig(graftshim.expression(c), planes))
   def minhashBands(c: Column, bands: Int): Column =
     graftshim.column(MinHashBands(graftshim.expression(c), bands))
+  def wordShingles(c: Column, n: Int): Column =
+    graftshim.column(WordShingles(graftshim.expression(c), n))
 }

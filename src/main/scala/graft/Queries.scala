@@ -103,12 +103,20 @@ object Queries {
   def hdEnrich(spark: SparkSession, dir: String): DataFrame = {
     val nation = table(spark, dir, "nation")
       .select(col("n_nationkey"), col("n_name"))
-    routedEvents(spark, dir)
-      .withColumn("event_id", col("doc_id").cast("long"))
-      .withColumn("nkey", col("event_id") % 25)
-      .join(broadcast(nation), col("nkey") === col("n_nationkey"), "left")
-      .filter(col("topic").isNotNull)
-      .groupBy("topic", "n_name").agg(count(lit(1)).as("n"))
+    // Aggregate BEFORE the broadcast join: n_nationkey is unique, so
+    // grouping by the join key first is result-identical, keeps the heavy
+    // router projection out of the join's codegen stage (fusing the
+    // cascade + join + agg in one whole-stage method trips the JVM 64KB
+    // fallback to interpreted eval), and is the plan you want at scale —
+    // the join probes #topics×25 rows instead of every routed row.
+    // emittedOnly = NoPushdown barrier (a plain isNotNull filter would be
+    // pushed beneath the router with the whole cascade substituted in).
+    // Row-level broadcast enrich (A9) lives in Pipeline.run / PlanSpec.
+    graft.hotdog.Pipeline.emittedOnly(routedEvents(spark, dir))
+      .withColumn("nkey", col("doc_id").cast("long") % 25)
+      .groupBy("topic", "nkey").agg(count(lit(1)).as("n"))
+      .join(broadcast(nation), col("nkey") === col("n_nationkey"))
+      .groupBy("topic", "n_name").agg(sum(col("n")).as("n"))
       .orderBy("topic", "n_name")
   }
 
@@ -215,6 +223,16 @@ object Queries {
     val emb = table(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
     Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN top-k (the scale path; sim_topk is the exact
+    * baseline). The DuckDB oracle replicates the identical bucketing +
+    * re-rank, so the comparison is exact by construction. */
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
       .orderBy("query_id", "rank")
   }
 

@@ -42,6 +42,7 @@ object SparkEntry {
     "dd_simhash" -> (Queries.ddSimhash _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "sim_topk" -> (Queries.simTopk _),
+    "sim_topk_lsh" -> (Queries.simTopkLsh _),
     "mm_features" -> (Queries.mmFeatures _),
     "txt_quality" -> (Queries.txtQuality _),
     "txt_langid" -> (Queries.txtLangid _),
@@ -260,6 +261,36 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank::INT AS rank, CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical hyperplane bucketing + exact cosine re-rank, replicated in
+    // SQL — equality with the Spark LSH plan is by construction
+    "sim_topk_lsh" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    len(embedding) AS n FROM embeddings),
+        |sig AS (SELECT vec_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), p ->
+        |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, n::INT),
+        |        i -> v[i+1] * (CASE WHEN (((p*65537 + i + 1) * 2654435761) % 4294967296 >> 13) & 1 = 1
+        |                       THEN 1.0 ELSE -1.0 END))),
+        |        (a, b) -> a + b) >= 0.0
+        |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, b) -> a | b) AS s
+        |  FROM v),
+        |banded AS (SELECT vec_id, b AS band, (s >> (b*4)) & 15 AS chunk
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM banded q JOIN banded c
+        |  ON q.band = c.band AND q.chunk = c.chunk AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv.v, cv.v) /
+        |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |            JOIN v cv ON cv.vec_id = cand.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
+        |SELECT query_id, neighbor_id, rank::INT AS rank,
+        |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_e6
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "txt_quality" ->

@@ -278,6 +278,14 @@ object Router {
     val passthrough = df.columns
       .filterNot(c => c == "line" || c == "p" || c.startsWith("_hd_"))
       .map(col).toSeq
+    // The expensive computed columns are wrapped in the NoPushdown barrier
+    // AT THE PROJECTION: Spark's filter-pushdown-through-Project only
+    // requires the PROJECT FIELDS to be deterministic (the predicate's own
+    // determinism is irrelevant for Project substitution), so a consumer's
+    // `filter($"topic".isNotNull)` would otherwise be rewritten with the
+    // entire cascade tree substituted in and re-evaluated per row beneath
+    // the router. One nondeterministic-marked field pins every such filter
+    // above this projection, where topic/output are plain attributes.
     stagedFinal.select(passthrough ++ Seq(
       col("line"),
       parseOk.as("parse_ok"),
@@ -286,10 +294,10 @@ object Router {
       p.getField("facility").as("facility"),
       p.getField("hostname").as("hostname"),
       p.getField("appname").as("appname"),
-      topicCol.as("topic"),
-      outputCol.as("output"),
-      mergeInvalidCol.as("err_merge_invalid_json"),
-      mergeTargetCol.as("err_merge_target_not_json")): _*)
+      exprs.noPushdown(topicCol).as("topic"),
+      exprs.noPushdown(outputCol).as("output"),
+      exprs.noPushdown(mergeInvalidCol).as("err_merge_invalid_json"),
+      exprs.noPushdown(mergeTargetCol).as("err_merge_target_not_json")): _*)
   }
 
   /** E2 test-mode (reference src/rules.rs:11-52): per line, which rules'

@@ -197,8 +197,15 @@ case class RegexCaptures(left: Expression, right: Expression,
   * would re-inline the ENTIRE cascade (parse, jmespath, merges, renders)
   * into a Filter beneath the router, duplicating the per-row work and
   * blowing the whole-stage-codegen method past the JVM 64KB limit once a
-  * join/sink fuses into the stage. Wrapping the predicate in this barrier
-  * keeps it above the projection. Evaluation is the child's, unchanged. */
+  * join/sink fuses into the stage.
+  *
+  * PLACEMENT MATTERS: pushdown through a Project only requires the
+  * PROJECT's fields to be deterministic (`fields.forall(_.deterministic)`
+  * in PushPredicateThroughNonJoin) — the predicate's own determinism is
+  * not consulted for Project substitution. So the barrier must wrap the
+  * expensive PROJECTED COLUMNS (Router does), not the filter predicate;
+  * wrapping only the predicate still lets the whole tree be substituted
+  * beneath. Evaluation is the child's, unchanged. */
 case class NoPushdown(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable

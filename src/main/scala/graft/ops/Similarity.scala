@@ -36,6 +36,41 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** Approximate nearest-neighbor top-k — the scale path when the query
+    * set is too large to broadcast-score against everything: queries and
+    * corpus are bucketed by the SAME hyperplane-LSH banding, candidates
+    * are the corpus vectors sharing ≥1 (band, chunk) bucket with the
+    * query, and the exact cosine re-ranks within candidates. A query may
+    * return fewer than k rows when its buckets are sparse (raise planes/
+    * bands or multi-probe for higher recall). Shuffles only (band, chunk,
+    * id) triples + the candidate pairs; vectors re-join narrowly. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val per = planes / bands
+    val mask = (1L << per) - 1L
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col(idCol).as(idAs),
+        opscol.hyperplaneSig(col(vecCol), planes).as("s"))
+        .select(col(idAs), posexplode(array((0 until bands).map(b =>
+          shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cand = banded(queries, "query_id")
+      .join(banded(corpus, "neighbor_id"), Seq("band", "chunk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
   /** Candidate pairs sharing ≥1 LSH band, re-ranked by exact cosine.
     * Returns near-dup pairs (id_a, id_b, sim_e6) with cosine ≥ minSimE6.
     *

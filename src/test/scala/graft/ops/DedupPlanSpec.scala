@@ -12,8 +12,10 @@ class DedupPlanSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("every join in every dd_* plan references a bounded bucket/id key") {
-    val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b")
-    for ((name, fn) <- graft.SparkEntry.queries if name.startsWith("dd_")) {
+    val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
+      "query_id", "neighbor_id")
+    for ((name, fn) <- graft.SparkEntry.queries
+         if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan
       var joins = 0
       plan.foreach {

@@ -33,6 +33,42 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 3L, 4L, 5L, 6L))
   }
 
+  test("wordShingles kernel == the Column normalize/split/shingle semantics") {
+    val cases = Seq(
+      "the quick  brown\tfox", // tab + double space collapse
+      "  leading and trailing  ",
+      "\tleading tab survives space-trim", // trim is ' '-only: "" word
+      "one",
+      "two words",
+      "",
+      "UPPER Case MiXeD",
+      "a b a b a b") // duplicate shingles → distinct
+    for (n <- Seq(1, 3); t <- cases) {
+      val viaKernel = Seq(t).toDF("text")
+        .select(Dedup.shingles($"text", n).as("sh"))
+        .collect()(0).getSeq[String](0)
+      val w = org.apache.spark.sql.functions.split(
+        regexp_replace(trim(lower($"text")), "\\s+", " "), " ")
+      val viaColumns = Seq(t).toDF("text")
+        .select(array_distinct(
+          when(size(w) < n, array(array_join(w, " ")))
+            .otherwise(transform(sequence(lit(0), size(w) - n),
+              i => array_join(slice(w, i + 1, lit(n)), " ")))).as("sh"))
+        .collect()(0).getSeq[String](0)
+      assert(viaKernel == viaColumns, s"n=$n text='$t'")
+    }
+  }
+
+  test("jaccardPairsWithin (bounded-group verification primitive) == LSH variant on a small group") {
+    val exact = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "source", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 50,
+      numHashes = 64, bands = 32, shingleN = 3, groupCol = Some("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact == lsh)
+    assert(exact.contains((0L, 1L, 100L)))
+  }
+
   test("hyperplaneSig: packed-long signature matches a per-plane recomputation") {
     val v = Array(0.3f, -1.2f, 0.05f, 2.4f, -0.7f)
     val arr = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -301,6 +301,61 @@ class RouterSpec extends AnyFunSuite {
     assert(Oracle.route(line, cfg, FixedIso).output == r.output)
   }
 
+  test("differential across round-2 feature configs (index/quoted jmespath, raw templates, empty captures)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - jmespath: 'routing[0].topic'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: 'raw:{{{msg}}} esc:{{msg}} v:{{value}}'
+        |      - type: forward
+        |        topic: 'idx-{{value}}'
+        |  - jmespath: '"meta info".topic'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: '{{value}}'
+        |  - regex: '(?P<msg>q*)z'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: '[{{msg}}]{{{msg}}}'
+        |      - type: forward
+        |        topic: cap
+        |""".stripMargin)
+    val msgs = Seq(
+      """{"routing":[{"topic":"t1"},{"topic":"t2"}]}""",
+      """{"routing":[]}""",
+      """{"routing":"x"}""",
+      """{"routing":[{"topic":5}]}""", // non-string → matched, value=null
+      """{"routing":[{"topic":""}]}""",
+      """{"meta info":{"topic":"m1"}}""",
+      """[[1,2],{"a":1}]""",
+      "z", "qz", "qqqz", "no match at all", "", "a<b>&\"c z")
+    val lines = for {
+      (m, i) <- msgs.zipWithIndex
+      kind <- 0 to 2
+    } yield kind match {
+      case 0 => s"<13>1 2020-04-18T15:16:09Z coconut app - - - $m"
+      case 1 => s"<190>May 13 21:45:18 h$i hotdog: $m"
+      case 2 => s"garbage $m"
+    }
+    val got = route(lines, cfg)
+    lines.zip(got).foreach { case (line, r) =>
+      val o = Oracle.route(line, cfg, FixedIso)
+      assert(r.parseOk == o.parseOk, line)
+      assert(r.topic == o.topic, s"topic mismatch for: $line")
+      assert(r.output == o.output, s"output mismatch for: $line")
+    }
+    // each rule actually fired somewhere
+    val topics = got.flatMap(_.topic).toSet
+    assert(topics.contains("idx-t1"))
+    assert(topics.contains("m1"))
+    assert(topics.contains("cap"))
+    assert(topics.contains("idx-")) // non-string / empty value renders ""
+  }
+
   test("matcher-less rule is a loadable no-op (reference settings.rs defaults both matchers to None)") {
     val cfg = config.fromYamlString(
       """rules:

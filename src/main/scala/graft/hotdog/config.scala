@@ -238,6 +238,12 @@ object config {
 
   final case class HotdogConfig(rules: Seq[HRule],
       settings: Map[String, Any] = Map.empty) {
+    /** Internal Kafka buffer size with the reference default 1024
+      * (settings.rs:198-200, test settings.rs:243-246). Drives nothing in
+      * the table-sink rebuild (no lossy queue) but keeps config parity. */
+    def kafkaBufferSize: Int =
+      setting("global.kafka.buffer").map(_.toString.toInt).getOrElse(1024)
+
     /** Dotted lookup into the loaded settings tree, mirroring the
       * reference's `conf.get("global.listen.port")` (settings.rs:43-46).
       * Env-overlaid keys are flat top-level entries (see [[fromYamlString]]). */

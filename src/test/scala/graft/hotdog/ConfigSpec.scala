@@ -121,6 +121,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(Stats.kafkaErrorMetric("ReadOnly") == "kafka.producer.error.readonly")
   }
 
+  test("kafka buffer default is 1024 (settings.rs:243-246 port)") {
+    assert(config.fromYamlString("rules: []\n", Map.empty).kafkaBufferSize == 1024)
+    val withBuffer = config.fromYamlString(
+      "global:\n  kafka:\n    buffer: 2048\nrules: []\n", Map.empty)
+    assert(withBuffer.kafkaBufferSize == 2048)
+    // the reference's own hotdog.yml sets 1024 explicitly
+    assert(Configs.flagship.kafkaBufferSize == 1024)
+  }
+
+  test("every rule has a unique uuid (settings.rs:248-252 port; ours deterministic)") {
+    val ids = Configs.flagship.rules.map(_.uuid)
+    assert(ids.distinct.size == ids.size)
+    assert(ids.forall(_.nonEmpty))
+  }
+
   test("field values validated") {
     assertThrows[IllegalArgumentException] {
       config.fromYamlString(

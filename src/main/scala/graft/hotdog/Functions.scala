@@ -28,9 +28,15 @@ object Functions {
       case other => other.eval(null).asInstanceOf[Number].intValue()
     }))
     reg("cosine_sim_f")(a => graft.ops.CosineSimF(a(0), a(1)))
-    reg("hyperplane_sig")(a => graft.ops.HyperplaneSig(a(0), a(1) match {
+    def intLit(e: Expression): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => other.eval(null).asInstanceOf[Number].intValue()
-    }))
+    }
+    reg("hyperplane_sig")(a => graft.ops.HyperplaneSig(a(0), intLit(a(1))))
+    reg("minhash_bands")(a => graft.ops.MinHashBands(a(0), intLit(a(1))))
+    reg("word_shingles")(a => graft.ops.WordShingles(a(0), intLit(a(1))))
+    // regex_captures(str, pattern, groupIdx...) — groups default to (1)
+    reg("regex_captures")(a => RegexCaptures(a(0), a(1),
+      if (a.length > 2) a.drop(2).map(intLit) else Seq(1)))
   }
 }

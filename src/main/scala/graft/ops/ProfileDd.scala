@@ -41,6 +41,28 @@ object ProfileDd {
     val ws = Dedup.minhashNearDups(docs, "doc_id", "text", 60,
       numHashes = 64, bands = 32, shingleN = 1, groupCol = Some("source"))
     time("dd_wordset full")(ws.count())
+    // stage splits of the wordset variant
+    val banded = docs
+      .select(col("source"), col("doc_id").as("id"),
+        opscol.minhashBands(
+          opscol.minhashSig(Dedup.shingles(col("text"), 1), 64), 32).as("bb"))
+      .select(col("source"), col("id"), posexplode(col("bb")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    time("ws banded rows")(banded.count())
+    val l = banded.select(col("source"), col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("source"), col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("source", "band", "bucket"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    time("ws band-join rows")(cand.count())
+    val candD = cand.distinct()
+    time("ws candidates distinct")(candD.count())
+    val sig = docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 1).as("sh"))
+    val verified = candD
+      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("j", Dedup.jaccardPct(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 60)
+    time("ws verify join+jaccard")(verified.count())
     mh.explain("formatted")
     spark.stop()
   }

@@ -20,7 +20,11 @@ class FunctionsSpec extends AnyFunSuite {
         |  json_hotdog_merge('{"b":1}', '{"a":2}') AS m,
         |  simhash64(array('x','y')) IS NOT NULL AS sh,
         |  size(minhash_sig(array('x','y'), 8)) AS mh,
-        |  cosine_sim_f(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs
+        |  cosine_sim_f(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cs,
+        |  hyperplane_sig(array(1.0F, -1.0F), 16) IS NOT NULL AS hs,
+        |  size(minhash_bands(minhash_sig(array('x','y'), 8), 4)) AS mb,
+        |  word_shingles('The quick  fox', 2) AS wsh,
+        |  regex_captures('ab', '(a)(?<g>b)', 2) AS rc
         |FROM fx""".stripMargin).collect()(0)
     assert(r.getString(0) == "hi")
     assert(r.getString(1) == "notice")
@@ -31,6 +35,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getBoolean(6))
     assert(r.getInt(7) == 8)
     assert(r.getDouble(8) == 1.0)
+    assert(r.getBoolean(9))
+    assert(r.getInt(10) == 4)
+    assert(r.getSeq[String](11) == Seq("the quick", "quick fox"))
+    val rc = r.getStruct(12)
+    assert(rc.getBoolean(0) && rc.getSeq[String](1) == Seq("b"))
   }
 
   test("fan-out salting spreads a hot topic over multiple files") {

@@ -59,9 +59,14 @@ object ScalingBench {
   private def corpusDirOf(rows: Long) = s"/tmp/graft-bench-corpus-$rows"
   private val WarmDir = "/tmp/graft-bench-corpus-warm"
 
+  /** a corpus dir is valid only when its write COMMITTED (_SUCCESS marker)
+    * — a killed generation leaves a partial dir that must be rebuilt */
+  private def committed(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_SUCCESS"))
+
   /** materialize the timed corpus + the warm corpus once (not timed) */
   private def ensureCorpora(rows: Long): Unit = {
-    if (!Files.exists(Paths.get(corpusDirOf(rows)))) {
+    if (!committed(corpusDirOf(rows))) {
       val s = session(32)
       Corpus.sequences(s, rows).write.mode("overwrite").parquet(corpusDirOf(rows))
       s.stop()
@@ -70,7 +75,7 @@ object ScalingBench {
     // identical plan shape hits the JVM-global codegen cache, so the timed
     // trials run fully C2-JIT-compiled code (a cold generated class runs
     // tiered for tens of seconds and skews results 3-10x on this box)
-    if (!Files.exists(Paths.get(WarmDir))) {
+    if (!committed(WarmDir)) {
       val s = session(32)
       Corpus.sequences(s, 2000000).write.mode("overwrite").parquet(WarmDir)
       s.stop()

@@ -185,6 +185,37 @@ object Queries {
       .orderBy(col("n").desc, col("user_id").asc)
       .limit(5)
 
+  /** As-of join: every event paired with the user's latest purchase at or
+    * before it (union + key-shuffle + time window — never a range join;
+    * oracle = DuckDB's native ASOF LEFT JOIN). */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("last_purchase_id"))
+    graft.ops.AsOf.asofJoin(ev, purchases, Seq("user_id"), "ts", "ts",
+      Seq("last_purchase_id"))
+      .select("event_id", "last_purchase_id")
+      .orderBy("event_id")
+  }
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "qty_c")
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def qSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_unfilled"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("unfilled_c"))
+  }
+
   // =================== training-data pipeline queries ===================
 
   def ddExact(spark: SparkSession, dir: String): DataFrame =

@@ -35,6 +35,9 @@ object SparkEntry {
     "q_json" -> (Queries.qJson _),
     "q_regex" -> (Queries.qRegex _),
     "q_topk" -> (Queries.qTopk _),
+    "q_asof" -> (Queries.qAsof _),
+    "q_rollup" -> (Queries.qRollup _),
+    "q_semi" -> (Queries.qSemi _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
@@ -168,6 +171,28 @@ object SparkEntry {
     "q_topk" ->
       """SELECT user_id, count(*)::BIGINT AS n FROM events
         |GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 5""".stripMargin,
+
+    "q_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS last_purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT e.event_id, p.last_purchase_id
+        |FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (grouping(l_returnflag)*2 + grouping(l_linestatus))::BIGINT AS gid,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_c
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_semi" ->
+      """SELECT count(*)::BIGINT AS n_unfilled,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS unfilled_c
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
 
     "dd_exact" ->
       s"""SELECT md5($normE) AS text_hash, min(doc_id) AS keep_id,

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, the payload of the LATEST right row
+  * with the same key and rightTime <= leftTime (left-outer: null payload
+  * when no prior right row exists).
+  *
+  * Spark has no native asof join, and the naive range-join formulation
+  * (`l JOIN r ON key AND r.t <= l.t` + max-per-left) explodes to O(L×R)
+  * per key. This is the scale-safe composition: tag + union both sides,
+  * ONE shuffle on the key, per-key time-ordered window carrying the last
+  * right payload forward — O((L+R)·log) work, no pair blowup, and the
+  * window sort is exactly the shuffle's sort at 1000-executor scale.
+  *
+  * Ties: a right row at exactly leftTime IS visible (inclusive), ordered
+  * before the left row at equal time. Right rows must be unique per
+  * (key, rightTime) for deterministic results — pre-aggregate otherwise.
+  */
+object AsOf {
+
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTime: String, rightTime: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right.select(
+      keyCols.map(col) :+ col(rightTime).as("_asof_t") :+
+        struct(payloadCols.map(col): _*).as("_asof_payload"): _*)
+      .withColumn("_asof_src", lit(0))
+    val l = left
+      .withColumn("_asof_t", col(leftTime))
+      .withColumn("_asof_src", lit(1))
+    // unionByName fills the schema gap with nulls on both sides
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_asof_t").asc, col("_asof_src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_asof_carried", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_asof_src") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"_asof_carried.$c").as(c)): _*)
+  }
+}

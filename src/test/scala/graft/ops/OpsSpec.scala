@@ -33,6 +33,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(0L, 3L, 4L, 5L, 6L))
   }
 
+  test("asofJoin: latest right row at-or-before, inclusive ties, left-outer") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 30L),
+      (4L, "v", 5L), (5L, "w", 50L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u", 10L, "a"), ("u", 25L, "b"), ("v", 9L, "c"))
+      .toDF("k", "rt", "payload")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out(1L) == Some("a")) // tie at t=10 is inclusive
+    assert(out(2L) == Some("a")) // 25 > 20 not visible yet
+    assert(out(3L) == Some("b"))
+    assert(out(4L) == None)      // right row at 9 > 5 → nothing prior
+    assert(out(5L) == None)      // key with no right rows at all
+  }
+
+  test("asofJoin plan: one key shuffle, no range join") {
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", 5L, "x")).toDF("k", "rt", "payload")
+    val plan = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("wordShingles kernel == the Column normalize/split/shingle semantics") {
     val cases = Seq(
       "the quick  brown\tfox", // tab + double space collapse

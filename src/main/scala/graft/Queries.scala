@@ -270,6 +270,15 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-probed ANN top-k (clustered-data scale path; oracle replicates
+    * the quantizer + probe + re-rank exactly in SQL). */
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank")
+  }
+
   def ddEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDups(table(spark, dir, "embeddings"),
       "vec_id", "embedding", minSimE6 = 300000L)

@@ -46,6 +46,7 @@ object SparkEntry {
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "sim_topk" -> (Queries.simTopk _),
     "sim_topk_lsh" -> (Queries.simTopkLsh _),
+    "sim_topk_ivf" -> (Queries.simTopkIvf _),
     "mm_features" -> (Queries.mmFeatures _),
     "txt_quality" -> (Queries.txtQuality _),
     "txt_langid" -> (Queries.txtLangid _),
@@ -286,6 +287,34 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s)
         |SELECT query_id, neighbor_id, rank::INT AS rank, CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_e6
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical coarse quantizer (first-16 centroids, nearest-cell
+    // assignment, 2-cell probe) + exact cosine re-rank, replicated in SQL
+    "sim_topk_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < 16),
+        |sims AS (SELECT a.vec_id, c.cent_id,
+        |    list_dot_product(a.v, c.cv) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |  FROM v a, cents c),
+        |ranked AS (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id ASC) AS rn
+        |  FROM sims),
+        |corpus_cell AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+        |query_cell AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 2 AND vec_id < 10),
+        |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM query_cell q JOIN corpus_cell c
+        |  ON q.cent_id = c.cent_id AND q.vec_id <> c.vec_id),
+        |s2 AS (SELECT query_id, neighbor_id,
+        |    list_dot_product(qv.v, cv.v) /
+        |      (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS sim
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |            JOIN v cv ON cv.vec_id = cand.neighbor_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank FROM s2)
+        |SELECT query_id, neighbor_id, rank::INT AS rank,
+        |  CAST(floor(sim * 1000000.0) AS BIGINT) AS sim_e6
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // identical hyperplane bucketing + exact cosine re-rank, replicated in

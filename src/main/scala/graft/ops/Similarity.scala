@@ -71,6 +71,45 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** IVF-style ANN top-k — the clustered-data scale path alongside
+    * [[lshTopK]]: a deterministic coarse quantizer (the first `nlist`
+    * corpus vectors by id serve as centroids) assigns every corpus vector
+    * to its nearest-centroid cell; each query probes its `nprobe` nearest
+    * cells and re-ranks exactly within them. Per-query work is
+    * O(nprobe × cell) instead of O(corpus); assignment is a broadcast
+    * cross of `nlist` tiny rows (the standard O(N·nlist) IVF build), and
+    * candidates join on the cell id — never a corpus cross join. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    def cells(df: DataFrame, idAs: String, probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("cent_sim").desc, col("cent_id").asc)
+      df.select(col(idCol).as(idAs), col(vecCol).as("_v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("cent_sim", opscol.cosineSimF(col("_v"), col("cent_v")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= probes)
+        .select(col(idAs), col("cent_id"))
+    }
+    val corpusCells = cells(corpus, "neighbor_id", 1)
+    val queryCells = cells(queries, "query_id", nprobe)
+    val cand = queryCells.join(corpusCells, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
   /** Candidate pairs sharing ≥1 LSH band, re-ranked by exact cosine.
     * Returns near-dup pairs (id_a, id_b, sim_e6) with cosine ≥ minSimE6.
     *

@@ -337,6 +337,11 @@ object Queries {
       .orderBy("media_id")
   }
 
+  def txtRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionCounters(table(spark, dir, "documents"), col("text"))
+      .select("doc_id", "n_words", "n_tri_total", "n_tri_distinct", "n_tri_dup")
+      .orderBy("doc_id")
+
   def txtFingerprint(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -51,6 +51,7 @@ object SparkEntry {
     "txt_quality" -> (Queries.txtQuality _),
     "txt_langid" -> (Queries.txtLangid _),
     "txt_fingerprint" -> (Queries.txtFingerprint _),
+    "txt_repetition" -> (Queries.txtRepetition _),
     "txt_rolling" -> (Queries.txtRolling _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
@@ -375,6 +376,23 @@ object SparkEntry {
 
     "txt_fingerprint" ->
       s"SELECT doc_id, md5($normE) AS fp FROM documents ORDER BY doc_id",
+
+    "txt_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |  len(ws)::INT AS n_words,
+         |  (CASE WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END)::INT AS n_tri_total,
+         |  len(list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END))::INT AS n_tri_distinct,
+         |  ((CASE WHEN len(ws) < 3 THEN 1 ELSE len(ws) - 2 END) -
+         |   len(list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END)))::INT AS n_tri_dup
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     "txt_rolling" ->
       s"""WITH n AS (SELECT doc_id, $normE AS t FROM documents)

@@ -65,6 +65,21 @@ object TextAnalysis {
       .otherwise(lit("fr"))
   }
 
+  /** Gopher-style repetition counters: how many word trigrams are
+    * duplicates of an earlier one (high ratio ⇒ boilerplate/spam; the
+    * standard "repetition filter" signal in training-data pipelines).
+    * Integer-valued so the cross-engine compare is float-free; consumers
+    * derive dup_ratio = n_tri_dup / n_tri_total. */
+  def repetitionCounters(df: DataFrame, text: Column): DataFrame = {
+    val nWords = tokenCountWs(text)
+    val total = when(nWords < 3, lit(1)).otherwise(nWords - 2)
+    val distinctTri = size(Dedup.shingles(text, 3))
+    df.withColumn("n_words", nWords)
+      .withColumn("n_tri_total", total)
+      .withColumn("n_tri_distinct", distinctTri)
+      .withColumn("n_tri_dup", total - distinctTri)
+  }
+
   /** Integer-valued quality counters (ratios are left to the consumer so
     * the oracle comparison stays float-free). */
   def qualityCounters(df: DataFrame, text: Column): DataFrame =

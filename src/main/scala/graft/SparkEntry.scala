@@ -28,6 +28,7 @@ object SparkEntry {
     "hd_enrich" -> (Queries.hdEnrich _),
     "hd_testmode" -> (Queries.hdTestmode _),
     "hd_window" -> (Queries.hdWindow _),
+    "hd_state_totals" -> (Queries.hdStateTotals _),
     // generic relational operators
     "q_agg" -> (Queries.qAgg _),
     "q_window" -> (Queries.qWindow _),
@@ -127,6 +128,14 @@ object SparkEntry {
         |    THEN 'Regex: ^hello\s+(?P<name>\w+)?|Regex: .*'
         |    ELSE 'Regex: .*' END AS matches
         |FROM documents ORDER BY line_no""".stripMargin,
+
+    // the final mapGroupsWithState cumulative total per topic must equal
+    // the batch per-topic count — multi-batch state accumulation verified
+    "hd_state_totals" ->
+      s"""SELECT topic, count(*)::BIGINT AS n
+         |FROM (SELECT $topicE AS topic FROM events) t
+         |WHERE topic IS NOT NULL
+         |GROUP BY topic ORDER BY topic""".stripMargin,
 
     // append-mode watermark cutoff: a window emits only once the watermark
     // (max event_time − 10 min) passes its END — the trailing window is

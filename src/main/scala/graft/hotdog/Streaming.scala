@@ -41,6 +41,28 @@ object Streaming {
       .start()
   }
 
+  /** hotdog's RUNNING per-topic counters (`kafka.submitted.<topic>` in the
+    * reference's DashMap — src/status.rs:130-140) as managed streaming
+    * state: `mapGroupsWithState` keyed by topic accumulates the routed-row
+    * count across micro-batches and emits the new cumulative total each
+    * batch (update mode). State is one long per topic — bounded by topic
+    * cardinality, executor-sharded, checkpoint-recovered. */
+  def runningTopicTotals(streamingSequences: DataFrame, cfg: HotdogConfig)
+      : Dataset[(String, Long)] = {
+    val spark = streamingSequences.sparkSession
+    import spark.implicits._
+    Pipeline.emittedOnly(Router.route(streamingSequences, cfg))
+      .select("topic").as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (topic, rows, state) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (topic, total)
+      }
+  }
+
   /** Tumbling-window per-topic routed counts over an event-time column
     * carried through the router (input must have `event_time` timestamp).
     * Watermark bounds state: rows later than `lateness` are dropped. */

@@ -70,4 +70,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(starts.forall(t => t.getTime % 60000 == 0))
     assert(starts.length >= 3)
   }
+
+  test("mapGroupsWithState running totals accumulate ACROSS micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-state").toString
+    // 3 files × maxFilesPerTrigger=1 → exactly 3 micro-batches
+    Corpus.sequences(spark, 3000, seed = 31L).repartition(3)
+      .write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val totals = Streaming.runningTopicTotals(stream, Configs.flagship)
+      .toDF("topic", "n")
+    val q = totals.writeStream.format("memory").queryName("state_totals")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val updates = spark.table("state_totals").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // the biggest topic must have emitted MULTIPLE increasing cumulative
+    // totals (one per micro-batch it appeared in) — cross-batch state
+    val byTopic = updates.groupBy(_._1)
+      .map { case (t, vs) => t -> vs.map(_._2).toSeq.sorted }
+    assert(byTopic.values.exists(_.length >= 2), byTopic.toString)
+    byTopic.values.foreach(vs => assert(vs.distinct == vs, s"non-increasing: $vs"))
+    // final cumulative == batch-mode per-topic counts
+    val finals = byTopic.map { case (t, vs) => t -> vs.max }
+    val want = Pipeline.emittedOnly(
+      Router.route(spark.read.parquet(tmp), Configs.flagship))
+      .groupBy("topic").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finals == want)
+  }
 }

@@ -102,15 +102,21 @@ object Pipeline {
   def kafkaFrame(routed: DataFrame): DataFrame =
     emittedOnly(routed).select(col("topic"), col("output").as("value"))
 
-  /** Per-partition lineage + metrics audit rows (north_rule: resumable with
-    * per-partition lineage). One row per (batch, topic): input/routed
-    * counts; written idempotently per batch_id. */
+  /** Per-partition lineage + metrics audit rows (north_rule: resumable
+    * with per-partition lineage). One row per (batch, topic, input_file):
+    * which INPUT FILES contributed how many rows to which sink partition,
+    * plus the error counters — file-level provenance for replay/debugging.
+    * input_file_name() is captured on the pre-shuffle routed frame (narrow),
+    * and is "" for non-file sources (synthesized frames). Written
+    * idempotently per batch_id. */
   def writeAudit(routed: DataFrame, auditDir: String, batchId: Long): Unit = {
-    val audit = routed.groupBy(col("topic")).agg(
-      count(lit(1)).as("rows"),
-      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed_rows"),
-      sum(col("err_merge_invalid_json")).as("merge_invalid_json"),
-      sum(col("err_merge_target_not_json")).as("merge_target_not_json"))
+    val audit = routed
+      .withColumn("input_file", input_file_name())
+      .groupBy(col("topic"), col("input_file")).agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed_rows"),
+        sum(col("err_merge_invalid_json")).as("merge_invalid_json"),
+        sum(col("err_merge_target_not_json")).as("merge_target_not_json"))
       .withColumn("batch_id", lit(batchId))
       .withColumn("completed_at", current_timestamp())
     val spark = routed.sparkSession

@@ -71,6 +71,24 @@ class PlanSpec extends AnyFunSuite {
     assert(stats.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("audit lineage: per (topic, input_file) provenance sums to the routed counts") {
+    val tmp = Files.createTempDirectory("graft-lineage").toString
+    Corpus.sequences(spark, 2000, seed = 13L).repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val routed = Router.route(spark.read.parquet(s"$tmp/in"), Configs.flagship)
+    Pipeline.writeAudit(routed, s"$tmp/audit", batchId = 7L)
+    val audit = spark.read.parquet(s"$tmp/audit")
+    // file-level provenance: multiple input files per topic recorded
+    assert(audit.select("input_file").distinct().count() >= 4)
+    assert(audit.filter(col("input_file") === "").count() == 0)
+    // lineage rows sum back to the routed totals per topic
+    val fromAudit = audit.groupBy("topic").agg(sum("rows").as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val want = routed.groupBy("topic").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(fromAudit == want)
+  }
+
   test("resumable batches: completed batch_ids are skipped") {
     val tmp = Files.createTempDirectory("graft-resume").toString
     val seqs1 = Corpus.sequences(spark, 500, seed = 1L)

@@ -13,9 +13,15 @@ object Bench {
     // two timed executions per query, min reported: the first run of a
     // fresh generated class executes tiered (C1) while C2 compiles, which
     // can dominate small-SF timings 3-10x on this box (see BENCH/BASELINE.md)
-    // SPARK_GRAFT_BENCH_ONLY=dd_minhash,dd_wordset_jaccard → subset run
+    // SPARK_GRAFT_BENCH_ONLY=dd_minhash,dd_wordset_jaccard → subset run;
+    // unknown names are a hard error (a typo must not print ok:true)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(',').map(_.trim).toSet)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

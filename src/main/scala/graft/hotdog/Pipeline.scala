@@ -22,7 +22,12 @@ import graft.hotdog.config.HotdogConfig
   */
 object Pipeline {
 
-  final case class Result(routed: DataFrame, stats: DataFrame)
+  /** `stats` is LAZY: statsOf runs a (small) job at evaluation time, and a
+    * caller consuming only `routed` must not pay for — or trigger — a
+    * second pass over the data at construction. */
+  final class Result(val routed: DataFrame, statsThunk: => DataFrame) {
+    lazy val stats: DataFrame = statsThunk
+  }
 
   /** Routed rows that actually emitted, filtered WITHOUT letting the
     * optimizer push the predicate beneath the router projection (see
@@ -39,7 +44,7 @@ object Pipeline {
       case Some(d) => routed0.join(broadcast(d), Seq("source"), "left")
       case None    => routed0
     }
-    Result(routed, Stats.statsOf(routed0))
+    new Result(routed, Stats.statsOf(routed0))
   }
 
   /** Fan-out sink (S5): routed rows partitioned by topic, parquet.

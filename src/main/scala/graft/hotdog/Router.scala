@@ -115,8 +115,6 @@ object Router {
         case _ => col(s"_hd_m_$i")
       }
     }
-    val withExtracts = withMatchers
-
     // per-rule variable maps + template rendering (A1/A2/F2/F3)
     def varsOf(rule: HRule, i: Int): Map[String, Column] = {
       val builtins = Map[String, Column](
@@ -169,8 +167,8 @@ object Router {
         }
     }
     val staged =
-      if (mergeCols.isEmpty) withExtracts
-      else withExtracts.withColumns(mergeCols.toMap)
+      if (mergeCols.isEmpty) withMatchers
+      else withMatchers.withColumns(mergeCols.toMap)
 
     // ---- L6: the cascade ----
     final case class CompiledRule(

@@ -152,6 +152,11 @@ object ScalingBench {
 
   private def combine(rows: Long, r8: RunResult, r32: RunResult,
       outMd: String, perLevelJvm: Boolean): Unit = {
+    require(r8.inputRows == rows && r32.inputRows == rows,
+      s"fragments were run with different rows (${r8.inputRows}/${r32.inputRows}) than combine ($rows)")
+    require(r8.routedRows == r32.routedRows,
+      s"levels routed different row counts: ${r8.routedRows} vs ${r32.routedRows}")
+    ensureCorpora(rows) // the verification pass re-reads the corpus
     val cfg = Configs.flagship
     val eff = r32.routedPerSec / (4.0 * r8.routedPerSec)
     // medians are robust to the slow tail on a shared box; report both

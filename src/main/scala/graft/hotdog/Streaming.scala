@@ -46,7 +46,14 @@ object Streaming {
     * state: `mapGroupsWithState` keyed by topic accumulates the routed-row
     * count across micro-batches and emits the new cumulative total each
     * batch (update mode). State is one long per topic — bounded by topic
-    * cardinality, executor-sharded, checkpoint-recovered. */
+    * cardinality, executor-sharded, checkpoint-recovered.
+    *
+    * Scale note: this exists to exercise the arbitrary-state API — the
+    * groupByKey shuffles every routed row (no map-side partials), so a hot
+    * topic funnels its whole batch into one task. For production counters
+    * prefer update-mode `groupBy("topic").count()` (identical cumulative
+    * totals, partial aggregation) and reserve mapGroupsWithState for state
+    * that genuinely isn't an algebraic aggregate (sessions, dedup sets). */
   def runningTopicTotals(streamingSequences: DataFrame, cfg: HotdogConfig)
       : Dataset[(String, Long)] = {
     val spark = streamingSequences.sparkSession

@@ -164,6 +164,8 @@ object config {
       if (i >= n) fail("expected identifier")
       expr.charAt(i) match {
         case '"' =>
+          // quoted identifiers use JSON-string escaping (JMESPath spec);
+          // unknown escapes are a load error rather than a silent wrong key
           val sb = new StringBuilder
           i += 1
           var closed = false
@@ -171,7 +173,23 @@ object config {
             expr.charAt(i) match {
               case '\\' =>
                 if (i + 1 >= n) fail("bad escape")
-                sb.append(expr.charAt(i + 1)); i += 2
+                expr.charAt(i + 1) match {
+                  case '"'  => sb.append('"'); i += 2
+                  case '\\' => sb.append('\\'); i += 2
+                  case '/'  => sb.append('/'); i += 2
+                  case 'b'  => sb.append('\b'); i += 2
+                  case 'f'  => sb.append('\f'); i += 2
+                  case 'n'  => sb.append('\n'); i += 2
+                  case 'r'  => sb.append('\r'); i += 2
+                  case 't'  => sb.append('\t'); i += 2
+                  case 'u' =>
+                    if (i + 5 >= n) fail("bad \\u escape")
+                    val hex = expr.substring(i + 2, i + 6)
+                    if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                      fail(s"bad \\u escape \\u$hex")
+                    sb.append(Integer.parseInt(hex, 16).toChar); i += 6
+                  case other => fail(s"unsupported escape \\$other")
+                }
               case '"' => closed = true; i += 1
               case c => sb.append(c); i += 1
             }

@@ -127,7 +127,7 @@ object RegexHelp {
 
   def captures(s: UTF8String, pattern: UTF8String, groupIdx: Array[Int])
       : org.apache.spark.sql.catalyst.InternalRow = {
-    if (s == null) return NoMatch
+    if (s == null || pattern == null) return NoMatch
     val p = cache.computeIfAbsent(pattern.toString,
       (k: String) => java.util.regex.Pattern.compile(k))
     val m = p.matcher(s.toString)
@@ -182,7 +182,8 @@ case class RegexCaptures(left: Expression, right: Expression,
         ${l.code}
         ${r.code}
         InternalRow ${ev.value} = graft.hotdog.RegexHelp.captures(
-          ${l.isNull} ? null : ${l.value}, ${r.value}, $idxRef);""",
+          ${l.isNull} ? null : ${l.value},
+          ${r.isNull} ? null : ${r.value}, $idxRef);""",
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RegexCaptures =

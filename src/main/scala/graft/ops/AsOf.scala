@@ -25,9 +25,13 @@ object AsOf {
       leftTime: String, rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val r = right.select(
-      keyCols.map(col) :+ col(rightTime).as("_asof_t") :+
-        struct(payloadCols.map(col): _*).as("_asof_payload"): _*)
+    // a null right time can never satisfy rightTime <= leftTime — without
+    // this filter the asc sort puts nulls FIRST and their payload would be
+    // carried into left rows that have no real match
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(
+        keyCols.map(col) :+ col(rightTime).as("_asof_t") :+
+          struct(payloadCols.map(col): _*).as("_asof_payload"): _*)
       .withColumn("_asof_src", lit(0))
     val l = left
       .withColumn("_asof_t", col(leftTime))

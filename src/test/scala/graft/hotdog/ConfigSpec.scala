@@ -68,6 +68,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(compileJmesPath("[2]") == Seq(JIndex(2)))
     assert(compileJmesPath("\"a b\".c") == Seq(JKey("a b"), JKey("c")))
     assert(compileJmesPath("\"x\\\"y\"") == Seq(JKey("x\"y")))
+    // JSON-string escapes decode (JMESPath spec), unknown escapes fail
+    assert(compileJmesPath("\"a\\nb\"") == Seq(JKey("a\nb")))
+    assert(compileJmesPath("\"a\\u0041b\"") == Seq(JKey("aAb")))
+    assert(compileJmesPath("\"a\\tb\\\\c\"") == Seq(JKey("a\tb\\c")))
+    assertThrows[IllegalArgumentException](compileJmesPath("\"a\\qb\""))
+    assertThrows[IllegalArgumentException](compileJmesPath("\"a\\u00g1\""))
   }
 
   test("jmespath beyond the access-chain subset still fails the load") {

@@ -49,6 +49,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == None)      // key with no right rows at all
   }
 
+  test("asofJoin: a null right time never matches (it is not <= anything)") {
+    val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
+    val right = Seq(("u", Some(5L), "real"), ("u", None, "ghost"))
+      .toDF("k", "rt", "payload")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // without the null filter the nulls-first sort would carry "ghost"
+    assert(out(1L) == "real")
+  }
+
   test("asofJoin plan: one key shuffle, no range join") {
     val left = Seq((1L, "u", 10L)).toDF("id", "k", "t")
     val right = Seq(("u", 5L, "x")).toDF("k", "rt", "payload")

@@ -292,13 +292,26 @@ object Queries {
     * parquet ts arrives as TIMESTAMP_NTZ — the session runs in UTC so the
     * cast is value-exact. */
   private def streamInput(spark: SparkSession, dir: String, in: String): Unit =
-    if (materializedStreamInputs.add(in)) {
-      eventSequences(spark, dir)
-        .withColumn("event_time", col("ts").cast("timestamp"))
-        .select("doc_id", "tokens", "n_tok", "source", "event_time")
-        .repartition(8)
-        .write.mode("overwrite").parquet(in)
+    // synchronized write-then-mark: the guard is only set AFTER the write
+    // commits, and reuse across JVMs is gated on parquet's _SUCCESS marker
+    // (a crashed partial write is rewritten, never silently read)
+    materializedStreamInputs.synchronized {
+      if (!materializedStreamInputs.contains(in)) {
+        if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+          eventSequences(spark, dir)
+            .withColumn("event_time", col("ts").cast("timestamp"))
+            .select("doc_id", "tokens", "n_tok", "source", "event_time")
+            .repartition(8)
+            .write.mode("overwrite").parquet(in)
+        }
+        materializedStreamInputs.add(in)
+      }
     }
+
+  /** stream-input staging path: keyed by the SANITIZED full dir path (not
+    * its hashCode — different testdata dirs can never collide). */
+  private def streamInputPath(dir: String): String =
+    s"/tmp/graft-hdwindow-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
 
   /** The STREAMING path through the driver contract: sequences stream →
     * router → watermarked tumbling-window per-topic counts, run to
@@ -308,7 +321,7 @@ object Queries {
     * oracle applies the same cutoff, giving the watermark logic a hard
     * cross-engine correctness signal. */
   def hdWindow(spark: SparkSession, dir: String): DataFrame = {
-    val in = s"/tmp/graft-hdwindow-${math.abs(dir.hashCode)}/in"
+    val in = streamInputPath(dir)
     streamInput(spark, dir, in)
     val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
     val counts = graft.hotdog.Streaming.windowedTopicCounts(
@@ -331,7 +344,7 @@ object Queries {
     * equal the batch-mode per-topic count — which is exactly what the
     * DuckDB oracle computes. */
   def hdStateTotals(spark: SparkSession, dir: String): DataFrame = {
-    val in = s"/tmp/graft-hdwindow-${math.abs(dir.hashCode)}/in"
+    val in = streamInputPath(dir)
     streamInput(spark, dir, in)
     val stream = spark.readStream.schema(spark.read.parquet(in).schema)
       .option("maxFilesPerTrigger", 4).parquet(in)

@@ -48,23 +48,30 @@ object Streaming {
     * batch (update mode). State is one long per topic — bounded by topic
     * cardinality, executor-sharded, checkpoint-recovered.
     *
-    * Scale note: this exists to exercise the arbitrary-state API — the
-    * groupByKey shuffles every routed row (no map-side partials), so a hot
-    * topic funnels its whole batch into one task. For production counters
-    * prefer update-mode `groupBy("topic").count()` (identical cumulative
-    * totals, partial aggregation) and reserve mapGroupsWithState for state
-    * that genuinely isn't an algebraic aggregate (sessions, dedup sets). */
+    * Scale shape: the state shuffle carries per-PARTITION partial counts,
+    * not routed rows — `mapPartitions` reduces each input partition to
+    * ≤ #topics (topic, count) rows BEFORE groupByKey (groupByKey alone has
+    * no map-side combine, so a hot topic would otherwise funnel its whole
+    * micro-batch into one task — the exact skew-killer the reference avoids
+    * by sending channel DELTAS to its stats handler, src/status.rs:83-101).
+    * The stateful task then folds ≤ #partitions deltas per topic. Output is
+    * identical: a topic appears in a batch's updates iff it routed ≥1 row. */
   def runningTopicTotals(streamingSequences: DataFrame, cfg: HotdogConfig)
       : Dataset[(String, Long)] = {
     val spark = streamingSequences.sparkSession
     import spark.implicits._
     Pipeline.emittedOnly(Router.route(streamingSequences, cfg))
       .select("topic").as[String]
-      .groupByKey(identity)
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Long]()
+        it.foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+        counts.iterator
+      }
+      .groupByKey(_._1)
       .mapGroupsWithState[Long, (String, Long)](
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        case (topic, rows, state) =>
-          val total = state.getOption.getOrElse(0L) + rows.size
+        case (topic, deltas, state) =>
+          val total = state.getOption.getOrElse(0L) + deltas.map(_._2).sum
           state.update(total)
           (topic, total)
       }

@@ -327,9 +327,11 @@ object config {
     val fromYaml = toScalaTree(root).asInstanceOf[Map[String, Any]] - "rules"
     val fromEnv = env.collect {
       case (k, v) if k.startsWith("HOTDOG_") =>
-        // scalars keep their YAML-typed form (config-rs coerces on get)
-        k.stripPrefix("HOTDOG_").toLowerCase -> toScalaTree(
-          new org.yaml.snakeyaml.Yaml().load[Object](v))
+        // config-rs stores Environment values as STRINGS and coerces only
+        // on typed get (settings.rs:30-42) — so `HOTDOG_FOO=no` must stay
+        // "no", not snakeyaml's YAML-1.1 boolean false. Keep the raw
+        // string; callers coerce at the access site (kafkaBufferSize).
+        k.stripPrefix("HOTDOG_").toLowerCase -> (v: Any)
     }
     HotdogConfig(rules, fromYaml ++ fromEnv)
   }

@@ -27,8 +27,13 @@ object AsOf {
     val leftCols = left.columns.toSeq
     // a null right time can never satisfy rightTime <= leftTime — without
     // this filter the asc sort puts nulls FIRST and their payload would be
-    // carried into left rows that have no real match
-    val r = right.filter(col(rightTime).isNotNull)
+    // carried into left rows that have no real match. Null KEYS likewise
+    // never match in SQL asof semantics (DuckDB ASOF joins on equality),
+    // but Window.partitionBy groups nulls together — so null-key right
+    // rows must be dropped too, or a null-key left row would inherit them.
+    val r = keyCols.foldLeft(right.filter(col(rightTime).isNotNull)) {
+      (df, k) => df.filter(col(k).isNotNull)
+    }
       .select(
         keyCols.map(col) :+ col(rightTime).as("_asof_t") :+
           struct(payloadCols.map(col): _*).as("_asof_payload"): _*)

@@ -86,6 +86,12 @@ object OpsKernels {
     * the exact verification then filters. */
   def minhashBands(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
+    // bands > k would give r=0 (every row in one constant bucket per band
+    // → silent all-pairs blowup); non-divisible k would silently ignore
+    // trailing hashes. Dedup.minhashNearDups guards, but the SQL-registered
+    // minhash_bands reaches here directly — fail loudly instead.
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must be >= 1 and divide the signature length ($k)")
     val r = k / bands
     val out = new Array[Long](bands)
     var b = 0

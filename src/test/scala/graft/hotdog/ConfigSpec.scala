@@ -109,9 +109,13 @@ class ConfigSpec extends AnyFunSuite {
     // yaml tree reachable via dotted paths
     assert(cfg.setting("global.kafka.topic").contains("test"))
     assert(cfg.setting("global.metrics.statsd").contains("localhost:8125"))
-    // env vars land as flat top-level keys, YAML-typed
-    assert(cfg.setting("threads").contains(8))
+    // env vars land as flat top-level keys, as RAW STRINGS (config-rs
+    // stores env values as strings; coercion happens on typed get — so
+    // YAML-1.1 booleany words like "no"/"on" are NOT retyped)
+    assert(cfg.setting("threads").contains("8"))
     assert(cfg.setting("region").contains("eu"))
+    assert(config.fromYamlString(yaml, env = Map("HOTDOG_FLAG" -> "no"))
+      .setting("flag").contains("no"))
     assert(cfg.setting("global.listen.port").isEmpty)
     // env does NOT address nested keys (config-rs has no separator configured)
     val cfg2 = config.fromYamlString(yaml,

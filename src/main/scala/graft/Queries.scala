@@ -47,6 +47,32 @@ object Queries {
       |  ELSE 'logs-unknown'
       |END""".stripMargin
 
+  // ---- full-JMESPath routing fixture (shared Spark/DuckDB fragments) ----
+  /** msg for the jmespath showcase: a small JSON telemetry doc whose item
+    * prices are parity-disjoint (a even, b odd — max_by ties impossible)
+    * and whose tag list length varies (slices can miss); signup lines stay
+    * plain text so the regex catch-all is reachable. */
+  val jmesMsgExpr: String =
+    """CASE WHEN event_type = 'signup' THEN 'hello user' || user_id
+      |ELSE '{"items":[{"n":"a","p":' || (2 * (event_id % 15)) || '},{"n":"b","p":' || (2 * (user_id % 12) + 1) || '}],"tags":' ||
+      |  CASE WHEN user_id % 3 = 0 THEN '["x"]' ELSE '["x","t' || (user_id % 4) || '"]' END || '}'
+      |END""".stripMargin
+  val jmesLineExpr: String =
+    s"""CASE WHEN event_type = 'error' THEN 'blah ' || event_id
+       |ELSE '<13>1 2024-01-01T00:00:00.000000+00:00 host-1 app-1 - - - ' || ($jmesMsgExpr)
+       |END""".stripMargin
+  /** expected topic under Configs.jmesShowcase, replayed as pure CASE
+    * logic (used by the DuckDB oracle) */
+  val jmesTopicExpr: String =
+    """CASE WHEN event_type = 'error' THEN NULL
+      |  WHEN event_type = 'signup' THEN 'logs-unknown'
+      |  WHEN event_id % 15 >= 10 THEN 'hot-a'
+      |  WHEN user_id % 12 >= 10 THEN 'hot-b'
+      |  WHEN user_id % 3 <> 0 THEN 'tag-t' || (user_id % 4)
+      |  WHEN 2 * (event_id % 15) > 2 * (user_id % 12) + 1 THEN 'pool-a'
+      |  ELSE 'pool-b'
+      |END""".stripMargin
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -131,6 +157,24 @@ object Queries {
     Router.testMode(docs, Configs.flagship)
       .select(col("line_no"), array_join(col("matches"), "|").as("matches"))
       .orderBy("line_no")
+  }
+
+  /** Route with the full-JMESPath showcase rules (filter+pipe, slice,
+    * max_by/&expref, catch-all) — the oracle recomputes topic AND the
+    * forwarded output from the source columns, so every matcher's null/
+    * non-null decision and the untouched-buffer forward semantics get a
+    * hard cross-engine signal. */
+  def hdRouteJmes(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = table(spark, dir, "events")
+      .withColumn("line", expr(jmesLineExpr))
+      .withColumn("doc_id", col("event_id").cast("string"))
+      .withColumn("tokens", exprs.stringToCodepoints(col("line")))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("source", concat(lit("src-"), (col("user_id") % 25).cast("string")))
+      .select("doc_id", "tokens", "n_tok", "source")
+    Router.route(seqs, Configs.jmesShowcase, clock = lit(FixedIso))
+      .select(col("doc_id").cast("long").as("event_id"), col("topic"), col("output"))
+      .orderBy("event_id")
   }
 
   // =================== generic relational queries ===================

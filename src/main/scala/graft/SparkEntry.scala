@@ -27,6 +27,7 @@ object SparkEntry {
     "hd_stats" -> (Queries.hdStats _),
     "hd_enrich" -> (Queries.hdEnrich _),
     "hd_testmode" -> (Queries.hdTestmode _),
+    "hd_route_jmes" -> (Queries.hdRouteJmes _),
     "hd_window" -> (Queries.hdWindow _),
     "hd_state_totals" -> (Queries.hdStateTotals _),
     // generic relational operators
@@ -121,6 +122,13 @@ object SparkEntry {
          |JOIN nation ON nkey = n_nationkey
          |WHERE topic IS NOT NULL
          |GROUP BY topic, n_name ORDER BY topic, n_name""".stripMargin,
+
+    // full-JMESPath routing: filter+pipe / slice / max_by matchers replayed
+    // as CASE logic; output = the untouched forwarded msg
+    "hd_route_jmes" ->
+      s"""SELECT event_id, ${Queries.jmesTopicExpr} AS topic,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE ${Queries.jmesMsgExpr} END AS output
+         |FROM events ORDER BY event_id""".stripMargin,
 
     "hd_testmode" ->
       """SELECT doc_id + 1 AS line_no,

@@ -127,5 +127,44 @@ object Configs {
       |      - type: stop
       |""".stripMargin
 
+  /** Full-JMESPath showcase rules: filter-projection + pipe (first hot
+    * item), slice + negative index (last extra tag), function + expression
+    * reference (name of the max-price item), regex catch-all. Rule order
+    * matters: each matcher is selective (null ⇒ fall through), mirroring
+    * how a real hotdog config triages JSON telemetry
+    * (matcher semantics: src/rules.rs:70-85; arbitrary jmespath-crate
+    * expressions compile at src/connection.rs:297-311). */
+  val jmesShowcaseYml: String =
+    """rules:
+      |  - jmespath: 'items[?p >= `20`].n | [0]'
+      |    field: msg
+      |    actions:
+      |      - type: forward
+      |        topic: 'hot-{{value}}'
+      |      - type: stop
+      |
+      |  - jmespath: 'tags[1:] | [-1]'
+      |    field: msg
+      |    actions:
+      |      - type: forward
+      |        topic: 'tag-{{value}}'
+      |      - type: stop
+      |
+      |  - jmespath: 'max_by(items, &p).n'
+      |    field: msg
+      |    actions:
+      |      - type: forward
+      |        topic: 'pool-{{value}}'
+      |      - type: stop
+      |
+      |  - regex: '.*'
+      |    field: msg
+      |    actions:
+      |      - type: forward
+      |        topic: 'logs-unknown'
+      |      - type: stop
+      |""".stripMargin
+
   lazy val flagship: config.HotdogConfig = config.fromYamlString(hotdogYml)
+  lazy val jmesShowcase: config.HotdogConfig = config.fromYamlString(jmesShowcaseYml)
 }

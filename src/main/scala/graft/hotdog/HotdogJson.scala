@@ -77,47 +77,38 @@ object HotdogJson {
   }
 
   private val pathCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[config.JmesSeg]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Jmes.JExpr, Boolean)]()
   private val NoMatchRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](false, null))
 
-  /** Walk one compiled JMESPath step. Null ⇔ the path falls off the data
-    * (wrong container type, missing key, index out of bounds) — exactly the
-    * jmespath crate's null result for access chains. */
-  def jmesStep(node: JsonNode, seg: config.JmesSeg): JsonNode = seg match {
-    case config.JKey(k) => if (node.isObject) node.get(k) else null
-    case config.JIndex(ix) =>
-      if (!node.isArray) null
-      else node.get(if (ix < 0) node.size() + ix else ix) // null when OOB
-  }
-
-  /** codegen entry for JmesPathEval. An access chain only matches when the
-    * root is a JSON object or array, so reject scalars before paying for
-    * the parse. */
+  /** codegen entry for JmesPathEval: full-JMESPath search (see [[Jmes]]).
+    * A rule matches iff the result is non-null (rules.rs:70-85); `value`
+    * is bound only for string results. Expressions whose shape provably
+    * cannot match a scalar root (the common `a.b.c` chains) skip the
+    * Jackson parse for non-container lines. */
   def jmesEval(json: UTF8String, path: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = json.toString
-    var i = 0
-    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
-        s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
-    if (i >= s.length || (s.charAt(i) != '{' && s.charAt(i) != '[')) return NoMatchRow
-    var node = parseOrNull(s)
-    if (node == null) return NoMatchRow
     val p = path.toString
-    var segs = pathCache.get(p)
-    if (segs == null) {
-      segs = config.compileJmesPath(p).toArray
-      pathCache.putIfAbsent(p, segs)
+    var compiled = pathCache.get(p)
+    if (compiled == null) {
+      val ast = Jmes.compile(p)
+      compiled = (ast, Jmes.needsContainerRoot(ast))
+      pathCache.putIfAbsent(p, compiled)
     }
-    var k = 0
-    while (k < segs.length && node != null) {
-      node = jmesStep(node, segs(k))
-      k += 1
+    val s = json.toString
+    if (compiled._2) {
+      var i = 0
+      while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\t' ||
+          s.charAt(i) == '\n' || s.charAt(i) == '\r')) i += 1
+      if (i >= s.length || (s.charAt(i) != '{' && s.charAt(i) != '[')) return NoMatchRow
     }
-    if (node == null || node.isNull) NoMatchRow
-    else if (node.isTextual)
+    val root = parseOrNull(s)
+    if (root == null) return NoMatchRow
+    val result = Jmes.search(compiled._1, root)
+    if (result.isNull) NoMatchRow
+    else if (result.isTextual)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](true, UTF8String.fromString(node.textValue())))
+        Array[Any](true, UTF8String.fromString(result.textValue())))
     else
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](true, null))

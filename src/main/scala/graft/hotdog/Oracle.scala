@@ -88,17 +88,13 @@ object Oracle {
   def applyRule(rule: HRule, value: String,
       hash: mutable.Map[String, String]): Boolean = {
     rule.jmespath match {
-      case Some(path) =>
-        var node = HotdogJson.parseOrNull(value)
-        if (node == null) return false
-        var i = 0
-        while (i < path.length && node != null) {
-          node = HotdogJson.jmesStep(node, path(i))
-          i += 1
-        }
-        if (node == null || node.isNull) false
+      case Some(ast) =>
+        val root = HotdogJson.parseOrNull(value)
+        if (root == null) return false
+        val result = Jmes.search(ast, root)
+        if (result.isNull) false
         else {
-          if (node.isTextual) hash("value") = node.textValue()
+          if (result.isTextual) hash("value") = result.textValue()
           true
         }
       case None =>

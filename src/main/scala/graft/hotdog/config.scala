@@ -137,94 +137,12 @@ object config {
     CompiledRegex(rust, java, p, names.toSeq, idxOf.toMap)
   }
 
-  /** One step of a compiled JMESPath chain. */
-  sealed trait JmesSeg
-  /** object key access (`a` / `"quoted key"`) */
-  final case class JKey(name: String) extends JmesSeg
-  /** array index subscript (`[0]`, `[-1]` = from the end, per JMESPath) */
-  final case class JIndex(idx: Int) extends JmesSeg
-
-  /** Compile the JMESPath subset used by hotdog configs (dotted identifiers
-    * — e.g. hotdog.yml:46 `meta.topic`) extended to full access chains:
-    * unquoted/quoted identifiers and index subscripts, e.g. `a[0].b`,
-    * `"a b".c`, `items[-1].id`, `[0].x`. Filters, projections, slices,
-    * wildcards and functions remain load-time errors, mirroring the
-    * reference's fatal compile for invalid expressions
-    * (src/connection.rs:297-311, fixture single-rule-with-invalid-jmespath). */
-  def compileJmesPath(expr: String): Seq[JmesSeg] = {
-    val segs = ArrayBuffer.empty[JmesSeg]
-    val n = expr.length
-    var i = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"unsupported jmespath: $expr ($msg)")
-    def identStart(c: Char) =
-      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
-    def identChar(c: Char) = identStart(c) || (c >= '0' && c <= '9')
-    def parseKey(): Unit = {
-      if (i >= n) fail("expected identifier")
-      expr.charAt(i) match {
-        case '"' =>
-          // quoted identifiers use JSON-string escaping (JMESPath spec);
-          // unknown escapes are a load error rather than a silent wrong key
-          val sb = new StringBuilder
-          i += 1
-          var closed = false
-          while (i < n && !closed) {
-            expr.charAt(i) match {
-              case '\\' =>
-                if (i + 1 >= n) fail("bad escape")
-                expr.charAt(i + 1) match {
-                  case '"'  => sb.append('"'); i += 2
-                  case '\\' => sb.append('\\'); i += 2
-                  case '/'  => sb.append('/'); i += 2
-                  case 'b'  => sb.append('\b'); i += 2
-                  case 'f'  => sb.append('\f'); i += 2
-                  case 'n'  => sb.append('\n'); i += 2
-                  case 'r'  => sb.append('\r'); i += 2
-                  case 't'  => sb.append('\t'); i += 2
-                  case 'u' =>
-                    if (i + 5 >= n) fail("bad \\u escape")
-                    val hex = expr.substring(i + 2, i + 6)
-                    if (!hex.forall(c => Character.digit(c, 16) >= 0))
-                      fail(s"bad \\u escape \\u$hex")
-                    sb.append(Integer.parseInt(hex, 16).toChar); i += 6
-                  case other => fail(s"unsupported escape \\$other")
-                }
-              case '"' => closed = true; i += 1
-              case c => sb.append(c); i += 1
-            }
-          }
-          if (!closed) fail("unterminated quoted identifier")
-          if (sb.isEmpty) fail("empty quoted identifier")
-          segs += JKey(sb.toString)
-        case c if identStart(c) =>
-          val st = i
-          while (i < n && identChar(expr.charAt(i))) i += 1
-          segs += JKey(expr.substring(st, i))
-        case _ => fail("expected identifier")
-      }
-    }
-    def parseIndex(): Unit = {
-      i += 1 // past '['
-      val st = i
-      if (i < n && expr.charAt(i) == '-') i += 1
-      while (i < n && expr.charAt(i).isDigit) i += 1
-      if (i == st || expr.substring(st, i) == "-") fail("expected array index")
-      if (i >= n || expr.charAt(i) != ']') fail("expected ]")
-      segs += JIndex(expr.substring(st, i).toInt)
-      i += 1
-    }
-    if (n == 0) fail("empty expression")
-    if (expr.charAt(0) == '[') parseIndex() else parseKey()
-    while (i < n) {
-      expr.charAt(i) match {
-        case '.' => i += 1; parseKey()
-        case '[' => parseIndex()
-        case c => fail(s"unexpected '$c'")
-      }
-    }
-    segs.toSeq
-  }
+  /** Compile a JMESPath matcher expression — the FULL language (filters,
+    * projections, slices, functions, pipes; see [[Jmes]]), mirroring the
+    * reference's arbitrary jmespath-crate precompile at connection start
+    * (src/connection.rs:297-311). Syntax errors are load-fatal, matching
+    * the fixture single-rule-with-invalid-jmespath ('. 0 meta.topic'). */
+  def compileJmesPath(expr: String): Jmes.JExpr = Jmes.compile(expr)
 
   sealed trait HAction
   final case class AForward(topic: Template) extends HAction
@@ -239,7 +157,7 @@ object config {
   final case class HRule(
       uuid: String,
       field: String, // msg | appname | hostname | severity | facility
-      jmespath: Option[Seq[JmesSeg]],
+      jmespath: Option[Jmes.JExpr],
       jmespathRaw: Option[String],
       regex: Option[CompiledRegex],
       actions: Seq[HAction]) {

@@ -61,28 +61,34 @@ class ConfigSpec extends AnyFunSuite {
   }
 
   test("jmespath access chains compile: index subscripts + quoted identifiers") {
-    assert(compileJmesPath("meta.topic") == Seq(JKey("meta"), JKey("topic")))
-    assert(compileJmesPath("a[0].b") == Seq(JKey("a"), JIndex(0), JKey("b")))
+    import Jmes._
+    assert(compileJmesPath("meta.topic") == SubExpr(Field("meta"), Field("topic")))
+    assert(compileJmesPath("a[0].b") ==
+      SubExpr(SubExpr(Field("a"), Index(0)), Field("b")))
     assert(compileJmesPath("items[-1].id") ==
-      Seq(JKey("items"), JIndex(-1), JKey("id")))
-    assert(compileJmesPath("[2]") == Seq(JIndex(2)))
-    assert(compileJmesPath("\"a b\".c") == Seq(JKey("a b"), JKey("c")))
-    assert(compileJmesPath("\"x\\\"y\"") == Seq(JKey("x\"y")))
+      SubExpr(SubExpr(Field("items"), Index(-1)), Field("id")))
+    assert(compileJmesPath("[2]") == SubExpr(Current, Index(2)))
+    assert(compileJmesPath("\"a b\".c") == SubExpr(Field("a b"), Field("c")))
+    assert(compileJmesPath("\"x\\\"y\"") == Field("x\"y"))
     // JSON-string escapes decode (JMESPath spec), unknown escapes fail
-    assert(compileJmesPath("\"a\\nb\"") == Seq(JKey("a\nb")))
-    assert(compileJmesPath("\"a\\u0041b\"") == Seq(JKey("aAb")))
-    assert(compileJmesPath("\"a\\tb\\\\c\"") == Seq(JKey("a\tb\\c")))
+    assert(compileJmesPath("\"a\\nb\"") == Field("a\nb"))
+    assert(compileJmesPath("\"a\\u0041b\"") == Field("aAb"))
+    assert(compileJmesPath("\"a\\tb\\\\c\"") == Field("a\tb\\c"))
     assertThrows[IllegalArgumentException](compileJmesPath("\"a\\qb\""))
     assertThrows[IllegalArgumentException](compileJmesPath("\"a\\u00g1\""))
   }
 
-  test("jmespath beyond the access-chain subset still fails the load") {
-    // the reference's own invalid fixture
+  test("full jmespath compiles; true syntax errors still fail the load") {
+    // the reference's own invalid fixture must STILL fail
     assertThrows[IllegalArgumentException](compileJmesPath(". 0 meta.topic"))
-    // filters / projections / slices / functions / wildcards
-    for (e <- Seq("a[?b=='x']", "a[*].b", "a[0:2]", "length(a)", "a.*",
-        "a | b", "", "a..b", "a[", "a[]", "a[1", "0abc"))
+    for (e <- Seq("", "a..b", "a[", "a[1", "0abc", "a =b", "a[b]", "{a}",
+        "&", "a.", "foo[:0:0]", "@@"))
       assertThrows[IllegalArgumentException](compileJmesPath(e))
+    // round 2's load-rejected feature set now compiles (full language)
+    for (e <- Seq("a[?b=='x']", "a[*].b", "a[0:2]", "length(a)", "a.*",
+        "a | b", "a[]", "a && b || !c", "sort_by(x, &y)[-1].z",
+        "{k: a.b, j: c}", "[a, b[0]]", "`{\"x\": 1}`.x", "'raw'"))
+      compileJmesPath(e)
   }
 
   test("triple-stache {{{var}}} loads and renders WITHOUT html escape") {

@@ -130,6 +130,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("differential: full-jmespath showcase rules (filter/slice/max_by) on random docs") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // telemetry docs around the showcase shape + adversarial junk: ties,
+    // empty/missing arrays, wrong types, scalar roots, non-JSON
+    val itemsGen = for {
+      pa <- Gen.choose(0, 30)
+      pb <- Gen.choose(0, 30)
+      tags <- Gen.oneOf("""["x"]""", """["x","t1"]""", "[]",
+        """["a","b","c"]""", "\"notags\"", "null")
+      items <- Gen.oneOf(
+        s"""[{"n":"a","p":$pa},{"n":"b","p":$pb}]""",
+        s"""[{"n":"a","p":$pa}]""", "[]", s"""[{"p":$pa}]""", "{}", "3")
+    } yield s"""{"items":$items,"tags":$tags}"""
+    val showMsg: Gen[String] = Gen.frequency(
+      5 -> itemsGen,
+      2 -> jsonValue(2),
+      2 -> Gen.listOfN(3, word).map(_.mkString(" ")),
+      1 -> Gen.const("42"))
+    val showLine = showMsg.map(m => s"<13>1 2020-04-18T15:16:09Z h app - - - $m")
+    val lines = Gen.listOfN(400, showLine).sample.get
+    val df = lines.zipWithIndex.map { case (l, i) =>
+      (f"doc-$i%05d", l.codePoints().toArray, l.codePointCount(0, l.length), "s")
+    }.toDF("doc_id", "tokens", "n_tok", "source")
+    val got = Router.route(df, Configs.jmesShowcase, clock = lit(FixedIso))
+      .orderBy("doc_id")
+      .select("parse_ok", "topic", "output").collect()
+    got.zip(lines).foreach { case (r, line) =>
+      val o = Oracle.route(line, Configs.jmesShowcase, FixedIso)
+      assert(r.getBoolean(0) == o.parseOk, s"parse_ok: $line")
+      assert(Option(r.getString(1)) == o.topic, s"topic: $line")
+      assert(Option(r.getString(2)) == o.output, s"output: $line")
+    }
+  }
+
   test("differential holds across rule-config shapes (field routing, merge-only, stop-less)") {
     val spark = SparkSpec.spark
     import spark.implicits._

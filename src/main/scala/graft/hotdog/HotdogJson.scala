@@ -273,6 +273,93 @@ object HotdogJson {
     sb.append('"')
   }
 
+  /** `merge_in` — JSON-pointer-targeted merge, ported from the reference's
+    * vendored json_value_merge trait (src/merge.rs:91-135 + its test suite
+    * 169-237). Dead code in the reference RUNTIME (only `merge::merge` is
+    * reachable, src/connection.rs:331), so it is exposed here as the SQL
+    * function `json_hotdog_merge_in(msg, ptr, rhs)` rather than a router
+    * action. Quirks ported faithfully:
+    *
+    *  - pointer "/" merges at the root; unescaping follows RFC 6901
+    *    (~1 → '/', ~0 → '~', serde_json's pointer_mut).
+    *  - a missing intermediate step is MATERIALIZED and the merge retried:
+    *    a numeric step builds `[null]` (the reference pushes exactly one
+    *    null regardless of the index — merge.rs:119-126), a name step
+    *    builds `{step: null}`; the scaffold is merged with the PLAIN merge
+    *    rules, so materializing an array step under an object REPLACES the
+    *    object (object ⊕ array hits the overwrite arm).
+    *  - the materialize-retry loop cannot make an out-of-range array index
+    *    resolvable (`[null] ⊕ [null]` dedups back to `[null]`) — the
+    *    reference recurses forever there; we throw after a depth bound
+    *    instead (the SQL function surfaces null).
+    */
+  def mergeIn(root: JsonNode, pointer: String, rhs: JsonNode): JsonNode =
+    mergeInRec(root, pointer, rhs, 0)
+
+  /** serde_json's Value::pointer_mut index parsing: no '+', no leading 0s. */
+  private def pointerIndex(tok: String): Int =
+    if (tok.isEmpty || tok.startsWith("+") || (tok.startsWith("0") && tok.length != 1)) -1
+    else try { val v = tok.toInt; if (v < 0) -1 else v }
+    catch { case _: NumberFormatException => -1 }
+
+  private def pointerStep(node: JsonNode, tokRaw: String): JsonNode = {
+    val tok = tokRaw.replace("~1", "/").replace("~0", "~")
+    if (node.isObject) node.get(tok) // null when missing
+    else if (node.isArray) {
+      val ix = pointerIndex(tok)
+      if (ix < 0) null else node.get(ix) // null when OOB
+    } else null
+  }
+
+  /** Jackson nodes are not uniformly mutable-in-place through a parent
+    * reference the way `&mut Value` is, so the port threads a replacement
+    * value back up: returns the NEW value for `root`. */
+  private def mergeInRec(root: JsonNode, pointer: String, rhs: JsonNode,
+      depth: Int): JsonNode = {
+    if (depth > 256)
+      throw new IllegalArgumentException(
+        s"merge_in cannot materialize pointer $pointer (reference recurses forever here)")
+    val fields = pointer.split("/", -1).drop(1)
+    val firstField = if (fields.isEmpty) "" else fields(0)
+    if (firstField.isEmpty) return merge(root, rhs) // pointer "/" (or "")
+    val nextFields = fields.drop(1)
+    val target = pointerStep(root, firstField)
+    if (target != null) {
+      val updated =
+        if (nextFields.nonEmpty)
+          mergeInRec(target, "/" + nextFields.mkString("/"), rhs, depth + 1)
+        else merge(target, rhs)
+      setStep(root, firstField, updated)
+      root
+    } else {
+      // materialize the missing step with the PLAIN merge, then retry
+      val tok = firstField.replace("~1", "/").replace("~0", "~")
+      val newValue: JsonNode =
+        if (tok.matches("\\+?\\d+")) {
+          // the reference uses plain usize parse here (accepts +/leading 0s,
+          // unlike pointer_mut) and always pushes a single null
+          val a = JsonNodeFactory.instance.arrayNode()
+          a.add(JsonNodeFactory.instance.nullNode())
+          a
+        } else {
+          val o = JsonNodeFactory.instance.objectNode()
+          o.set[JsonNode](tok, JsonNodeFactory.instance.nullNode())
+          o
+        }
+      mergeInRec(merge(root, newValue), pointer, rhs, depth + 1)
+    }
+  }
+
+  private def setStep(node: JsonNode, tokRaw: String, value: JsonNode): Unit = {
+    val tok = tokRaw.replace("~1", "/").replace("~0", "~")
+    node match {
+      case o: ObjectNode => o.set[JsonNode](tok, value)
+      case a: ArrayNode => a.set(pointerIndex(tok), value)
+      case _ => // unreachable: pointerStep returned non-null
+    }
+    ()
+  }
+
   /** perform_merge semantics (reference src/connection.rs:316-343) given the
     * already-rendered merge template `rhs`:
     *  - msg not valid JSON       → null (caller counts error.merge_of_invalid_json
@@ -288,6 +375,17 @@ object HotdogJson {
     if (toMerge == null) return null // reference panics here; can't happen with valid configs
     if (!toMerge.isObject) return msg
     serialize(merge(msgJson, toMerge))
+  }
+
+  /** codegen entry for JsonHotdogMergeIn: null ⇔ either side isn't valid
+    * JSON or the pointer cannot be materialized (see [[mergeIn]]). */
+  def mergeInEval(msg: UTF8String, ptr: UTF8String, rhs: UTF8String): UTF8String = {
+    val root = parseOrNull(msg.toString)
+    if (root == null) return null
+    val add = parseOrNull(rhs.toString)
+    if (add == null) return null
+    try UTF8String.fromString(serialize(mergeIn(root, ptr.toString, add)))
+    catch { case _: IllegalArgumentException => null }
   }
 }
 
@@ -379,4 +477,31 @@ case class JsonHotdogMerge(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JsonHotdogMerge =
     copy(left = l, right = r)
   override def prettyName: String = "json_hotdog_merge"
+}
+
+/** `JsonHotdogMergeIn(msg, pointer, rhs) -> string` — the reference's
+  * JSON-pointer-targeted merge (src/merge.rs:91-135, dead in its runtime,
+  * exposed as a SQL function here). Null iff msg/rhs aren't valid JSON or
+  * the pointer cannot be materialized. */
+case class JsonHotdogMergeIn(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(msg: Any, ptr: Any, rhs: Any): Any =
+    HotdogJson.mergeInEval(msg.asInstanceOf[UTF8String],
+      ptr.asInstanceOf[UTF8String], rhs.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, p, r) => {
+      s"""
+        ${ev.value} = graft.hotdog.HotdogJson.mergeInEval($m, $p, $r);
+        ${ev.isNull} = (${ev.value} == null);
+      """
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): JsonHotdogMergeIn =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "json_hotdog_merge_in"
 }

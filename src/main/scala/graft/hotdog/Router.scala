@@ -147,7 +147,8 @@ object Router {
       val pieces = t.parts.map {
         case TLit(s)    => lit(s)
         case TVar(n)    => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
-        case TVarRaw(n) => coalesce(vars.getOrElse(n, lit("")), lit("")) // {{{raw}}}
+        case TVarRaw(n) => coalesce(vars.getOrElse(n, lit("")), lit("")) // {{{raw}}}/{{&raw}}
+        case TPathMiss(_) => lit("") // dotted path: flat string context → ""
       }
       if (pieces.isEmpty) lit("") else concat(pieces: _*)
     }

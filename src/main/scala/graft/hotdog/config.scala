@@ -28,9 +28,10 @@ object config {
     def renderString(vars: collection.Map[String, String]): String = {
       val sb = new StringBuilder
       parts.foreach {
-        case TLit(s)    => sb.append(s)
-        case TVar(n)    => sb.append(htmlEscapeStr(vars.getOrElse(n, "")))
-        case TVarRaw(n) => sb.append(vars.getOrElse(n, ""))
+        case TLit(s)      => sb.append(s)
+        case TVar(n)      => sb.append(htmlEscapeStr(vars.getOrElse(n, "")))
+        case TVarRaw(n)   => sb.append(vars.getOrElse(n, ""))
+        case TPathMiss(_) => // flat string context: dotted paths render ""
       }
       sb.toString
     }
@@ -38,8 +39,14 @@ object config {
   sealed trait TPart
   final case class TLit(s: String) extends TPart
   final case class TVar(name: String) extends TPart
-  /** `{{{name}}}` — substituted without the HTML escape. */
+  /** `{{{name}}}` / `{{&name}}` — substituted without the HTML escape. */
   final case class TVarRaw(name: String) extends TPart
+  /** A dotted path (`{{a.b}}`): handlebars navigates the render context,
+    * but the reference's context is a flat HashMap<String,String>
+    * (src/rules.rs:62-67 — every value is a string), so a 2+-segment path
+    * can never resolve and non-strict handlebars 3.5.5 renders it as "".
+    * Kept as its own part (not dropped) so varNames/display stay honest. */
+  final case class TPathMiss(path: String) extends TPart
 
   def htmlEscapeStr(s: String): String =
     org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -48,36 +55,48 @@ object config {
     def pipe[B](f: A => B): B = f(a)
   }
 
-  /** Parse `{{name}}` (escaped) and `{{{name}}}` (raw) placeholders. Only
-    * simple identifiers are supported — the rest of the handlebars language
-    * (helpers, blocks, partials, `{{&name}}`) is outside the reference
-    * configs' usage and rejected at load time. */
+  /** Parse handlebars placeholders: `{{name}}` (HTML-escaped), `{{{name}}}`
+    * and `{{&name}}` (raw — handlebars 3.5.5's two no-escape forms), and
+    * dotted paths `{{a.b.c}}` (navigate the context; always "" against the
+    * reference's flat string map — see [[TPathMiss]]). The rest of the
+    * handlebars language (helpers `{{fn x}}`, blocks `{{#if}}`, partials
+    * `{{>p}}`, segment literals `{{[a b]}}`, `../` parents) is outside the
+    * reference configs' usage and rejected at load time. */
   def parseTemplate(t: String): Template = {
     val parts = ArrayBuffer.empty[TPart]
     val lit = new StringBuilder
     val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val path = s"$ident(\\.$ident)+"
     def flushLit(): Unit =
       if (lit.nonEmpty) { parts += TLit(lit.toString); lit.clear() }
+    def varPart(raw0: String, noEscape: Boolean, display: String): TPart = {
+      var name = raw0.trim
+      var raw = noEscape
+      if (name.startsWith("&")) { raw = true; name = name.substring(1).trim }
+      if (name.matches(ident)) {
+        if (raw) TVarRaw(name) else TVar(name)
+      } else if (name.matches(path)) {
+        TPathMiss(name) // dotted path into a flat string context → ""
+      } else
+        throw new IllegalArgumentException(
+          s"unsupported handlebars expression: $display")
+    }
     var i = 0
     while (i < t.length) {
       if (i + 2 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{' &&
           t.charAt(i + 2) == '{') {
         val close = t.indexOf("}}}", i + 3)
         if (close < 0) throw new IllegalArgumentException(s"unclosed {{{ in template: $t")
-        val name = t.substring(i + 3, close).trim
-        if (!name.matches(ident))
-          throw new IllegalArgumentException(s"unsupported handlebars expression: {{{$name}}}")
+        val name = t.substring(i + 3, close)
         flushLit()
-        parts += TVarRaw(name)
+        parts += varPart(name, noEscape = true, s"{{{${name.trim}}}}")
         i = close + 3
       } else if (i + 1 < t.length && t.charAt(i) == '{' && t.charAt(i + 1) == '{') {
         val close = t.indexOf("}}", i + 2)
         if (close < 0) throw new IllegalArgumentException(s"unclosed {{ in template: $t")
-        val name = t.substring(i + 2, close).trim
-        if (!name.matches(ident))
-          throw new IllegalArgumentException(s"unsupported handlebars expression: {{$name}}")
+        val name = t.substring(i + 2, close)
         flushLit()
-        parts += TVar(name)
+        parts += varPart(name, noEscape = false, s"{{${name.trim}}}")
         i = close + 2
       } else {
         lit.append(t.charAt(i)); i += 1

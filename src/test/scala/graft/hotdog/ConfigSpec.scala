@@ -57,7 +57,24 @@ class ConfigSpec extends AnyFunSuite {
 
   test("unsupported handlebars constructs rejected at load") {
     assertThrows[IllegalArgumentException](parseTemplate("{{#if x}}y{{/if}}"))
-    assertThrows[IllegalArgumentException](parseTemplate("{{a.b}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{> partial}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{fn x}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{../x}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{[a b]}}"))
+  }
+
+  test("handlebars dotted paths + {{&var}} (3.5.5 semantics, flat string context)") {
+    // {{&x}} is handlebars' second raw form — identical to {{{x}}}
+    val amp = parseTemplate("esc={{msg}} amp={{&msg}}")
+    assert(amp.renderString(Map("msg" -> "a<b>&")) == "esc=a&lt;b&gt;&amp; amp=a<b>&")
+    assert(amp.varNames == Seq("msg", "msg"))
+    // dotted paths LOAD (the reference renders them through full
+    // handlebars) but navigate a flat HashMap<String,String> context —
+    // a 2+-segment path can never resolve → non-strict renders ""
+    val dotted = parseTemplate("v={{value.x}}|w={{{a.b.c}}}|y={{&a.b}}|z={{msg}}")
+    assert(dotted.renderString(Map("value" -> "s", "msg" -> "m")) == "v=|w=|y=|z=m")
+    assert(dotted.varNames == Seq("msg")) // paths are not simple vars
+    assert(dotted.parts.contains(TPathMiss("value.x")))
   }
 
   test("jmespath access chains compile: index subscripts + quoted identifiers") {
@@ -97,7 +114,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(t.varNames == Seq("msg", "msg"))
     // unknown raw var renders empty; helpers inside {{{ }}} still rejected
     assert(parseTemplate("{{{nope}}}").renderString(Map.empty) == "")
-    assertThrows[IllegalArgumentException](parseTemplate("{{{a.b}}}"))
+    assert(parseTemplate("{{{a.b}}}").renderString(Map.empty) == "") // dotted → ""
+    assertThrows[IllegalArgumentException](parseTemplate("{{{f x}}}"))
     assertThrows[IllegalArgumentException](parseTemplate("{{{x}} y"))
   }
 

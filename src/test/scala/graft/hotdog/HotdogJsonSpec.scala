@@ -10,6 +10,9 @@ class HotdogJsonSpec extends AnyFunSuite {
   private def mergeStr(a: String, b: String): String =
     serialize(merge(parseOrNull(a), parseOrNull(b)))
 
+  private def mergeInStr(a: String, ptr: String, b: String): String =
+    serialize(mergeIn(parseOrNull(a), ptr, parseOrNull(b)))
+
   test("it_should_merge_array_string (merge.rs:144-149)") {
     assert(mergeStr("""["a","b"]""", """["b","c"]""") == """["a","b","c"]""")
   }
@@ -68,6 +71,81 @@ class HotdogJsonSpec extends AnyFunSuite {
     val t = config.parseTemplate("""{"hello":"{{name}}"}""")
     val rendered = t.renderString(Map("name" -> "world"))
     assert(performMerge("{}", rendered) == """{"hello":"world"}""")
+  }
+
+  test("it_should_merge_an_array_in_a_specifique_field_path (merge.rs:182-188)") {
+    assert(mergeInStr("""{"my_array":[{"a":"t"}]}""", "/my_array", """["b","c"]""")
+      == """{"my_array":[{"a":"t"},"b","c"]}""")
+  }
+
+  test("it_should_merge_an_object_in_a_specifique_field_path (merge.rs:190-196)") {
+    assert(mergeInStr("""{"my_array":[{"a":"t"}]}""", "/my_array", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t"},{"b":"c"}]}""")
+  }
+
+  test("it_should_merge_in_an_object_in_specifique_path_position (merge.rs:198-204)") {
+    assert(mergeInStr("""{"my_array":[{"a":"t"}]}""", "/my_array/0", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t","b":"c"}]}""")
+  }
+
+  test("it_should_merge_an_array_in_specifique_path_position (merge.rs:206-212)") {
+    assert(mergeInStr("""{"my_array":[{"a":"t"}]}""", "/my_array/1", """{"b":"c"}""")
+      == """{"my_array":[{"a":"t"},{"b":"c"}]}""")
+  }
+
+  test("it_should_build_new_object (merge.rs:214-224)") {
+    // Value::default() is null; three merge_ins build the object up
+    var v = parseOrNull("null")
+    v = mergeIn(v, "/field", parseOrNull("\"value\""))
+    v = mergeIn(v, "/object", parseOrNull("{}"))
+    v = mergeIn(v, "/array", parseOrNull("[]"))
+    assert(serialize(v) == """{"array":[],"field":"value","object":{}}""")
+  }
+
+  test("it_should_merge_in_root_array (merge.rs:226-231)") {
+    assert(mergeInStr("""["value"]""", "/", """["new_value"]""")
+      == """["value","new_value"]""")
+  }
+
+  test("it_should_merge_in_root_object (merge.rs:233-240)") {
+    assert(mergeInStr("""{"field":"value"}""", "/", """{"field2":"value2"}""")
+      == """{"field":"value","field2":"value2"}""")
+  }
+
+  test("merge_in: deep-merge nested path (merge.rs:47-56 doc example)") {
+    assert(mergeInStr("""{"my_array":[{"a":"t"}]}""", "/my_array/0/a", """{"b":"c"}""")
+      == """{"my_array":[{"a":{"b":"c"}}]}""")
+  }
+
+  test("merge_in quirks: missing steps materialize via the plain merge rules") {
+    // missing object step: scaffold {"b": null} then retry
+    assert(mergeInStr("""{"a":1}""", "/b/c", """{"x":2}""")
+      == """{"a":1,"b":{"c":{"x":2}}}""")
+    // numeric step under an OBJECT root: the [null] scaffold hits the
+    // object ⊕ array overwrite arm — the whole object is REPLACED
+    assert(mergeInStr("""{"a":1}""", "/0", "\"v\"") == """["v"]""")
+    // adjacent index on an array root appends (null scaffold then merge)
+    assert(mergeInStr("""[1]""", "/1", "\"v\"") == """[1,"v"]""")
+    // RFC 6901 unescape in resolvable steps (~1 → '/', ~0 → '~')
+    assert(mergeInStr("""{"a/b":{"x":1}}""", "/a~1b", """{"y":2}""")
+      == """{"a/b":{"x":1,"y":2}}""")
+    // unmaterializable pointer (index far past the end: [null] scaffold
+    // dedups with itself forever): the reference recurses infinitely —
+    // we fail fast instead
+    assertThrows[IllegalArgumentException](
+      mergeIn(parseOrNull("[]"), "/5", parseOrNull("1")))
+  }
+
+  test("json_hotdog_merge_in SQL function") {
+    val spark = SparkSpec.spark
+    Functions.registerAll(spark)
+    val out = spark.sql(
+      """SELECT json_hotdog_merge_in('{"my_array":[{"a":"t"}]}', '/my_array', '{"b":"c"}') AS m,
+        |       json_hotdog_merge_in('not json', '/', '{}') AS bad,
+        |       json_hotdog_merge_in('[]', '/5', '1') AS unmat""".stripMargin).head()
+    assert(out.getString(0) == """{"my_array":[{"a":"t"},{"b":"c"}]}""")
+    assert(out.isNullAt(1))
+    assert(out.isNullAt(2))
   }
 
   test("serialization: compact, keys sorted, serde-style escapes") {

@@ -50,6 +50,25 @@ class RouterSpec extends AnyFunSuite {
       s"""{"i":7,"meta":{"hotdog":{"timestamp":"$FixedIso","version":"0.5.1"},"topic":"test"}}"""))
   }
 
+  test("replace template with {{&var}} raw form and dotted paths (Spark render path)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '^hello\s+(?P<name>\w+)'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: 'esc={{msg}} amp={{&msg}} miss={{name.x}}|'
+        |      - type: forward
+        |        topic: test
+        |""".stripMargin)
+    val line = "<13>1 2020-04-18T15:16:09Z h app - - - hello a<b>"
+    val Array(r) = route(Seq(line), cfg)
+    assert(r.topic.contains("test"))
+    // {{msg}} escapes, {{&msg}} raw, {{name.x}} dotted → "" (flat context)
+    assert(r.output.contains("esc=hello a&lt;b&gt; amp=hello a<b> miss=|"))
+    assert(Oracle.route(line, cfg, FixedIso).output == r.output)
+  }
+
   test("flagship: catch-all → logs-unknown with raw msg") {
     val line = "<190>May 13 21:45:18 coconut hotdog: some plain text"
     val Array(r) = route(Seq(line))

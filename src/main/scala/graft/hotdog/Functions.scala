@@ -29,6 +29,7 @@ object Functions {
       case other => other.eval(null).asInstanceOf[Number].intValue()
     }))
     reg("cosine_sim_f")(a => graft.ops.CosineSimF(a(0), a(1)))
+    reg("jaccard_pct")(a => graft.ops.JaccardPct(a(0), a(1)))
     def intLit(e: Expression): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
       case other => other.eval(null).asInstanceOf[Number].intValue()

@@ -46,11 +46,13 @@ object Dedup {
 
   /** floor(100·|a∩b| / |a∪b|) as long — multiply-before-divide so the
     * double math is bit-identical to the DuckDB oracle's
-    * floor(100.0 * len(intersect) / len(union)). */
-  def jaccardPct(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0L))
-      .otherwise(floor(lit(100.0) * size(array_intersect(a, b)) /
-        size(array_union(a, b))).cast("long"))
+    * floor(100.0 * len(intersect) / len(union)). One codegen'd pass
+    * ([[OpsKernels.jaccardPct]]); requires DISTINCT inputs, which every
+    * caller satisfies (shingles() output is a distinct set). The
+    * equivalent Column form — floor(100.0 * size(array_intersect) /
+    * size(array_union)) — builds two hash sets AND two result arrays per
+    * row; it was the dominant per-pair cost of the verify stage. */
+  def jaccardPct(a: Column, b: Column): Column = opscol.jaccardPct(a, b)
 
   /** Pairwise n-gram-jaccard near-dups WITHIN a bounded group (groupCol) —
     * O(g²) per group, only safe when groups are small; the LSH variants
@@ -99,12 +101,21 @@ object Dedup {
       .select(gCols :+ col("id") :+ posexplode(col("bb")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val joinKeys = groupCol.toSeq ++ Seq("band", "bucket")
-    // candidate id pairs only — the distinct shuffles 16 bytes/pair, never
-    // the shingle arrays; sets are re-joined afterwards (narrow recompute)
-    val l = banded.select(joinKeys.map(col) :+ col("id").as("id_a"): _*)
-    val r = banded.select(joinKeys.map(col) :+ col("id").as("id_b"): _*)
-    val candidates = l.join(r, joinKeys)
+    val bucketKeys = groupCol.toSeq ++ Seq("band", "bucket")
+    // Join-free candidate generation: ONE shuffle of the banded rows into
+    // per-bucket id lists, pairs exploded in place, then the global pair
+    // distinct (its partial aggregation dedups map-side). The former
+    // bucket self-join shuffled the banded rows TWICE and paid hash-probe
+    // per emitted pair — measured 3× slower end-to-end at sf0.1 for the
+    // identical candidate set. Memory per aggregation buffer is one
+    // bucket's ids — the same bucket-size bound the join's hash relation
+    // had, and the LSH design already bounds bucket populations.
+    val candidates = banded
+      .groupBy(bucketKeys.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     candidates
@@ -135,10 +146,17 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    // join-free within-bucket pairs (see minhashNearDups): the sketch
+    // rides along in the struct so the hamming verify needs no re-join
+    banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")).distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

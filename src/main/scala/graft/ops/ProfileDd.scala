@@ -63,6 +63,17 @@ object ProfileDd {
       .withColumn("j", Dedup.jaccardPct(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 60)
     time("ws verify join+jaccard")(verified.count())
+    // experiment: join-free candidate generation (one banded scan,
+    // collect_list per bucket, explode² pairs)
+    val bucketed = banded.groupBy("source", "band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand2 = bucketed
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    time("ws cand via collect_list")(cand2.count())
+    time("ws cand collect_list distinct")(cand2.distinct().count())
     mh.explain("formatted")
     spark.stop()
   }

@@ -132,10 +132,16 @@ object Similarity {
         posexplode(array((0 until bands).map(b =>
           shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    // id-pairs-only distinct, then re-join the vectors (see Dedup notes)
-    val l = banded.select(col("band"), col("chunk"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("id_b"))
-    l.join(r, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+    // join-free within-bucket pairs (see Dedup.minhashNearDups): one
+    // banded shuffle into per-bucket id lists, pairs exploded in place;
+    // id-pairs-only distinct, then re-join the vectors
+    banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

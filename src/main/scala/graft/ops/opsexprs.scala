@@ -173,22 +173,72 @@ object OpsKernels {
     new GenericArrayData(arr)
   }
 
-  /** Cosine similarity between two float arrays, accumulated in double. */
+  /** Cosine similarity between two float arrays, accumulated in double.
+    * Bulk-copies to primitive arrays first (one Platform.copyMemory for
+    * UnsafeArrayData) so the accumulation loop runs on float[] — no
+    * per-element virtual getFloat calls, and the JIT can vectorize it.
+    * At 1e12-row scale the ANN re-rank is dot-product-bound, so this loop
+    * IS the verify cost. Accumulation order is unchanged (left-to-right
+    * per index) — results stay bit-identical to the previous kernel. */
   def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val xs = a.toFloatArray()
+    val ys = b.toFloatArray()
+    val n = math.min(xs.length, ys.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = xs(i).toDouble
+      val y = ys(i).toDouble
       dot += x * y
       na += x * x
       nb += y * y
       i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** floor(100·|a∩b| / |a∪b|) over two DISTINCT string arrays, in ONE
+    * open-hashing pass: build a set over `a`, count `b`'s hits; by
+    * distinctness |a∪b| = |a|+|b|−|a∩b|. Replaces the
+    * array_intersect+array_union Column pair, which builds two hash sets
+    * AND materializes two result arrays per row — the dominant per-pair
+    * cost of the dedup verify stage. Double math matches the Column form
+    * (100.0 · i / u, floored) bit-for-bit, and both agree with the DuckDB
+    * oracle's floor(100.0 * len(intersect) / len(union)).
+    * REQUIRES distinct inputs (WordShingles output is). */
+  def jaccardPct(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0L
+    // open-addressing table of a's elements, 2x size, power of two
+    var cap = 8
+    while (cap < na * 2) cap <<= 1
+    val table = new Array[UTF8String](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < na) {
+      val s = a.getUTF8String(i)
+      var slot = (s.hashCode() & 0x7fffffff) & mask
+      while (table(slot) != null) slot = (slot + 1) & mask // distinct: no equals check needed
+      table(slot) = s
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val s = b.getUTF8String(i)
+      var slot = (s.hashCode() & 0x7fffffff) & mask
+      var found = false
+      while (!found && table(slot) != null) {
+        if (table(slot).equals(s)) found = true else slot = (slot + 1) & mask
+      }
+      if (found) inter += 1
+      i += 1
+    }
+    val union = na + nb - inter
+    math.floor(100.0 * inter / union).toLong
   }
 
   /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once
@@ -266,6 +316,21 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "cosine_sim_f"
 }
 
+/** `JaccardPct(a array<string>, b array<string>) -> long`: one-pass
+  * integer jaccard percent over DISTINCT shingle arrays (the verify
+  * primitive of every dedup path). */
+case class JaccardPct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    OpsKernels.jaccardPct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.OpsKernels.jaccardPct($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardPct =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_pct"
+}
+
 /** `WordShingles(text, n) -> array<string>` (n literal): normalized
   * distinct word n-gram shingles in one codegen'd pass. */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
@@ -314,6 +379,8 @@ object opscol {
     graftshim.column(MinHashSig(graftshim.expression(c), k))
   def cosineSimF(a: Column, b: Column): Column =
     graftshim.column(CosineSimF(graftshim.expression(a), graftshim.expression(b)))
+  def jaccardPct(a: Column, b: Column): Column =
+    graftshim.column(JaccardPct(graftshim.expression(a), graftshim.expression(b)))
   def hyperplaneSig(c: Column, planes: Int): Column =
     graftshim.column(HyperplaneSig(graftshim.expression(c), planes))
   def minhashBands(c: Column, bands: Int): Column =

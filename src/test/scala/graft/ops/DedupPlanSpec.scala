@@ -28,8 +28,14 @@ class DedupPlanSpec extends AnyFunSuite {
             s"$name join keys $refs include no bounded bucket/id column")
         case _ => ()
       }
-      // the near-dup queries are join-based; make sure we actually checked
-      if (name != "dd_exact") assert(joins > 0, s"$name had no joins to audit")
+      // the LSH paths generate candidates join-free (collect_list per
+      // bucket + explode²); only the shingle/vector VERIFY re-joins on id.
+      // dd_exact has no joins at all, and dd_simhash carries its sketch
+      // through the bucket lists so even the verify needs no join — pin
+      // that stronger property.
+      if (name == "dd_simhash") assert(joins == 0,
+        s"dd_simhash should be join-free, found $joins joins")
+      else if (name != "dd_exact") assert(joins > 0, s"$name had no joins to audit")
     }
   }
 

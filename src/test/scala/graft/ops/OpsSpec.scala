@@ -94,6 +94,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardPct kernel == array_intersect/array_union Column form on random distinct sets") {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val vocab = ('a' to 'p').map(_.toString)
+      val a = rng.shuffle(vocab).take(1 + rng.nextInt(10)).toArray
+      val b = rng.shuffle(vocab).take(rng.nextInt(12)).toArray
+      (a, b)
+    } :+ ((Array.empty[String], Array.empty[String])) :+
+      ((Array("x"), Array.empty[String]))
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      opscol.jaccardPct(col("a"), col("b")).as("kernel"),
+      when(size(array_union(col("a"), col("b"))) === 0, lit(0L))
+        .otherwise(floor(lit(100.0) * size(array_intersect(col("a"), col("b"))) /
+          size(array_union(col("a"), col("b")))).cast("long")).as("columns"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("jaccardPairsWithin (bounded-group verification primitive) == LSH variant on a small group") {
     val exact = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "source", 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

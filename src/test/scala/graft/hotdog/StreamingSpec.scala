@@ -37,6 +37,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == batch)
   }
 
+  test("kill MID-stream, restart from checkpoint: no duplicate, no missing row") {
+    val tmp = Files.createTempDirectory("graft-stream-kill").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val seqs = Corpus.sequences(spark, 8000, seed = 41L)
+    seqs.repartition(24).write.parquet(in) // 24 files → 24 micro-batches
+
+    // run 1: one file per trigger; kill as soon as the FIRST batch commits
+    // (poll the sink for a committed batch dir), leaving the rest pending
+    val q = Streaming.routeStream(spark, in, Configs.flagship, out, ckpt,
+      maxFilesPerTrigger = 1)
+    val deadline = System.currentTimeMillis() + 120000
+    def committedBatches(): Seq[String] = {
+      val d = new java.io.File(out)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().toSeq.map(_.getName).filter(_.startsWith("batch_id="))
+    }
+    while (committedBatches().isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    q.stop() // mid-stream kill: later batches never ran
+    q.awaitTermination()
+    val afterKill = committedBatches().size
+    assert(afterKill >= 1, "kill fired before any batch committed")
+    assert(afterKill < 24, "query finished before the kill — not a mid-stream test")
+
+    // run 2: same checkpoint — must resume from the next pending file,
+    // reprocess nothing, and idempotently finish any half-written batch
+    val q2 = Streaming.routeStream(spark, in, Configs.flagship, out, ckpt,
+      maxFilesPerTrigger = 4)
+    q2.awaitTermination()
+
+    val batchAnswer = Router.route(seqs, Configs.flagship)
+      .filter(col("topic").isNotNull)
+      .select("doc_id", "topic")
+    // exact ROWSET equality (doc_id, topic) — stronger than count parity:
+    // any duplicate or dropped row across the kill/restart breaks this
+    val streamed = spark.read.parquet(out).select("doc_id", "topic")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val expected = batchAnswer.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.length == expected.length,
+      s"streamed ${streamed.length} rows vs batch ${expected.length}")
+    assert(streamed.toSeq == expected.toSeq)
+  }
+
   test("windowed per-topic counts with watermark (memory sink)") {
     val tmp = Files.createTempDirectory("graft-stream-w").toString
     val in = s"$tmp/in"

@@ -48,6 +48,23 @@ class SyslogParseSpec extends AnyFunSuite {
     assert(p.msg == "hi")
   }
 
+  test("facility names 12-15 pinned: ntp/audit/alert/clockd on BOTH parse paths") {
+    // the one region of the PRI table no reference test pins (hotdog's
+    // 5424 path uses syslog_rfc5424's names, its 3164 path syslog_loose;
+    // we commit to ntp/audit/alert/clockd for both — model.scala note).
+    // The flagship corpus (pri = event_id % 192) hits these daily via
+    // hd_parse_fields' 10k-row oracle; this is the targeted pin.
+    val expect = Seq(96 -> "ntp", 104 -> "audit", 112 -> "alert", 120 -> "clockd")
+    for ((pri, fac) <- expect) {
+      val p5424 = SyslogParser.parseToOption(
+        s"<$pri>1 2020-04-18T15:16:09Z h app - - - m")
+      assert(p5424.exists(_.facility.contains(fac)), s"5424 pri=$pri")
+      assert(p5424.exists(_.severity.contains("emerg")), s"5424 pri=$pri sev")
+      val p3164 = SyslogParser.parseToOption(s"<$pri>May 13 21:45:18 h app: m")
+      assert(p3164.exists(_.facility.contains(fac)), s"3164 pri=$pri")
+    }
+  }
+
   test("PRI bounds: >191 rejected; 0 is kern/emerg") {
     assert(SyslogParser.parseToOption("<192>1 2020-04-18T15:16:09Z h a - - - m").isEmpty)
     val p = SyslogParser.parseToOption("<0>1 2020-04-18T15:16:09Z h a - - - m").get

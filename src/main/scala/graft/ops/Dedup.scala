@@ -83,24 +83,32 @@ object Dedup {
     * all-pairs join. Recall tuning: P(candidate) = 1-(1-j^rowsPer)^bands;
     * more bands / fewer rowsPer raises recall near the threshold (the
     * wordset query uses 32×2 → miss ≈ (1-0.6²)^32 < 1e-6 at j=0.6). */
-  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
-      shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
+  /** The banded (group?, id, band, bucket) rows of the minhash-LSH path —
+    * exposed so benches can audit the bucket-size distribution with the
+    * exact production banding. */
+  def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleN: Int,
+      groupCol: Option[String]): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val gCols = groupCol.toSeq.map(col)
-    // shingle sets for verification joins (no signature attached)
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     // banding needs only (group?, id, band, bucket) — signatures never
     // shuffle; bucket hashes are integer-native (MinHashBands, no string
     // round-trip per band)
-    val banded = df
-      .select(gCols :+ col(idCol).as("id") :+
+    df.select(gCols :+ col(idCol).as("id") :+
         opscol.minhashBands(
           opscol.minhashSig(shingles(col(textCol), shingleN), numHashes),
           bands).as("bb"): _*)
       .select(gCols :+ col("id") :+ posexplode(col("bb")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
+  }
+
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
+    // shingle sets for verification joins (no signature attached)
+    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleN, groupCol)
     val bucketKeys = groupCol.toSeq ++ Seq("band", "bucket")
     // Join-free candidate generation: ONE shuffle of the banded rows into
     // per-bucket id lists, pairs exploded in place, then the global pair

@@ -115,6 +115,23 @@ class OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("DedupScalingBench planted corpus: exact recall accounting at 20k docs") {
+    val spark = docs.sparkSession
+    val n = 20000L
+    val c = DedupScalingBench.corpus(spark, n, parts = 8)
+    val pairs = Dedup.minhashNearDups(c, "doc_id", "text", 60, 64, 32, 3, None)
+      .collect()
+    val planted = pairs.filter(r =>
+      r.getLong(0) / 100 == r.getLong(1) / 100 &&
+        r.getLong(0) % 100 < 4 && r.getLong(1) % 100 < 4)
+    // every planted pair differs in exactly 1 of 15 words → jaccard 62.5 → 62
+    assert(planted.forall(_.getLong(2) == 62L),
+      planted.filter(_.getLong(2) != 62L).take(3).mkString(","))
+    assert(planted.length == (n / 100 * 6).toInt) // 100% recall on the plant
+    assert(pairs.length == planted.length, // no accidental cross-pairs at this n
+      s"extras: ${pairs.length - planted.length}")
+  }
+
   test("jaccardPairsWithin (bounded-group verification primitive) == LSH variant on a small group") {
     val exact = Dedup.jaccardPairsWithin(docs, "doc_id", "text", "source", 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

@@ -10,11 +10,28 @@ DOCS="${1:-50000000}"
 JAR="target/scala-2.13/hotdogspark_2.13-0.1.0.jar"
 SUBMIT=/opt/spark/bin/spark-submit
 
-$SUBMIT --master "local[8]" --driver-memory 48g \
-  --driver-java-options "-XX:ActiveProcessorCount=8" \
+# Shuffle goes to tmpfs at BOTH levels: on a real cluster shuffle lands on
+# executor-local NVMe whose aggregate bandwidth scales with the executor
+# count, but this sandbox has ONE shared virtio disk whose erratic
+# throughput would dominate trial variance and bottleneck both "clusters"
+# identically (see the 48M router note in BENCH/BASELINE.md). RAM-backed
+# shuffle restores the scales-with-cores property the metric assumes.
+# -Xms pre-sizes the heap: the first full-size run otherwise pays the
+# growth full-GCs inside its measurement. ReservedCodeCacheSize=1g +
+# -DontCompileHugeMethods keep the JIT compiling across repeated trials:
+# each re-execution generates fresh codegen classes, and once the default
+# 240 MB code cache fills the compiler silently disables — stages then run
+# as interpreted bytecode 10-40x slower, which showed up as bimodal trial
+# times.
+mkdir -p /dev/shm/graft-shuffle
+$SUBMIT --master "local[8]" --driver-memory 40g \
+  --driver-java-options "-Xms40g -XX:ActiveProcessorCount=8 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
+  --conf spark.local.dir=/dev/shm/graft-shuffle \
   --class graft.ops.DedupScalingBench "$JAR" level 8 "$DOCS" /tmp/dsb8.json
-$SUBMIT --master "local[32]" --driver-memory 48g \
-  --driver-java-options "-XX:ActiveProcessorCount=32" \
+$SUBMIT --master "local[32]" --driver-memory 40g \
+  --driver-java-options "-Xms40g -XX:ActiveProcessorCount=32 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
+  --conf spark.local.dir=/dev/shm/graft-shuffle \
   --class graft.ops.DedupScalingBench "$JAR" level 32 "$DOCS" /tmp/dsb32.json
-$SUBMIT --master "local[32]" --driver-memory 48g \
+$SUBMIT --master "local[32]" --driver-memory 40g \
+  --conf spark.local.dir=/dev/shm/graft-shuffle \
   --class graft.ops.DedupScalingBench "$JAR" combine "$DOCS" /tmp/dsb8.json /tmp/dsb32.json BENCH/DEDUP.md

@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, graftshim}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.types._
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its shuffle profile at 100 TB:
@@ -103,33 +106,217 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** All (a,b) pairs of payload rows sharing a bucket key, join-free AND
+    * aggregation-free: ONE hash shuffle on `keyCols`, a binary
+    * within-partition sort (UnsafeRow radix/Tim sort — spill-safe), then a
+    * streaming pass that buffers one equal-key run at a time and emits its
+    * pairs ordered by the first payload column (the id; null ids never
+    * pair). Pass `keyCols` with the high-cardinality bucket hash FIRST so
+    * the sort's radix prefix does nearly all the discrimination.
+    *
+    * This replaces groupBy(keys).agg(collect_list): collect_list plans as
+    * ObjectHashAggregateExec, which silently falls back to SORT-BASED
+    * aggregation past spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    * (default 128!) distinct keys per task — and LSH buckets are
+    * ~all-unique by design, so at web scale every task crossed it and paid
+    * a giant per-task OBJECT sort whose in-memory buffer re-sorts on every
+    * memory-pressure spill (observed wedging a 50M-doc run for 2h on one
+    * straggler). Memory here is bounded by the largest single bucket —
+    * exactly the bound the LSH banding already guarantees for candidate
+    * counts — and the sort spills through Spark's normal binary sorter.
+    * Output columns: <pay>_a, <pay>_b for each payload column, pair-ordered
+    * so id_a < id_b. */
+  private[ops] def withinBucketPairs(banded: DataFrame, keyCols: Seq[String],
+      payCols: Seq[String]): DataFrame = {
+    val nk = keyCols.length
+    val np = payCols.length
+    val proj = banded.select((keyCols ++ payCols).map(col): _*)
+    val inTypes = proj.schema.fields.map(_.dataType)
+    val outSchema = StructType(payCols.flatMap { p =>
+      val f = proj.schema(p)
+      Seq(StructField(p + "_a", f.dataType, f.nullable),
+        StructField(p + "_b", f.dataType, f.nullable))
+    })
+    val sorted = proj
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col): _*)
+    // The pair stream runs at the InternalRow level: the RowEncoder
+    // mapPartitions form allocated ~6 objects per banded row (external
+    // Row + field boxes + key/payload arrays), and at web scale this
+    // stage touches every banded row — GC was 20%+ of stage CPU in the
+    // 50M-doc bench. Here the only per-row allocation is one UnsafeRow
+    // copy into the current run buffer, and emitted pairs reuse a single
+    // UnsafeRowWriter (downstream exchange/aggregate copy on intake, the
+    // same contract codegen'd operators rely on).
+    val spark = banded.sparkSession
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      // type-dispatched, box-free field equality for the run key
+      def eqAt(i: Int): (InternalRow, InternalRow) => Boolean = {
+        val vEq: (InternalRow, InternalRow) => Boolean = inTypes(i) match {
+          case LongType => (a, b) => a.getLong(i) == b.getLong(i)
+          case IntegerType => (a, b) => a.getInt(i) == b.getInt(i)
+          case StringType => (a, b) => a.getUTF8String(i) == b.getUTF8String(i)
+          case t =>
+            val acc = InternalRow.getAccessor(t)
+            (a, b) => java.util.Objects.equals(acc(a, i), acc(b, i))
+        }
+        (a, b) => {
+          val an = a.isNullAt(i); val bn = b.isNullAt(i)
+          if (an || bn) an && bn else vEq(a, b)
+        }
+      }
+      val keyEq = Array.tabulate(nk)(eqAt)
+      // ordering of the pair by its first payload (the id) — binary
+      // UTF8String order for strings, which matches Column `<`
+      val idOrd = nk
+      val idCmp: (InternalRow, InternalRow) => Int = inTypes(idOrd) match {
+        case LongType => (a, b) => java.lang.Long.compare(a.getLong(idOrd), b.getLong(idOrd))
+        case IntegerType => (a, b) => java.lang.Integer.compare(a.getInt(idOrd), b.getInt(idOrd))
+        case StringType => (a, b) => a.getUTF8String(idOrd).compareTo(b.getUTF8String(idOrd))
+        case t =>
+          val acc = InternalRow.getAccessor(t)
+          (a, b) => acc(a, idOrd).asInstanceOf[Comparable[Any]]
+            .compareTo(acc(b, idOrd))
+      }
+      val writer = new UnsafeRowWriter(2 * np)
+      // type-dispatched copy of payload p of `src` into output slot `slot`
+      def copierAt(p: Int): (InternalRow, Int) => Unit = {
+        val i = nk + p
+        val cp: (InternalRow, Int) => Unit = inTypes(i) match {
+          case LongType => (r, slot) => writer.write(slot, r.getLong(i))
+          case IntegerType => (r, slot) => writer.write(slot, r.getInt(i))
+          case StringType => (r, slot) => writer.write(slot, r.getUTF8String(i))
+          case DoubleType => (r, slot) => writer.write(slot, r.getDouble(i))
+          case FloatType => (r, slot) => writer.write(slot, r.getFloat(i))
+          case BooleanType => (r, slot) => writer.write(slot, r.getBoolean(i))
+          case ShortType => (r, slot) => writer.write(slot, r.getShort(i))
+          case ByteType => (r, slot) => writer.write(slot, r.getByte(i))
+          case BinaryType => (r, slot) => writer.write(slot, r.getBinary(i))
+          case t => throw new IllegalArgumentException(
+            s"withinBucketPairs payload type $t not supported")
+        }
+        (r, slot) => if (r.isNullAt(i)) writer.setNullAt(slot) else cp(r, slot)
+      }
+      val copiers = Array.tabulate(np)(copierAt)
+      // Hand-rolled state machine rather than map/flatMap/Option iterator
+      // composition: the functional form routes every banded row through
+      // the JVM-wide polymorphic Iterator call sites, whose inline caches
+      // get POLLUTED by every other iterator user in the process —
+      // observed as the same stage swinging 147→1323 CPU-seconds between
+      // runs in one JVM with zero GC. A monomorphic while-loop iterator
+      // is immune (and allocation-free per row beyond the run-buffer
+      // copy).
+      new Iterator[InternalRow] {
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        private var head: InternalRow = null // first (copied) row of the run
+        private var grp: Array[InternalRow] = null // closed run being emitted
+        private var gi = 0
+        private var gj = 1
+        private var out: InternalRow = null
+        private var inputDone = false
+
+        private def sameKey(r: InternalRow): Boolean = {
+          if (head == null) return false
+          var i = 0
+          while (i < nk) { if (!keyEq(i)(r, head)) return false; i += 1 }
+          true
+        }
+
+        private def closeRun(): Unit = {
+          if (buf.length >= 2) { grp = buf.toArray; gi = 0; gj = 1 }
+          buf.clear()
+        }
+
+        /** next pair of the closed run, or null when drained */
+        private def pairFromGroup(): InternalRow = {
+          while (grp != null) {
+            if (gi >= grp.length - 1) grp = null
+            else {
+              val a = grp(gi)
+              val b = grp(gj)
+              gj += 1
+              if (gj >= grp.length) { gi += 1; gj = gi + 1 }
+              if (!a.isNullAt(idOrd) && !b.isNullAt(idOrd)) {
+                val cmp = idCmp(a, b)
+                if (cmp != 0) { // one banding row per id per bucket
+                  val lo = if (cmp < 0) a else b
+                  val hi = if (cmp < 0) b else a
+                  writer.reset()
+                  writer.zeroOutNullBytes()
+                  var p = 0
+                  while (p < np) {
+                    copiers(p)(lo, 2 * p); copiers(p)(hi, 2 * p + 1); p += 1
+                  }
+                  return writer.getRow
+                }
+              }
+            }
+          }
+          null
+        }
+
+        private def fetch(): Unit = {
+          while (out == null) {
+            val p = pairFromGroup()
+            if (p != null) { out = p; return }
+            if (inputDone) return
+            if (it.hasNext) {
+              val r = it.next()
+              if (sameKey(r)) buf += r.copy()
+              else {
+                closeRun() // arms grp if the previous run had >= 2 rows
+                val c = r.copy()
+                head = c
+                buf += c
+              }
+            } else {
+              inputDone = true
+              closeRun()
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { if (out == null) fetch(); out != null }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("withinBucketPairs")
+          val r = out
+          out = null
+          r
+        }
+      }
+    }
+    graftshim.internalCreateDataFrame(spark, rdd, outSchema)
+  }
+
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
-    // shingle sets for verification joins (no signature attached)
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    // verification join carries the raw TEXT, not the shingle arrays: the
+    // trigram set is ~4× the text's bytes, and this join shuffles every
+    // doc twice — shingles are recomputed post-join on the (much smaller)
+    // matched-candidate rows only
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("t"))
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleN, groupCol)
-    val bucketKeys = groupCol.toSeq ++ Seq("band", "bucket")
-    // Join-free candidate generation: ONE shuffle of the banded rows into
-    // per-bucket id lists, pairs exploded in place, then the global pair
-    // distinct (its partial aggregation dedups map-side). The former
-    // bucket self-join shuffled the banded rows TWICE and paid hash-probe
-    // per emitted pair — measured 3× slower end-to-end at sf0.1 for the
-    // identical candidate set. Memory per aggregation buffer is one
-    // bucket's ids — the same bucket-size bound the join's hash relation
-    // had, and the LSH design already bounds bucket populations.
-    val candidates = banded
-      .groupBy(bucketKeys.map(col): _*)
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Join-free candidate generation: ONE shuffle of the banded rows
+    // (bucket hash leads the sort key — see withinBucketPairs), pairs
+    // streamed per equal-key run, then the global pair distinct (its
+    // partial aggregation dedups map-side). The former bucket self-join
+    // shuffled the banded rows TWICE and paid hash-probe per emitted
+    // pair — measured 3× slower end-to-end at sf0.1 for the identical
+    // candidate set. The band INDEX never rides the shuffle:
+    // minhashBands already mixes it into the bucket hash, so bucket
+    // equality alone groups band-locally, and a cross-band 64-bit hash
+    // collision can only ADD a candidate pair that the exact-jaccard
+    // verify filters — at web scale the banded shuffle dominates the job,
+    // and dropping the band column cuts it by a third.
+    val candidates =
+      withinBucketPairs(banded.drop("band"), Seq("bucket") ++ groupCol, Seq("id"))
+        .distinct()
     candidates
-      .join(sig.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard_pct", jaccardPct(col("sh_a"), col("sh_b")))
+      .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
+      .withColumn("jaccard_pct",
+        jaccardPct(shingles(col("t_a"), shingleN), shingles(col("t_b"), shingleN)))
       .filter(col("jaccard_pct") >= minJaccardPct)
       .select("id_a", "id_b", "jaccard_pct")
   }
@@ -154,17 +341,11 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    // join-free within-bucket pairs (see minhashNearDups): the sketch
-    // rides along in the struct so the hamming verify needs no re-join
-    banded
-      .groupBy("band", "chunk")
-      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(col("ms"), explode(col("ms")).as("a"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b")).distinct()
+    // join-free within-bucket pairs (see withinBucketPairs): the sketch
+    // rides along as a second payload so the hamming verify needs no
+    // re-join
+    withinBucketPairs(banded, Seq("chunk", "band"), Seq("id", "sh"))
+      .distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

@@ -45,6 +45,23 @@ object DedupScalingBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // diagnosis aid: SPARK_GRAFT_DEDUP_STAGES=1 prints per-stage wall/cpu/
+    // gc/spill so trial-to-trial variance can be pinned to a stage
+    if (sys.env.get("SPARK_GRAFT_DEDUP_STAGES").contains("1")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val m = i.taskMetrics
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1000.0
+          println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%4d wall=$wall%7.1fs " +
+            f"run=${m.executorRunTime / 1000.0}%8.1fs gc=${m.jvmGCTime / 1000.0}%7.1fs " +
+            f"spillMem=${m.memoryBytesSpilled >> 20}%6dMB spillDisk=${m.diskBytesSpilled >> 20}%6dMB " +
+            f"shufW=${m.shuffleWriteMetrics.bytesWritten >> 20}%6dMB shufR=${m.shuffleReadMetrics.totalBytesRead >> 20}%6dMB " +
+            i.name.takeWhile(_ != '\n').take(60))
+        }
+      })
+    }
     s
   }
 
@@ -55,9 +72,16 @@ object DedupScalingBench {
     val block = id - (id % 100L)
     val isMember = id % 100L < 4L
     // members draw base words from the BLOCK seed (shared within the
-    // cluster), non-members from their own id (unique doc)
+    // cluster), non-members from their own id (unique doc). Position i
+    // draws from its OWN residue class (word index ≡ i mod 15), so no two
+    // positions of one doc can ever collide — every planted pair's shingle
+    // sets differ in exactly the 3 trigrams covering position 7 and its
+    // jaccard is 10/16 = 62.5% BY CONSTRUCTION (a uniform 50k draw lets
+    // ~0.2% of clusters collide two shared words, silently dropping those
+    // pairs below the verify threshold and muddying the recall audit).
     def word(i: Int) =
-      concat(lit("w"), pmod(xxhash64(col("seed"), lit(i)), lit(50000L)))
+      concat(lit("w"),
+        pmod(xxhash64(col("seed"), lit(i)), lit(3333L)) * 15 + i)
     val words = (0 until 15).map { i =>
       if (i == 7) when(isMember, concat(lit("m"), id)).otherwise(word(i))
       else word(i)
@@ -67,8 +91,14 @@ object DedupScalingBench {
       .select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
 
-  private def corpusDirOf(n: Long) = s"/tmp/graft-dedup-corpus-$n"
-  private val WarmDir = "/tmp/graft-dedup-corpus-warm"
+  // corpus lives on tmpfs: the sandbox's one virtio disk sporadically
+  // degrades to ~1 MB/s, and a cold 360 MB corpus read then bills 300+ s
+  // to whichever trial touches it first (observed 375 s first-full-size
+  // outliers with /tmp-resident corpora). A real cluster reads input from
+  // distributed storage whose bandwidth scales with the reader count —
+  // RAM-backed input restores that property for the scaling measurement.
+  private def corpusDirOf(n: Long) = s"/dev/shm/graft-dedup-corpus-$n"
+  private val WarmDir = "/dev/shm/graft-dedup-corpus-warm"
   private def committed(dir: String) = Files.exists(Paths.get(dir, "_SUCCESS"))
 
   private def ensureCorpora(n: Long): Unit = {
@@ -97,7 +127,7 @@ object DedupScalingBench {
 
   private def run(cores: Int, n: Long): RunResult = {
     val minTrials = sys.env.getOrElse("SPARK_GRAFT_DEDUP_TRIALS", "2").toInt
-    val maxTrials = math.max(minTrials, 4)
+    val maxTrials = math.max(minTrials, 6)
     val s = session(cores)
     var pairs = 0L
     def job(in: String): Double = {
@@ -107,16 +137,24 @@ object DedupScalingBench {
       System.gc() // nudge ContextCleaner so old shuffle files free disk
       t
     }
-    // identical-plan-shape warmups until two consecutive agree within 15%
+    // identical-plan-shape warmups until two consecutive agree within 10%:
+    // this job's JIT ramp is LONG (the pair-stream iterator chain + row
+    // encoder keep improving for many executions — observed 26→15→11→8s
+    // on the warm corpus), so warm until genuinely steady; full-size
+    // trials are 10-50× dearer than another 1M-doc warmup.
     val warmups = scala.collection.mutable.ArrayBuffer.empty[Double]
     var steady = false
-    while (!steady && warmups.length < 5) {
+    while (!steady && warmups.length < 12) {
       val t = job(WarmDir)
       if (warmups.nonEmpty)
-        steady = math.abs(t - warmups.last) / math.min(t, warmups.last) < 0.15
+        steady = math.abs(t - warmups.last) / math.min(t, warmups.last) < 0.10
       warmups += t
     }
-    warmups += job(corpusDirOf(n)) // one untimed full-size run
+    // TWO untimed full-size runs: the full-size AQE plan compiles its own
+    // codegen classes (the warm corpus's classes don't cover it), and the
+    // first execution pays that JIT ramp — observed 3-8× the steady wall.
+    warmups += job(corpusDirOf(n))
+    warmups += job(corpusDirOf(n))
     val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
     def spread(ts: collection.Seq[Double]): Double = ts.max / ts.min - 1.0
     while (walls.length < minTrials ||
@@ -146,16 +184,14 @@ object DedupScalingBench {
       n.get("spreadPct").doubleValue())
   }
 
-  private def combine(n: Long, r8: RunResult, r32: RunResult, outMd: String): Unit = {
-    require(r8.docs == n && r32.docs == n, "fragment row counts differ from combine")
-    require(r8.pairs == r32.pairs,
-      s"levels found different pair counts: ${r8.pairs} vs ${r32.pairs}")
-    ensureCorpora(n)
-    val eff = r32.docsPerSec / (4.0 * r8.docsPerSec)
-    val effMedian = r8.medianSec / (4.0 * r32.medianSec)
+  /** verification + skew audit over the planted corpus (untimed):
+    * (found, plantedFound, belowThr, expected, recallPct, extras,
+    * bucketStats row). */
+  private final case class Audit(found: Long, plantedFound: Long,
+      belowThr: Long, expected: Long, recallPct: Double, extras: Long,
+      buckets: Long, maxSz: Long, multi: Long, gt4: Long, candPairsB0: Long)
 
-    // ---- verification pass (untimed, 32 cores) ----
-    val s = session(32)
+  private def auditCorpus(s: SparkSession, n: Long): Audit = {
     val pairs = nearDups(s, corpusDirOf(n))
     val agg = pairs.agg(
       count(lit(1)).as("found"),
@@ -165,10 +201,7 @@ object DedupScalingBench {
       .collect()(0)
     val found = agg.getLong(0)
     val plantedFound = agg.getLong(1)
-    val belowThr = agg.getLong(2)
     val expected = (n / 100L) * 6L
-    val recallPct = 100.0 * plantedFound / expected
-    val extras = found - plantedFound
 
     // bucket-size distribution, band 0 (bands are symmetric by
     // construction — filtering to one band keeps this audit pass at n
@@ -184,7 +217,29 @@ object DedupScalingBench {
       sum(when(col("sz") > 4, 1L).otherwise(0L)).as("gt4"),
       sum(col("sz") * (col("sz") - 1) / 2).as("cand_pairs_band0"))
       .collect()(0)
+    Audit(found, plantedFound, agg.getLong(2), expected,
+      100.0 * plantedFound / expected, found - plantedFound,
+      bs.getLong(0), bs.getLong(1), bs.getLong(2), bs.getLong(3), bs.getLong(4))
+  }
+
+  private def combine(n: Long, r8: RunResult, r32: RunResult, outMd: String): Unit = {
+    require(r8.docs == n && r32.docs == n, "fragment row counts differ from combine")
+    require(r8.pairs == r32.pairs,
+      s"levels found different pair counts: ${r8.pairs} vs ${r32.pairs}")
+    ensureCorpora(n)
+    val eff = r32.docsPerSec / (4.0 * r8.docsPerSec)
+    val effMedian = r8.medianSec / (4.0 * r32.medianSec)
+
+    // ---- verification pass (untimed, 32 cores) ----
+    val s = session(32)
+    val a = auditCorpus(s, n)
     s.stop()
+    val found = a.found
+    val plantedFound = a.plantedFound
+    val belowThr = a.belowThr
+    val expected = a.expected
+    val recallPct = a.recallPct
+    val extras = a.extras
 
     val md =
       f"""# BENCH/DEDUP — minhash-LSH near-dup scaling evidence
@@ -220,9 +275,9 @@ object DedupScalingBench {
          |
          |## Bucket-size distribution (band 0 of 32; bands are symmetric)
          |
-         |- buckets: ${bs.getLong(0)}%d; max bucket size: ${bs.getLong(1)}%d;
-         |  buckets with >1 doc: ${bs.getLong(2)}%d; with >4: ${bs.getLong(3)}%d
-         |- within-bucket candidate pairs this band: ${bs.getLong(4)}%d
+         |- buckets: ${a.buckets}%d; max bucket size: ${a.maxSz}%d;
+         |  buckets with >1 doc: ${a.multi}%d; with >4: ${a.gt4}%d
+         |- within-bucket candidate pairs this band: ${a.candPairsB0}%d
          |
          |The max bucket bound is what keeps the pair explosion safe at
          |100 TB: candidate work is Σ sz·(sz−1)/2 per bucket, so the hot
@@ -233,7 +288,44 @@ object DedupScalingBench {
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)
     println(md)
-    println(s"""{"metric":"dedup_docs_per_sec_local32","value":${r32.docsPerSec},"unit":"docs/sec","local8":${r8.docsPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"docs":$n,"pairs":${r32.pairs},"recall_pct":$recallPct,"planted_expected":$expected,"planted_found":$plantedFound,"extra_pairs":$extras,"below_threshold":$belowThr,"max_bucket":${bs.getLong(1)}}""")
+    println(s"""{"metric":"dedup_docs_per_sec_local32","value":${r32.docsPerSec},"unit":"docs/sec","local8":${r8.docsPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"docs":$n,"pairs":${r32.pairs},"recall_pct":$recallPct,"planted_expected":$expected,"planted_found":$plantedFound,"extra_pairs":$extras,"below_threshold":$belowThr,"max_bucket":${a.maxSz}}""")
+  }
+
+  /** standalone recall + bucket-skew audit at `docs` (untimed): the
+    * two-level timing protocol is run at a size whose level-8 trials fit
+    * the sandbox's wall-clock budget; this mode proves recall and the
+    * bucket bound hold at the full ≥50M-doc scale on the same corpus
+    * generator. Appends to `outMd`. */
+  private def audit(n: Long, outMd: String): Unit = {
+    ensureCorpora(n)
+    val s = session(32)
+    val t0 = System.nanoTime()
+    val a = auditCorpus(s, n)
+    val wall = (System.nanoTime() - t0) / 1e9
+    s.stop()
+    val md =
+      f"""
+         |## Full-scale audit: ${n}%d docs (untimed single pass, local[32])
+         |
+         |Same corpus generator and identical minhash-LSH job at ${n}%d docs
+         |(the two-level timing above uses a size whose local[8] trial
+         |protocol fits the sandbox wall-clock budget; recall and the
+         |skew bound are scale-dependent claims, so they are re-proved at
+         |full scale here):
+         |
+         |- planted near-dup pairs expected: ${a.expected}%d; found ${a.plantedFound}%d
+         |  → **recall ${a.recallPct}%.4f%%**; extras (re-verified real pairs): ${a.extras}%d;
+         |  below-threshold pairs in output: ${a.belowThr}%d (must be 0)
+         |- band-0 buckets: ${a.buckets}%d; max bucket size **${a.maxSz}%d**;
+         |  >1-doc buckets: ${a.multi}%d; >4-doc: ${a.gt4}%d;
+         |  within-bucket candidate pairs this band: ${a.candPairsB0}%d
+         |- audit pass wall (uninstrumented, incl. exact verify of every
+         |  candidate): $wall%.1f s
+         |""".stripMargin
+    val prev = if (Files.exists(Paths.get(outMd))) Files.readString(Paths.get(outMd)) else ""
+    Files.writeString(Paths.get(outMd), prev + md)
+    println(md)
+    println(s"""{"metric":"dedup_audit","docs":$n,"recall_pct":${a.recallPct},"planted_expected":${a.expected},"planted_found":${a.plantedFound},"extra_pairs":${a.extras},"below_threshold":${a.belowThr},"max_bucket":${a.maxSz},"wall_sec":$wall}""")
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
@@ -246,6 +338,9 @@ object DedupScalingBench {
     case Some("combine") =>
       val Array(_, docs, json8, json32, outMd) = args
       combine(docs.toLong, parseFragment(json8), parseFragment(json32), outMd)
+    case Some("audit") =>
+      val Array(_, docs, outMd) = args
+      audit(docs.toLong, outMd)
     case _ =>
       val docs = args.lift(0).map(_.toLong).getOrElse(50000000L)
       val outMd = args.lift(1).getOrElse("BENCH/DEDUP.md")

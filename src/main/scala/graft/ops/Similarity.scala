@@ -132,17 +132,11 @@ object Similarity {
         posexplode(array((0 until bands).map(b =>
           shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    // join-free within-bucket pairs (see Dedup.minhashNearDups): one
-    // banded shuffle into per-bucket id lists, pairs exploded in place;
-    // id-pairs-only distinct, then re-join the vectors
-    banded
-      .groupBy("band", "chunk")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), explode(col("ids")).as("id_a"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // join-free within-bucket pairs (see Dedup.withinBucketPairs): one
+    // banded shuffle, pairs streamed per equal-key run; id-pairs-only
+    // distinct, then re-join the vectors
+    Dedup.withinBucketPairs(banded, Seq("chunk", "band"), Seq("id"))
+      .distinct()
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("sim_e6",

@@ -15,4 +15,13 @@ object graftshim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Lift an RDD[InternalRow] back into a DataFrame without the external
+    * Row round-trip (internalCreateDataFrame is private[sql]). For
+    * operators whose per-row work is too hot for the mapPartitions +
+    * RowEncoder path — the binary rows flow straight through. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }

@@ -16,6 +16,12 @@ SUBMIT=/opt/spark/bin/spark-submit
 # throughput would dominate trial variance and bottleneck both "clusters"
 # identically (see the 48M router note in BENCH/BASELINE.md). RAM-backed
 # shuffle restores the scales-with-cores property the metric assumes.
+# Heap is right-sized at 16g, NOT maximal: the job spills through binary
+# external sorters, and a 40g heap at ActiveProcessorCount=8 (8 GC
+# threads) produced multi-minute full-GC storms during the between-trial
+# System.gc() that starved executor heartbeats until the executor
+# self-terminated at 60 consecutive misses. heartbeatInterval=30s +
+# network.timeout=600s give the remaining pauses headroom.
 # -Xms pre-sizes the heap: the first full-size run otherwise pays the
 # growth full-GCs inside its measurement. ReservedCodeCacheSize=1g +
 # -DontCompileHugeMethods keep the JIT compiling across repeated trials:
@@ -24,14 +30,23 @@ SUBMIT=/opt/spark/bin/spark-submit
 # as interpreted bytecode 10-40x slower, which showed up as bimodal trial
 # times.
 mkdir -p /dev/shm/graft-shuffle
-$SUBMIT --master "local[8]" --driver-memory 40g \
-  --driver-java-options "-Xms40g -XX:ActiveProcessorCount=8 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
+# corpora in their own JVM (a stopped corpus-writer session's executor
+# heartbeat thread would System.exit the level JVM ~10 min in)
+$SUBMIT --master "local[32]" --driver-memory 16g \
   --conf spark.local.dir=/dev/shm/graft-shuffle \
+  --conf spark.executor.heartbeatInterval=30s --conf spark.network.timeout=600s \
+  --class graft.ops.DedupScalingBench "$JAR" gen "$DOCS"
+$SUBMIT --master "local[8]" --driver-memory 16g \
+  --driver-java-options "-Xms16g -XX:ActiveProcessorCount=8 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
+  --conf spark.local.dir=/dev/shm/graft-shuffle \
+  --conf spark.executor.heartbeatInterval=30s --conf spark.network.timeout=600s \
   --class graft.ops.DedupScalingBench "$JAR" level 8 "$DOCS" /tmp/dsb8.json
-$SUBMIT --master "local[32]" --driver-memory 40g \
-  --driver-java-options "-Xms40g -XX:ActiveProcessorCount=32 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
+$SUBMIT --master "local[32]" --driver-memory 16g \
+  --driver-java-options "-Xms16g -XX:ActiveProcessorCount=32 -XX:ReservedCodeCacheSize=1g -XX:-DontCompileHugeMethods" \
   --conf spark.local.dir=/dev/shm/graft-shuffle \
+  --conf spark.executor.heartbeatInterval=30s --conf spark.network.timeout=600s \
   --class graft.ops.DedupScalingBench "$JAR" level 32 "$DOCS" /tmp/dsb32.json
-$SUBMIT --master "local[32]" --driver-memory 40g \
+$SUBMIT --master "local[32]" --driver-memory 16g \
   --conf spark.local.dir=/dev/shm/graft-shuffle \
+  --conf spark.executor.heartbeatInterval=30s --conf spark.network.timeout=600s \
   --class graft.ops.DedupScalingBench "$JAR" combine "$DOCS" /tmp/dsb8.json /tmp/dsb32.json BENCH/DEDUP.md

@@ -215,7 +215,8 @@ object DedupScalingBench {
       max(col("sz")).as("max_sz"),
       sum(when(col("sz") > 1, 1L).otherwise(0L)).as("multi"),
       sum(when(col("sz") > 4, 1L).otherwise(0L)).as("gt4"),
-      sum(col("sz") * (col("sz") - 1) / 2).as("cand_pairs_band0"))
+      // Column./ is FLOATING division — cast back so getLong is valid
+      sum((col("sz") * (col("sz") - 1) / 2).cast("long")).as("cand_pairs_band0"))
       .collect()(0)
     Audit(found, plantedFound, agg.getLong(2), expected,
       100.0 * plantedFound / expected, found - plantedFound,
@@ -329,6 +330,13 @@ object DedupScalingBench {
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      // corpora get their OWN JVM: stopping the corpus-writer session and
+      // starting the level session in one JVM leaves the old context's
+      // executor heartbeat thread retrying against the dead RPC endpoint;
+      // after 60 failures it System.exit()s the whole JVM mid-run.
+      val Array(_, docs) = args
+      ensureCorpora(docs.toLong)
     case Some("level") =>
       val Array(_, cores, docs, outJson) = args
       ensureCorpora(docs.toLong)

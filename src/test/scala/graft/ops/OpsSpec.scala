@@ -267,4 +267,31 @@ class OpsSpec extends AnyFunSuite {
     assert(sh.contains("the lazy dog"))
     assert(sh.length == 7)
   }
+
+  test("withinBucketPairs: string ids, null key/id, multi-payload") {
+    // the production queries exercise only long ids — pin the string-id
+    // comparator/copier paths, null-key grouping (nulls group together,
+    // like the groupBy it replaced), null ids never pairing, and the
+    // multi-payload interleaved output layout
+    val rows = Seq(
+      (10L, "g1", "b", 2L),
+      (10L, "g1", "a", 1L),
+      (10L, "g1", "c", 3L),
+      (10L, "g2", "x", 7L), // same bucket, other group: no cross pair
+      (10L, "g2", "y", 8L),
+      (11L, null.asInstanceOf[String], "p", 4L), // null groups are equal
+      (11L, null.asInstanceOf[String], "q", 5L),
+      (12L, "g3", null.asInstanceOf[String], 9L), // null id never pairs
+      (12L, "g3", "z", 6L),
+      (13L, "g4", "solo", 0L) // singleton bucket emits nothing
+    ).toDF("bucket", "g", "id", "sk")
+    val out = Dedup.withinBucketPairs(rows, Seq("bucket", "g"), Seq("id", "sk"))
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "sk_a", "sk_b"))
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", "b", 1L, 2L), ("a", "c", 1L, 3L), ("b", "c", 2L, 3L),
+      ("x", "y", 7L, 8L),
+      ("p", "q", 4L, 5L)))
+  }
 }

@@ -372,10 +372,23 @@ object HotdogJson {
     val msgJson = parseOrNull(msg)
     if (msgJson == null) return null
     val toMerge = parseOrNull(rhs)
-    if (toMerge == null) return null // reference panics here; can't happen with valid configs
+    if (toMerge == null)
+      // the reference unwraps this parse (src/connection.rs:331) — a merge
+      // template that renders to invalid JSON panics there, so the exact
+      // analog is failing the task, NOT returning null (which the router
+      // would miscount as error.merge_of_invalid_json). This also makes
+      // "null ⇔ msg not valid JSON" an exact contract, which the router's
+      // merge-error counters rely on (they test JsonValid(msg), letting the
+      // stats plan prune the merge+serialize work entirely).
+      throw new IllegalArgumentException(
+        s"merge template rendered invalid JSON: $rhs")
     if (!toMerge.isObject) return msg
     serialize(merge(msgJson, toMerge))
   }
+
+  /** codegen entry for [[JsonValid]]: serde_json::from_str(s).is_ok(). */
+  def jsonValid(s: UTF8String): Boolean =
+    s != null && parseOrNull(s.toString) != null
 
   /** codegen entry for JsonHotdogMergeIn: null ⇔ either side isn't valid
     * JSON or the pointer cannot be materialized (see [[mergeIn]]). */
@@ -439,10 +452,41 @@ case class JmesPathEval(left: Expression, right: Expression)
   override def prettyName: String = "jmespath_eval"
 }
 
+/** `JsonValid(s) -> boolean` — whether `s` parses as a JSON document under
+  * serde_json rules (trailing tokens rejected, non-finite doubles rejected).
+  * Null input → false (never null). Parse-only: this is what the router's
+  * merge-error counters and cascade-kill conditions evaluate, so a stats
+  * query that never reads the merged OUTPUT prunes the merge+serialize
+  * work and pays one parse instead (round-4 bench fix for hd_stats). */
+case class JsonValid(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HotdogJson.jsonValid(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.value} = graft.hotdog.HotdogJson.jsonValid(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonValid =
+    copy(child = newChild)
+  override def prettyName: String = "json_valid"
+}
+
 /** `JsonHotdogMerge(msg, renderedMergeJson) -> string` — A3/A4 merge as a
   * Catalyst expression. Returns null iff `msg` is not valid JSON (the
-  * cascade-kill signal). Codegen via static helper so the router stays
-  * inside whole-stage codegen. */
+  * cascade-kill signal; an invalid RENDERED template fails the task, as the
+  * reference's unwrap panics). Codegen via static helper so the router
+  * stays inside whole-stage codegen. */
 case class JsonHotdogMerge(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = StringType

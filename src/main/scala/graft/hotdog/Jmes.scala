@@ -284,7 +284,12 @@ object Jmes {
       case TLBracket =>
         cur match {
           case TNum(_) | TColon => indexOrSlice(Current)
-          case TStar if peek(1) == TRBracket =>
+          case TStar =>
+            // '[*' must be '[*]' — the reference's jmespath crate rejects
+            // e.g. 'foo[*.b]' at compile time (advisory r3: falling through
+            // to a multi-select list made an invalid rule config load here
+            // where it is load-fatal in the reference)
+            if (peek(1) != TRBracket) fail(expr, "expected ']' after '[*'")
             advance(); advance()
             Projection(Current, projectionRhs(bp(TStar)))
           case _ => multiSelectList()

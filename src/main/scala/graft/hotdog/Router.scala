@@ -153,23 +153,46 @@ object Router {
       if (pieces.isEmpty) lit("") else concat(pieces: _*)
     }
 
-    // ---- L5: hoisted merges, guarded by the rule's matched flag so the
-    // jackson work runs at most once per (row, merge action) and only on
-    // matching rows; multiply-referenced downstream, so CollapseProject
-    // keeps the layer (single evaluation) ----
+    // msg validity under a firing rule — the EXACT null condition of a
+    // hoisted merge (JsonHotdogMerge is null ⇔ msg isn't valid JSON; an
+    // invalid rendered template fails the task like the reference's
+    // unwrap). Routing kill flags and merge-error counters through this
+    // parse-only check instead of `merged.isNull` means a consumer that
+    // never reads the merged OUTPUT (per-topic stats, error counters)
+    // prunes the merge+serialize work entirely — at 1e12 rows the merge
+    // was the stats cascade's dominant term. Two flavors:
+    //  - a rule matched BY a jmespath matcher on the msg field: matched
+    //    already implies the msg parsed, so validity is constant true
+    //    under `fires` and the check folds away completely;
+    //  - otherwise: one shared parse-only `_hd_jsonok` column per row.
+    def msgValidUnder(rule: HRule): Column =
+      if (rule.jmespath.isDefined && rule.field == "msg") lit(true)
+      else col("_hd_jsonok")
+    val needJsonOk = cfg.rules.exists(r =>
+      r.actions.exists(_.isInstanceOf[AMerge]) &&
+        !(r.jmespath.isDefined && r.field == "msg"))
+
+    // ---- L5: hoisted merges (only rules whose OUTPUT needs the merged
+    // string — a statically-non-object merge leaves the buffer at the raw
+    // msg, so it needs no merge at all), guarded by the rule's matched flag
+    // so the jackson work runs at most once per (row, merge action) and
+    // only on matching rows; multiply-referenced downstream, so
+    // CollapseProject keeps the layer (single evaluation) ----
     val mergeCols: Seq[(String, Column)] = cfg.rules.zipWithIndex.flatMap {
       case (rule, i) =>
         val render = renderWith(varsOf(rule, i)) _
         rule.actions.zipWithIndex.collect {
-          case (AMerge(jsonT, staticallyNonObject), j) =>
-            val rhs = if (staticallyNonObject) lit("{}") else render(jsonT)
+          case (AMerge(jsonT, false), j) =>
             s"_hd_mg_${i}_$j" -> when(matchedOf(rule, i),
-              exprs.col(JsonHotdogMerge(exprs.expr(msgCol), exprs.expr(rhs))))
+              exprs.col(JsonHotdogMerge(exprs.expr(msgCol), exprs.expr(render(jsonT)))))
         }
     }
+    val jsonOkCol: Map[String, Column] =
+      if (needJsonOk) Map("_hd_jsonok" -> exprs.col(JsonValid(exprs.expr(msgCol))))
+      else Map.empty
     val staged =
-      if (mergeCols.isEmpty) withMatchers
-      else withMatchers.withColumns(mergeCols.toMap)
+      if (mergeCols.isEmpty && jsonOkCol.isEmpty) withMatchers
+      else withMatchers.withColumns(mergeCols.toMap ++ jsonOkCol)
 
     // ---- L6: the cascade ----
     final case class CompiledRule(
@@ -203,22 +226,26 @@ object Router {
             kill = lit(true)
             broke = true // forward breaks the action loop
           case AMerge(_, staticallyNonObject) =>
-            // hoisted in L5: null ⇔ (not matched) OR msg wasn't valid JSON;
-            // under `fires` (⊆ matched) null means exactly merge-failure
-            val merged = col(s"_hd_mg_${i}_$j")
+            // kill + error counters run on the parse-only validity check
+            // (≡ merged.isNull under `fires` — see msgValidUnder above), so
+            // consumers that never read `output` prune the merge entirely
+            val valid = msgValidUnder(rule)
             if (staticallyNonObject) {
               // perform_merge returns the buffer (the msg) unchanged + stat
-              // — but only when the msg itself IS valid json
-              output = when(merged.isNotNull, msgCol).otherwise(output)
+              // — but only when the msg itself IS valid json; no merged
+              // string is ever needed, so none is hoisted
+              output = when(valid, msgCol).otherwise(output)
               outputIsInitial = false
-              mergeTarget = mergeTarget + when(merged.isNotNull, 1L).otherwise(0L)
-              kill = kill || merged.isNull
-              mergeInvalid = mergeInvalid + when(merged.isNull, 1L).otherwise(0L)
+              mergeTarget = mergeTarget + when(valid, 1L).otherwise(0L)
+              kill = kill || !valid
+              mergeInvalid = mergeInvalid + when(valid, 0L).otherwise(1L)
             } else {
-              // null → msg wasn't JSON: continue_rules=false, buffer unchanged,
+              // hoisted in L5: null ⇔ (not matched) OR msg wasn't valid
+              // JSON. Invalid msg: continue_rules=false, buffer unchanged,
               // and the action list continues (NO break)
-              kill = kill || merged.isNull
-              mergeInvalid = mergeInvalid + when(merged.isNull, 1L).otherwise(0L)
+              val merged = col(s"_hd_mg_${i}_$j")
+              kill = kill || !valid
+              mergeInvalid = mergeInvalid + when(valid, 0L).otherwise(1L)
               output = if (outputIsInitial) coalesce(merged, lit("")) else coalesce(merged, output)
               outputIsInitial = false
             }

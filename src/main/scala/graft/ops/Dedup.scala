@@ -50,8 +50,8 @@ object Dedup {
   /** floor(100·|a∩b| / |a∪b|) as long — multiply-before-divide so the
     * double math is bit-identical to the DuckDB oracle's
     * floor(100.0 * len(intersect) / len(union)). One codegen'd pass
-    * ([[OpsKernels.jaccardPct]]); requires DISTINCT inputs, which every
-    * caller satisfies (shingles() output is a distinct set). The
+    * ([[OpsKernels.jaccardPct]]); set semantics — duplicate and null
+    * elements are handled like array_intersect/array_union would. The
     * equivalent Column form — floor(100.0 * size(array_intersect) /
     * size(array_union)) — builds two hash sets AND two result arrays per
     * row; it was the dominant per-pair cost of the verify stage. */
@@ -137,7 +137,16 @@ object Dedup {
       Seq(StructField(p + "_a", f.dataType, f.nullable),
         StructField(p + "_b", f.dataType, f.nullable))
     })
-    val sorted = proj
+    // Join null-key semantics (advisory r3): in the bucket self-join this
+    // operator replaced, null never equals null, so a null-key row can never
+    // pair — but the run detector's key equality treated nulls as EQUAL,
+    // collapsing every null-key row (e.g. null-text docs whose banding
+    // produced null chunks) into ONE degenerate run that is fully buffered
+    // and emits O(k²) pairs. Output was unchanged (null payloads filter out
+    // downstream) but the memory bound ("largest single bucket") was lost.
+    // Dropping null-key rows up front restores both.
+    val nonNullKeys = proj.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val sorted = nonNullKeys
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col): _*)
     // The pair stream runs at the InternalRow level: the RowEncoder

@@ -210,46 +210,80 @@ object OpsKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** floor(100·|a∩b| / |a∪b|) over two DISTINCT string arrays, in ONE
-    * open-hashing pass: build a set over `a`, count `b`'s hits; by
-    * distinctness |a∪b| = |a|+|b|−|a∩b|. Replaces the
-    * array_intersect+array_union Column pair, which builds two hash sets
-    * AND materializes two result arrays per row — the dominant per-pair
-    * cost of the dedup verify stage. Double math matches the Column form
-    * (100.0 · i / u, floored) bit-for-bit, and both agree with the DuckDB
-    * oracle's floor(100.0 * len(intersect) / len(union)).
-    * REQUIRES distinct inputs (WordShingles output is). */
+  /** floor(100·|a∩b| / |a∪b|) over two string arrays as SETS, in one
+    * open-hashing pass per side. Replaces the array_intersect+array_union
+    * Column pair, which builds two hash sets AND materializes two result
+    * arrays per row — the dominant per-pair cost of the dedup verify stage.
+    * Double math matches the Column form (100.0 · i / u, floored)
+    * bit-for-bit, and both agree with the DuckDB oracle's
+    * floor(100.0 * len(intersect) / len(union)).
+    *
+    * Inputs need NOT be distinct and may contain null elements (advisory
+    * r3: this is also registered as the SQL function `jaccard_pct`, where a
+    * user's arrays carry no distinctness contract): duplicates are deduped
+    * while building each table, and a null element counts as one distinct
+    * value that intersects iff both sides contain null — exactly
+    * array_intersect/array_union's null semantics. The internal callers
+    * (shingles output, already distinct non-null) take only a dead-branch
+    * cost from the probe's equality check. */
   def jaccardPct(a: ArrayData, b: ArrayData): Long = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    if (na == 0 && nb == 0) return 0L
-    // open-addressing table of a's elements, 2x size, power of two
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    // shared power-of-two capacity, ≤0.5 load for either side
     var cap = 8
-    while (cap < na * 2) cap <<= 1
-    val table = new Array[UTF8String](cap)
+    val maxN = if (na0 > nb0) na0 else nb0
+    while (cap < maxN * 2) cap <<= 1
     val mask = cap - 1
+    val ta = new Array[UTF8String](cap)
+    var da = 0 // distinct non-null |a|
+    var aNull = false
     var i = 0
-    while (i < na) {
-      val s = a.getUTF8String(i)
-      var slot = (s.hashCode() & 0x7fffffff) & mask
-      while (table(slot) != null) slot = (slot + 1) & mask // distinct: no equals check needed
-      table(slot) = s
-      i += 1
-    }
-    var inter = 0
-    i = 0
-    while (i < nb) {
-      val s = b.getUTF8String(i)
-      var slot = (s.hashCode() & 0x7fffffff) & mask
-      var found = false
-      while (!found && table(slot) != null) {
-        if (table(slot).equals(s)) found = true else slot = (slot + 1) & mask
+    while (i < na0) {
+      if (a.isNullAt(i)) aNull = true
+      else {
+        val s = a.getUTF8String(i)
+        var slot = (s.hashCode() & 0x7fffffff) & mask
+        var dup = false
+        while (!dup && ta(slot) != null) {
+          if (ta(slot).equals(s)) dup = true else slot = (slot + 1) & mask
+        }
+        if (!dup) { ta(slot) = s; da += 1 }
       }
-      if (found) inter += 1
       i += 1
     }
-    val union = na + nb - inter
-    math.floor(100.0 * inter / union).toLong
+    val tb = new Array[UTF8String](cap)
+    var db = 0 // distinct non-null |b|
+    var bNull = false
+    var inter = 0 // distinct non-null |a∩b|
+    i = 0
+    while (i < nb0) {
+      if (b.isNullAt(i)) bNull = true
+      else {
+        val s = b.getUTF8String(i)
+        var slot = (s.hashCode() & 0x7fffffff) & mask
+        var dup = false
+        while (!dup && tb(slot) != null) {
+          if (tb(slot).equals(s)) dup = true else slot = (slot + 1) & mask
+        }
+        if (!dup) {
+          tb(slot) = s; db += 1
+          // first time this distinct b value is seen: probe a's table once
+          var s2 = (s.hashCode() & 0x7fffffff) & mask
+          var found = false
+          while (!found && ta(s2) != null) {
+            if (ta(s2).equals(s)) found = true else s2 = (s2 + 1) & mask
+          }
+          if (found) inter += 1
+        }
+      }
+      i += 1
+    }
+    val ia = da + (if (aNull) 1 else 0)
+    val ib = db + (if (bNull) 1 else 0)
+    val in2 = inter + (if (aNull && bNull) 1 else 0)
+    val union = ia + ib - in2
+    if (union == 0) return 0L
+    math.floor(100.0 * in2 / union).toLong
   }
 
   /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once

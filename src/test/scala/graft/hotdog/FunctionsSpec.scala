@@ -42,6 +42,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rc.getBoolean(0) && rc.getSeq[String](1) == Seq("b"))
   }
 
+  test("json_valid: serde_json acceptance; merge of invalid RENDERED template fails the task") {
+    Functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT json_valid('{"a":1}') AS ok,
+        |  json_valid('{"a":1} tail') AS trailing,
+        |  json_valid('1e999') AS nonfinite,
+        |  json_valid('hello') AS text,
+        |  json_valid(CAST(NULL AS STRING)) AS nul""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2) &&
+      !r.getBoolean(3) && !r.getBoolean(4))
+    // invalid rendered merge template = the reference's unwrap panic
+    // (connection.rs:331), NOT a null that would miscount as
+    // error.merge_of_invalid_json
+    val ex = intercept[Exception](
+      spark.sql("""SELECT json_hotdog_merge('{"a":1}', '{bad')""").collect())
+    assert(ex.getMessage.contains("invalid JSON") ||
+      Option(ex.getCause).exists(_.getMessage.contains("invalid JSON")))
+  }
+
   test("fan-out salting spreads a hot topic over multiple files") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-salt").toString
     // everything routes to logs-unknown (one hot topic) via simple config

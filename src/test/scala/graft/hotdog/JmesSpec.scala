@@ -236,8 +236,13 @@ class JmesSpec extends AnyFunSuite {
 
   test("syntax errors are load-fatal (reference fixture parity)") {
     for (e <- Seq(". 0 meta.topic", "=x", "a ^ b", "people[?]", "a[*",
-        "f(", "{a: }", "[1:2:0]", "'unterminated", "`{bad json", "a.\"unterminated"))
+        "f(", "{a: }", "[1:2:0]", "'unterminated", "`{bad json", "a.\"unterminated",
+        // '[*' must be '[*]' — the crate rejects these at compile time
+        // (advisory r3: '[*.b]' used to parse as a multi-select list)
+        "foo[*.b]", "[*.b]", "[*, a]"))
       assertThrows[IllegalArgumentException](Jmes.compile(e))
+    // ...while the well-formed star projections still parse
+    for (e <- Seq("[*]", "foo[*]", "foo[*].b")) Jmes.compile(e)
   }
 
   private implicit class PipeOps[A](private val a: A) {

@@ -115,6 +115,30 @@ class OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("JaccardPct: SQL-function inputs with duplicates and null elements (set semantics)") {
+    // advisory r3: jaccard_pct is SQL-registered, where arrays carry no
+    // distinctness contract — duplicates must dedupe and a null element
+    // must behave like array_intersect/array_union's null (equal to null)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows: Seq[(Array[String], Array[String])] = Seq(
+      (Array("a", "a", "b"), Array("a", "b", "b")),          // dups both sides → 100
+      (Array("a", "a", "a"), Array("b")),                    // → 0
+      (Array("a", null, "b"), Array("b", null)),             // null∩null → 2/3
+      (Array("a", null), Array("b")),                        // one-sided null → 0/3
+      (Array(null, null), Array(null)),                      // null-only → 100
+      (Array.empty[String], Array(null)))                    // 0/1 → 0
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      opscol.jaccardPct(col("a"), col("b")).as("kernel"),
+      when(size(array_union(col("a"), col("b"))) === 0, lit(0L))
+        .otherwise(floor(lit(100.0) * size(array_intersect(col("a"), col("b"))) /
+          size(array_union(col("a"), col("b")))).cast("long")).as("columns"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 0L, 66L, 0L, 100L, 0L))
+  }
+
   test("DedupScalingBench planted corpus: exact recall accounting at 20k docs") {
     val spark = docs.sparkSession
     val n = 20000L
@@ -270,8 +294,9 @@ class OpsSpec extends AnyFunSuite {
 
   test("withinBucketPairs: string ids, null key/id, multi-payload") {
     // the production queries exercise only long ids — pin the string-id
-    // comparator/copier paths, null-key grouping (nulls group together,
-    // like the groupBy it replaced), null ids never pairing, and the
+    // comparator/copier paths, JOIN null-key semantics (a null key never
+    // equals anything, so null-key rows never pair NOR buffer into one
+    // degenerate run — advisory r3), null ids never pairing, and the
     // multi-payload interleaved output layout
     val rows = Seq(
       (10L, "g1", "b", 2L),
@@ -279,7 +304,7 @@ class OpsSpec extends AnyFunSuite {
       (10L, "g1", "c", 3L),
       (10L, "g2", "x", 7L), // same bucket, other group: no cross pair
       (10L, "g2", "y", 8L),
-      (11L, null.asInstanceOf[String], "p", 4L), // null groups are equal
+      (11L, null.asInstanceOf[String], "p", 4L), // null key: never pairs
       (11L, null.asInstanceOf[String], "q", 5L),
       (12L, "g3", null.asInstanceOf[String], 9L), // null id never pairs
       (12L, "g3", "z", 6L),
@@ -291,7 +316,6 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(
       ("a", "b", 1L, 2L), ("a", "c", 1L, 3L), ("b", "c", 2L, 3L),
-      ("x", "y", 7L, 8L),
-      ("p", "q", 4L, 5L)))
+      ("x", "y", 7L, 8L)))
   }
 }

@@ -288,6 +288,34 @@ object Queries {
       minJaccardPct = 60)
       .orderBy("id_a", "id_b")
 
+  /** The exact-dedup → near-dup COMPOSITION (the production order at web
+    * scale: byte-identical boilerplate floods must collapse to one
+    * representative BEFORE banding, or they wedge the within-bucket pair
+    * stream — see Dedup.nearDupsDeduped). The input doubles every document
+    * as a synthetic exact copy (doc_id + 1,000,000), so the oracle proves
+    * the dedupe really dropped the copies: any surviving copy would pair
+    * with its original at jaccard 100 and poison the compare. */
+  def ddNeardupDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.nearDupsDeduped(doubled, "doc_id", "text", minJaccardPct = 60)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Pairs → keep/drop verdict: connected components over the verified
+    * same-source word-set near-dup pairs (the dd_wordset_jaccard graph),
+    * min-id representative kept. Oracle = a recursive-CTE transitive
+    * closure over the exact all-pairs pair list in DuckDB. */
+  def ddComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDups(table(spark, dir, "documents"),
+      "doc_id", "text", minJaccardPct = 60, numHashes = 64, bands = 32,
+      shingleN = 1, groupCol = Some("source"))
+    graft.ops.Components.dedupVerdict(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash hamming ≤ 3 pairs — the bound 4×16-bit banding guarantees
     * 100% recall for, so the exact all-pairs DuckDB oracle (sketch
     * recomputed from the same FNV kernel in SQL) matches exactly.

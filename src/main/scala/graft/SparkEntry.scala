@@ -45,6 +45,8 @@ object SparkEntry {
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
     "dd_minhash" -> (Queries.ddMinhash _),
     "dd_simhash" -> (Queries.ddSimhash _),
+    "dd_neardup_dedup" -> (Queries.ddNeardupDedup _),
+    "dd_components" -> (Queries.ddComponents _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "sim_topk" -> (Queries.simTopk _),
     "sim_topk_lsh" -> (Queries.simTopkLsh _),
@@ -247,6 +249,48 @@ object SparkEntry {
          |FROM base a JOIN base b ON a.id < b.id
          |WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // exact-dedup → near-dup composition: every doc doubled as a synthetic
+    // exact copy (id + 1e6), deduped keeping the min id per md5(norm), then
+    // exact all-pairs 3-gram jaccard among the representatives — a copy
+    // surviving the dedupe would pair at jaccard 100 and fail the compare
+    "dd_neardup_dedup" ->
+      s"""WITH alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |w AS (SELECT doc_id AS id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM alldocs
+         |  QUALIFY row_number() OVER (PARTITION BY md5($normE) ORDER BY doc_id) = 1),
+         |base AS (SELECT id, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS sh
+         |  FROM w)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_pct
+         |FROM base a JOIN base b ON a.id < b.id
+         |WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // pairs → keep/drop verdict: recursive-CTE transitive closure over the
+    // exact all-pairs same-source word-set near-dup graph; rep = min id
+    // reachable, keep ⇔ the doc IS its component's min
+    "dd_components" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT source AS g, doc_id AS id,
+         |    list_distinct(string_split($normE, ' ')) AS sh
+         |  FROM documents),
+         |p AS (SELECT a.id AS u, b.id AS v
+         |  FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
+         |  WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60),
+         |edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach AS (
+         |  SELECT u AS id, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r)
+         |SELECT id AS doc_id, least(id, min(r)) AS rep_id,
+         |  least(id, min(r)) = id AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // the 64-bit simhash sketch recomputed in SQL from the same FNV-1a
     // kernel (ASCII corpus: unicode(c) == utf8 byte), then EXACT all-pairs

@@ -35,7 +35,11 @@ class DedupPlanSpec extends AnyFunSuite {
       // that stronger property.
       if (name == "dd_simhash") assert(joins == 0,
         s"dd_simhash should be join-free, found $joins joins")
-      else if (name != "dd_exact") assert(joins > 0, s"$name had no joins to audit")
+      // dd_components' returned frame is a localCheckpoint scan (the CC
+      // rounds run eagerly inside the operator), so like dd_exact there is
+      // no join left in the final plan to audit
+      else if (name != "dd_exact" && name != "dd_components")
+        assert(joins > 0, s"$name had no joins to audit")
     }
   }
 

@@ -17,7 +17,8 @@ object Oracle {
       topic: Option[String],
       output: Option[String],
       mergeInvalidJson: Long,
-      mergeTargetNotJson: Long)
+      mergeTargetNotJson: Long,
+      topicParseFailed: Long = 0L)
 
   def route(line: String, cfg: HotdogConfig,
       iso8601: String, version: String = model.Version): OracleOut = {
@@ -31,6 +32,7 @@ object Oracle {
     var emittedOutput: Option[String] = None
     var mergeInvalid = 0L
     var mergeTarget = 0L
+    var topicFailed = 0L
 
     val it = cfg.rules.iterator
     while (it.hasNext && continueRules) {
@@ -56,32 +58,43 @@ object Oracle {
           actions.next() match {
             case AForward(topicT) =>
               if (output.isEmpty) output = msg.msg
-              val actualTopic = topicT.renderString(hash)
-              if (emittedTopic.isEmpty) { // forward implies stop; ≤1 emit
-                emittedTopic = Some(actualTopic)
-                emittedOutput = Some(output)
+              topicT.renderStringOpt(hash) match {
+                case Some(actualTopic) =>
+                  if (emittedTopic.isEmpty) { // forward implies stop; ≤1 emit
+                    emittedTopic = Some(actualTopic)
+                    emittedOutput = Some(output)
+                  }
+                  continueRules = false
+                case None =>
+                  // failed topic render: stat, no send, continue_rules
+                  // stays TRUE (src/connection.rs:204-206)
+                  topicFailed += 1
               }
-              continueRules = false
-              broke = true
+              broke = true // break on both paths (src/connection.rs:208)
             case AMerge(jsonT, staticallyNonObject) =>
-              val rendered = jsonT.renderString(hash)
-              val res = HotdogJson.performMerge(msg.msg, rendered)
-              if (res == null) { // msg not JSON: kill, keep buffer, NO break
+              // perform_merge order: msg parse FIRST (stat+kill on invalid),
+              // template render second (kill, NO stat — connection.rs:316-343)
+              if (HotdogJson.parseOrNull(msg.msg) == null) {
                 mergeInvalid += 1
-                continueRules = false
-              } else {
-                if (staticallyNonObject) mergeTarget += 1
-                output = res
+                continueRules = false // kill, keep buffer, NO break
+              } else jsonT.renderStringOpt(hash) match {
+                case None => continueRules = false // render Err: kill, no stat
+                case Some(rendered) =>
+                  val res = HotdogJson.performMerge(msg.msg, rendered)
+                  if (staticallyNonObject) mergeTarget += 1
+                  output = res
               }
             case AReplace(t) =>
-              output = t.renderString(hash)
+              // failed render: output simply not assigned (connection.rs:233-239)
+              t.renderStringOpt(hash).foreach(output = _)
             case AStop =>
               continueRules = false
           }
         }
       }
     }
-    OracleOut(parseOk = true, emittedTopic, emittedOutput, mergeInvalid, mergeTarget)
+    OracleOut(parseOk = true, emittedTopic, emittedOutput, mergeInvalid,
+      mergeTarget, topicFailed)
   }
 
   /** rules::apply_rule (src/rules.rs:59-100). */

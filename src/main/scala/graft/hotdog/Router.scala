@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 import graft.hotdog.config._
 import graft.hotdog.exprs.{codepointsToString, handlebarsEscape}
 
+/** Column instance of the handlebars render algebra (see config.Hb):
+  * values are string Columns, the failure channel is a boolean Column
+  * (constant false unless the template can actually fail on some row). */
+private[hotdog] object ColumnHbOps extends config.Hb.Ops[Column, Column] {
+  private val F = org.apache.spark.sql.functions
+  def lit(s: String): Column = F.lit(s)
+  def concat(vs: Seq[Column]): Column =
+    if (vs.isEmpty) F.lit("") else F.concat(vs: _*)
+  def escape(v: Column): Column = handlebarsEscape(F.coalesce(v, F.lit("")))
+  def raw(v: Column): Column = F.coalesce(v, F.lit(""))
+  def ifTruthy(c: Column, t: => (Column, Column),
+      f: => (Column, Column)): (Column, Column) = {
+    val cond = c.isNotNull && F.length(c) > 0
+    val (tv, tf) = t
+    val (fv, ff) = f
+    (F.when(cond, tv).otherwise(fv), F.when(cond, tf).otherwise(ff))
+  }
+  def chooseByKey(key: Column, table: Seq[(String, Column)]): Column =
+    table.foldRight(F.lit("")) { case ((n, v), acc) =>
+      F.when(key === F.lit(n), F.coalesce(v, F.lit(""))).otherwise(acc)
+    }
+  def noFail: Column = F.lit(false)
+  def failNow: Column = F.lit(true)
+  def orF(a: Column, b: Column): Column = a || b
+}
+
 /** The rule cascade (reference src/connection.rs:85-241) compiled into ONE
   * Catalyst projection — the structural property replacing hotdog's
   * per-line while-loop: no per-rule scans, no explode, no union; the whole
@@ -143,15 +169,13 @@ object Router {
       }
       builtins ++ groupVars ++ valueVar
     }
-    def renderWith(vars: Map[String, Column])(t: Template): Column = {
-      val pieces = t.parts.map {
-        case TLit(s)    => lit(s)
-        case TVar(n)    => handlebarsEscape(coalesce(vars.getOrElse(n, lit("")), lit("")))
-        case TVarRaw(n) => coalesce(vars.getOrElse(n, lit("")), lit("")) // {{{raw}}}/{{&raw}}
-        case TPathMiss(_) => lit("") // dotted path: flat string context → ""
-      }
-      if (pieces.isEmpty) lit("") else concat(pieces: _*)
-    }
+    // the full handlebars engine over Columns (blocks, else-chains,
+    // context frames, lookup — see config.Hb); the second element is the
+    // per-row RENDER-FAILURE flag mirroring hb.render(...).is_err(), which
+    // is constant-false for any template without an unreachable helper and
+    // folds out of the plan
+    def renderWith(vars: Map[String, Column])(t: Template): (Column, Column) =
+      config.Hb.render(t, vars, ColumnHbOps)
 
     // msg validity under a firing rule — the EXACT null condition of a
     // hoisted merge (JsonHotdogMerge is null ⇔ msg isn't valid JSON; an
@@ -183,8 +207,15 @@ object Router {
         val render = renderWith(varsOf(rule, i)) _
         rule.actions.zipWithIndex.collect {
           case (AMerge(jsonT, false), j) =>
-            s"_hd_mg_${i}_$j" -> when(matchedOf(rule, i),
-              exprs.col(JsonHotdogMerge(exprs.expr(msgCol), exprs.expr(render(jsonT)))))
+            val (rhs, rhsFail) = render(jsonT)
+            // a row whose template render fails never reaches the merge
+            // (hb.render Err short-circuits perform_merge) — merged stays
+            // null and the buffer is left unchanged downstream
+            val guard =
+              if (jsonT.mayRenderFail) matchedOf(rule, i) && !rhsFail
+              else matchedOf(rule, i)
+            s"_hd_mg_${i}_$j" -> when(guard,
+              exprs.col(JsonHotdogMerge(exprs.expr(msgCol), exprs.expr(rhs))))
         }
     }
     val jsonOkCol: Map[String, Column] =
@@ -200,7 +231,8 @@ object Router {
         kill: Column,               // continue_rules=false by end of this rule (given fires)
         emit: Option[(Column, Column)], // (topic, output) when rule forwards
         mergeInvalid: Column,       // count of merge-of-invalid-json errors (given fires)
-        mergeTargetNotJson: Column) // count of merge-target-not-json errors (given fires)
+        mergeTargetNotJson: Column, // count of merge-target-not-json errors (given fires)
+        topicParseFailed: Column)   // count of failed forward-topic renders (given fires)
 
     var alive: Column = parseOk
     val compiledAndEmits = cfg.rules.zipWithIndex.map { case (rule, i) =>
@@ -214,43 +246,68 @@ object Router {
       var emit: Option[(Column, Column)] = None
       var mergeInvalid: Column = lit(0L)
       var mergeTarget: Column = lit(0L)
+      var topicFail: Column = lit(0L)
       var broke = false
       rule.actions.zipWithIndex.foreach { case (action, j) =>
         if (!broke) action match {
           case AForward(topicT) =>
-            val topic = render(topicT)
+            val (topic, tfail) = render(topicT)
             val out =
               if (outputIsInitial) msgCol
               else when(output === "", msgCol).otherwise(output)
-            emit = Some((topic, out))
-            kill = lit(true)
+            if (topicT.mayRenderFail) {
+              // reference src/connection.rs:188-207: a failed topic render
+              // counts error.topic_parse_failed, emits NOTHING, and leaves
+              // continue_rules TRUE (later rules still run); success sends
+              // and stops. Both paths break the action loop.
+              emit = Some((when(!tfail, topic), out)) // null topic ⇒ no emit
+              kill = kill || !tfail
+              topicFail = topicFail + when(tfail, 1L).otherwise(0L)
+            } else {
+              emit = Some((topic, out))
+              kill = lit(true)
+            }
             broke = true // forward breaks the action loop
-          case AMerge(_, staticallyNonObject) =>
+          case AMerge(jsonT, staticallyNonObject) =>
             // kill + error counters run on the parse-only validity check
             // (≡ merged.isNull under `fires` — see msgValidUnder above), so
-            // consumers that never read `output` prune the merge entirely
+            // consumers that never read `output` prune the merge entirely.
+            // A failing template render (hb.render Err) kills the cascade
+            // with NO stat and leaves the buffer unchanged
+            // (src/connection.rs:336-339 falls to Err after the msg parse).
             val valid = msgValidUnder(rule)
+            val rfail: Column =
+              if (jsonT.mayRenderFail) render(jsonT)._2 else lit(false)
             if (staticallyNonObject) {
               // perform_merge returns the buffer (the msg) unchanged + stat
-              // — but only when the msg itself IS valid json; no merged
-              // string is ever needed, so none is hoisted
-              output = when(valid, msgCol).otherwise(output)
+              // — but only when the msg IS valid json and the render
+              // succeeded; no merged string is ever needed, so none is
+              // hoisted
+              val ok = if (jsonT.mayRenderFail) valid && !rfail else valid
+              output = when(ok, msgCol).otherwise(output)
               outputIsInitial = false
-              mergeTarget = mergeTarget + when(valid, 1L).otherwise(0L)
-              kill = kill || !valid
+              mergeTarget = mergeTarget + when(ok, 1L).otherwise(0L)
+              kill = if (jsonT.mayRenderFail) kill || !valid || rfail
+                     else kill || !valid
               mergeInvalid = mergeInvalid + when(valid, 0L).otherwise(1L)
             } else {
               // hoisted in L5: null ⇔ (not matched) OR msg wasn't valid
-              // JSON. Invalid msg: continue_rules=false, buffer unchanged,
-              // and the action list continues (NO break)
+              // JSON OR the render failed. Invalid msg: continue_rules=
+              // false, buffer unchanged, and the action list continues
+              // (NO break)
               val merged = col(s"_hd_mg_${i}_$j")
-              kill = kill || !valid
+              kill = if (jsonT.mayRenderFail) kill || !valid || rfail
+                     else kill || !valid
               mergeInvalid = mergeInvalid + when(valid, 0L).otherwise(1L)
               output = if (outputIsInitial) coalesce(merged, lit("")) else coalesce(merged, output)
               outputIsInitial = false
             }
           case AReplace(t) =>
-            output = render(t)
+            val (rendered, rfail) = render(t)
+            // failed render: output is simply not assigned
+            // (src/connection.rs:233-239 `if let Ok(rendered)`)
+            output = if (t.mayRenderFail) when(rfail, output).otherwise(rendered)
+                     else rendered
             outputIsInitial = false
           case AStop =>
             kill = lit(true)
@@ -269,7 +326,7 @@ object Router {
       }
       (CompiledRule(fires, kill, hoistedEmit.map { case ((tn, _), (on, _)) =>
         (col(tn), col(on))
-      }, mergeInvalid, mergeTarget), hoistedEmit)
+      }, mergeInvalid, mergeTarget, topicFail), hoistedEmit)
     }
 
     val emitCols: Seq[(String, Column)] =
@@ -291,12 +348,19 @@ object Router {
     val outputCol =
       if (emitting.isEmpty) lit(null).cast("string")
       else coalesce(emitting.map(r =>
-        when(r.fires && r.emit.get._2.isNotNull, r.emit.get._2)): _*)
+        // gate on the TOPIC too: a forward whose topic render failed emits
+        // neither topic nor output (the topic column is null exactly then),
+        // so both cascades must select the same rule
+        when(r.fires && r.emit.get._1.isNotNull && r.emit.get._2.isNotNull,
+          r.emit.get._2)): _*)
     val mergeInvalidCol = compiled.map(r =>
       when(r.fires, r.mergeInvalid).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
     val mergeTargetCol = compiled.map(r =>
       when(r.fires, r.mergeTargetNotJson).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val topicFailCol = compiled.map(r =>
+      when(r.fires, r.topicParseFailed).otherwise(0L))
       .reduceOption(_ + _).getOrElse(lit(0L))
 
     // pass through every input column (doc_id, tokens, n_tok, source, plus
@@ -323,7 +387,8 @@ object Router {
       exprs.noPushdown(topicCol).as("topic"),
       exprs.noPushdown(outputCol).as("output"),
       exprs.noPushdown(mergeInvalidCol).as("err_merge_invalid_json"),
-      exprs.noPushdown(mergeTargetCol).as("err_merge_target_not_json")): _*)
+      exprs.noPushdown(mergeTargetCol).as("err_merge_target_not_json"),
+      exprs.noPushdown(topicFailCol).as("err_topic_parse_failed")): _*)
   }
 
   /** E2 test-mode (reference src/rules.rs:11-52): per line, which rules'

@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Metric slots that exist in hotdog's /stats but are structurally zero
-    * for the batch rebuild (no lossy queue, no producer): SURVEY §2.5. */
+    * for the batch rebuild (no lossy queue, no producer): SURVEY §2.5.
+    * error.topic_parse_failed graduated to a REAL counter in round 4 (a
+    * forward topic whose handlebars render fails counts per row —
+    * src/connection.rs:204-206). */
   val ZeroSlots: Seq[String] = Seq(
     "connections",
     "error.full_internal_queue",
     "error.internal_push_failed",
-    "error.topic_parse_failed",
     "kafka.producer.sent")
 
   /** (metric string, value long) from a Router.route output frame.
@@ -40,7 +42,8 @@ object Stats {
       "lines" -> per.map(_.getLong(2)).sum,
       "error.log_parse" -> per.map(r => r.getLong(1) - r.getLong(2)).sum,
       "error.merge_of_invalid_json" -> per.map(_.getLong(3)).sum,
-      "error.merge_target_not_json" -> per.map(_.getLong(4)).sum)
+      "error.merge_target_not_json" -> per.map(_.getLong(4)).sum,
+      "error.topic_parse_failed" -> per.map(_.getLong(5)).sum)
     (perTopic ++ totals ++ ZeroSlots.map(_ -> 0L)).toDF("metric", "value")
   }
 
@@ -51,7 +54,8 @@ object Stats {
       count(lit(1)).as("n"),
       sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed"),
       coalesce(sum(col("err_merge_invalid_json")), lit(0L)).as("mi"),
-      coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"))
+      coalesce(sum(col("err_merge_target_not_json")), lit(0L)).as("mt"),
+      coalesce(sum(col("err_topic_parse_failed")), lit(0L)).as("tpf"))
 
   /** Kafka producer-error string → statsd-suitable metric token, porting
     * the reference's `metric_name_for` (src/kafka.rs:226-231, tests

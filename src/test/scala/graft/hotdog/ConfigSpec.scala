@@ -55,12 +55,71 @@ class ConfigSpec extends AnyFunSuite {
     assert(t.renderString(Map("msg" -> "m")) == "msg: m name=!")
   }
 
-  test("unsupported handlebars constructs rejected at load") {
-    assertThrows[IllegalArgumentException](parseTemplate("{{#if x}}y{{/if}}"))
-    assertThrows[IllegalArgumentException](parseTemplate("{{> partial}}"))
-    assertThrows[IllegalArgumentException](parseTemplate("{{fn x}}"))
-    assertThrows[IllegalArgumentException](parseTemplate("{{../x}}"))
-    assertThrows[IllegalArgumentException](parseTemplate("{{[a b]}}"))
+  test("handlebars SYNTAX errors are load-fatal (register_template_string parity)") {
+    // register_template_string rejects malformed syntax; everything that
+    // PARSES registers fine and fails (or not) at render — round 4 moved
+    // this boundary to match (blocks/helpers/partials now load)
+    assertThrows[IllegalArgumentException](parseTemplate("{{#if x}}y{{/each}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{#if x}}unclosed"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{/if}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{else}}"))
+    assertThrows[IllegalArgumentException](parseTemplate("open {{x"))
+    assertThrows[IllegalArgumentException](parseTemplate("{{!-- unclosed"))
+  }
+
+  test("handlebars block helpers: #if/#unless/#each/#with, else chains, inverted") {
+    val vars = Map("msg" -> "hello", "empty" -> "", "value" -> "t3")
+    def r(t: String) = parseTemplate(t).renderString(vars)
+    // truthiness: non-empty string truthy, "" and missing falsy
+    assert(r("{{#if msg}}Y{{else}}N{{/if}}") == "Y")
+    assert(r("{{#if empty}}Y{{else}}N{{/if}}") == "N")
+    assert(r("{{#if nope}}Y{{else}}N{{/if}}") == "N")
+    assert(r("{{#unless empty}}Y{{/unless}}") == "Y")
+    assert(r("{{^empty}}INV{{/empty}}") == "INV")
+    assert(r("{{^msg}}INV{{else}}T{{/msg}}") == "T")
+    // else-if chains
+    assert(r("{{#if empty}}A{{else if msg}}B{{else}}C{{/if}}") == "B")
+    assert(r("{{#if empty}}A{{else if nope}}B{{else}}C{{/if}}") == "C")
+    // literals as params (handlebars is_truthy: 0 falsy, "x" truthy)
+    assert(r("{{#if 0}}A{{else}}B{{/if}}") == "B")
+    assert(r("{{#if \"x\"}}A{{else}}B{{/if}}") == "A")
+    // #with re-roots the context: this = the string; idents miss; ../ climbs
+    assert(r("{{#with msg}}<{{this}}|{{msg}}|{{../value}}>{{/with}}") ==
+      "<hello||t3>")
+    assert(r("{{#with nope}}A{{else}}B{{/with}}") == "B")
+    // #each over a STRING var is non-iterable → else block
+    assert(r("{{#each msg}}x{{else}}none{{/each}}") == "none")
+    // #each this iterates the flat map in sorted-key order with @vars
+    assert(r("{{#each this}}{{@key}}={{this}};{{/each}}") ==
+      "empty=;msg=hello;value=t3;")
+    assert(r("{{#each this}}{{@index}}{{#if @first}}F{{/if}}{{#if @last}}L{{/if}}{{/each}}")
+      == "0F12L")
+    // nesting
+    assert(r("{{#if msg}}{{#if value}}both{{/if}}{{/if}}") == "both")
+    // lookup over the flat map; comments; whitespace control; \{{ escape
+    assert(r("""{{lookup this "msg"}}""") == "hello")
+    assert(r("{{! a comment }}x{{!-- with }} inside --}}y") == "xy")
+    assert(r("a  {{~msg~}}  b") == "ahellob")
+    assert(r("\\{{msg}}") == "{{msg}}")
+  }
+
+  test("unknown helpers/partials LOAD but fail at render, per-branch (hb.render Err parity)") {
+    // unconditional: every render fails
+    for (t <- Seq("{{> partial}}", "{{fn x}}", "{{#custom}}z{{/custom}}")) {
+      val tpl = parseTemplate(t)
+      assert(tpl.mayRenderFail && tpl.staticRenderFail.isDefined, t)
+      assert(tpl.renderStringOpt(Map("x" -> "1")).isEmpty, t)
+    }
+    // conditional: fails ONLY when the failing branch is reached
+    val cond = parseTemplate("{{#if flag}}{{fn x}}{{else}}ok{{/if}}")
+    assert(cond.mayRenderFail && cond.staticRenderFail.isEmpty)
+    assert(cond.renderStringOpt(Map("flag" -> "")) == Some("ok"))
+    assert(cond.renderStringOpt(Map("flag" -> "y")).isEmpty)
+    // paths that navigate beyond the flat context render "" (non-strict)
+    assert(parseTemplate("{{../x}}").renderString(Map.empty) == "")
+    assert(parseTemplate("{{[a b]}}").renderString(Map.empty) == "")
+    assert(parseTemplate("{{this.msg}}").renderString(Map("msg" -> "m")) == "m")
+    assert(parseTemplate("{{this}}").renderString(Map("msg" -> "m")) == "[object]")
   }
 
   test("handlebars dotted paths + {{&var}} (3.5.5 semantics, flat string context)") {
@@ -112,10 +171,11 @@ class ConfigSpec extends AnyFunSuite {
     val t = parseTemplate("esc={{msg}} raw={{{msg}}}")
     assert(t.renderString(Map("msg" -> "a<b>&")) == "esc=a&lt;b&gt;&amp; raw=a<b>&")
     assert(t.varNames == Seq("msg", "msg"))
-    // unknown raw var renders empty; helpers inside {{{ }}} still rejected
+    // unknown raw var renders empty; an unknown helper in {{{ }}} loads
+    // but fails at render (register-vs-render boundary, round 4)
     assert(parseTemplate("{{{nope}}}").renderString(Map.empty) == "")
     assert(parseTemplate("{{{a.b}}}").renderString(Map.empty) == "") // dotted → ""
-    assertThrows[IllegalArgumentException](parseTemplate("{{{f x}}}"))
+    assert(parseTemplate("{{{f x}}}").renderStringOpt(Map.empty).isEmpty)
     assertThrows[IllegalArgumentException](parseTemplate("{{{x}} y"))
   }
 

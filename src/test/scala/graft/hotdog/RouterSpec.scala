@@ -69,6 +69,99 @@ class RouterSpec extends AnyFunSuite {
     assert(Oracle.route(line, cfg, FixedIso).output == r.output)
   }
 
+  test("block helpers render through the Spark Column path (incl. a block over a jmespath value)") {
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - jmespath: 'meta.topic'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: '{{#if value}}topic={{value}}{{else}}no-topic{{/if}} n={{#each this}}{{@key}},{{/each}}'
+        |      - type: forward
+        |        topic: '{{#if value}}{{value}}{{else}}fallback{{/if}}'
+        |  - regex: '^plain (?P<rest>.*)'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: '{{#with rest}}[{{this}}|{{../msg}}]{{/with}}{{^nope}}!inv{{/nope}}'
+        |      - type: forward
+        |        topic: blocky
+        |""".stripMargin)
+    val jsonLine = """<13>1 2020-04-18T15:16:09Z h app - - - {"meta":{"topic":"t9"}}"""
+    val plainLine = "<13>1 2020-04-18T15:16:09Z h app - - - plain tail"
+    val Array(rj, rp) = route(Seq(jsonLine, plainLine), cfg)
+    // jmespath value bound → #if truthy; #each this iterates the var map
+    // (iso8601, msg, value, version sorted by serde's BTreeMap)
+    assert(rj.topic.contains("t9"))
+    assert(rj.output.contains("topic=t9 n=iso8601,msg,value,version,"))
+    // #with re-roots to the capture; ../msg climbs back; ^nope inverted
+    assert(rp.topic.contains("blocky"))
+    assert(rp.output.contains("[tail|plain tail]!inv"))
+    // driver-side oracle renders identically (same engine, String algebra)
+    for (l <- Seq(jsonLine, plainLine)) {
+      val o = Oracle.route(l, cfg, FixedIso)
+      val s = route(Seq(l), cfg)(0)
+      assert(o.topic == s.topic && o.output == s.output, l)
+    }
+  }
+
+  test("render failures: replace no-op, merge kills, forward counts topic_parse_failed") {
+    // rule 1 replace+forward both carry an unknown helper (render Err);
+    // rule 2 must still fire because a FAILED forward leaves
+    // continue_rules true (src/connection.rs:204-207)
+    val cfg = config.fromYamlString(
+      """rules:
+        |  - regex: '^hello (?P<name>\w+)'
+        |    field: msg
+        |    actions:
+        |      - type: replace
+        |        template: 'pre-{{name}}'
+        |      - type: replace
+        |        template: '{{bogus name}}'
+        |      - type: forward
+        |        topic: '{{bogus name}}'
+        |  - regex: 'hello'
+        |    field: msg
+        |    actions:
+        |      - type: forward
+        |        topic: second
+        |""".stripMargin)
+    val line = "<13>1 2020-04-18T15:16:09Z h app - - - hello bob"
+    val routed = Router.route(seqDF(Seq(line)), cfg, clock = lit(FixedIso))
+      .select("topic", "output", "err_topic_parse_failed").collect()(0)
+    // failed replace leaves the buffer at 'pre-bob'; failed forward emits
+    // nothing from rule 1; rule 2 forwards the buffer-reset raw msg
+    assert(routed.getString(0) == "second")
+    assert(routed.getString(1) == "hello bob")
+    assert(routed.getLong(2) == 1L)
+    val o = Oracle.route(line, cfg, FixedIso)
+    assert(o.topic.contains("second") && o.topicParseFailed == 1L)
+    // merge with an always-failing template: continue_rules=false but the
+    // ACTION LIST continues (no break — connection.rs:211-222), so the
+    // same rule's forward still emits the untouched buffer; and NO
+    // merge_of_invalid_json count (render Err ≠ invalid msg)
+    val mcfg = config.fromYamlString(
+      """rules:
+        |  - regex: '.*'
+        |    field: msg
+        |    actions:
+        |      - type: merge
+        |        json:
+        |          k: '{{bogus x}}'
+        |      - type: forward
+        |        topic: after-merge
+        |""".stripMargin)
+    val jline = """<13>1 2020-04-18T15:16:09Z h app - - - {"a":1}"""
+    val m = Router.route(seqDF(Seq(jline)), mcfg, clock = lit(FixedIso))
+      .select("topic", "output", "err_merge_invalid_json").collect()(0)
+    assert(m.getString(0) == "after-merge")
+    assert(m.getString(1) == """{"a":1}""") // buffer untouched by failed merge
+    assert(m.getLong(2) == 0L)
+    val om = Oracle.route(jline, mcfg, FixedIso)
+    assert(om.topic.contains("after-merge") && om.output.contains("""{"a":1}""") &&
+      om.mergeInvalidJson == 0L)
+  }
+
   test("flagship: catch-all → logs-unknown with raw msg") {
     val line = "<190>May 13 21:45:18 coconut hotdog: some plain text"
     val Array(r) = route(Seq(line))

@@ -41,8 +41,8 @@ object Main {
     val dim = Corpus.sourceDim(spark)
     val result = Pipeline.run(sequences, cfg, dim = Some(dim))
 
-    val sentMicros = Pipeline.writeFanOut(result.routed, s"$out/routed", batchId)
-    Pipeline.writeAudit(result.routed, s"$out/audit", batchId)
+    val sentMicros =
+      Pipeline.writeBatch(result.routed, s"$out/routed", s"$out/audit", batchId)
 
     println(Stats.formatJson(Stats.withSentTimer(result.stats, sentMicros)))
     println(s"[graft-hotdog] batch $batchId written to $out/routed")

@@ -107,6 +107,44 @@ object Pipeline {
   def kafkaFrame(routed: DataFrame): DataFrame =
     emittedOnly(routed).select(col("topic"), col("output").as("value"))
 
+  /** Fan-out sink + audit table in ONE evaluation of the cascade: the two
+    * writes each consume the routed frame, and letting them both recompute
+    * decode→parse→route doubles the pipeline's CPU (measured ~1.7× wall on
+    * the streaming path). Persist a SLIM projection instead — no token
+    * arrays, no line; just sink payload + audit counters + input_file
+    * lineage (captured here, pre-cache, because input_file_name() is ""
+    * once rows come from a cached RDD) — and feed both writes from it.
+    * DISK_ONLY, deliberately: the slim cache is written once and streamed
+    * exactly twice, sequentially — production-sized micro-batches would
+    * blow the storage-memory pool anyway, and holding gigabytes of
+    * columnar cache IN HEAP amplifies GC against the concurrently-running
+    * shuffle (measured as 30-50% utilization valleys and ±30% trial noise
+    * at 24M-row batches). Executor-local disk (NVMe on a real cluster) is
+    * the right home for a pass-through intermediate of this shape.
+    * @return sink write micros (the kafka.producer.sent timer slot). */
+  def writeBatch(routed: DataFrame, outDir: String, auditDir: String,
+      batchId: Long, saltBuckets: Int = 32): Long = {
+    if (routed.sparkSession.conf.get("spark.graft.writeBatch.cache", "false").toBoolean) {
+      val slim = routed.select(col("doc_id"), col("source"), col("topic"),
+          col("output"), col("parse_ok"), col("err_merge_invalid_json"),
+          col("err_merge_target_not_json"),
+          input_file_name().as("input_file"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val micros = writeFanOut(slim, outDir, batchId, saltBuckets)
+        writeAudit(slim, auditDir, batchId)
+        micros
+      } finally {
+        slim.unpersist()
+        ()
+      }
+    } else {
+      val micros = writeFanOut(routed, outDir, batchId, saltBuckets)
+      writeAudit(routed, auditDir, batchId)
+      micros
+    }
+  }
+
   /** Per-partition lineage + metrics audit rows (north_rule: resumable
     * with per-partition lineage). One row per (batch, topic, input_file):
     * which INPUT FILES contributed how many rows to which sink partition,
@@ -115,8 +153,12 @@ object Pipeline {
     * and is "" for non-file sources (synthesized frames). Written
     * idempotently per batch_id. */
   def writeAudit(routed: DataFrame, auditDir: String, batchId: Long): Unit = {
-    val audit = routed
-      .withColumn("input_file", input_file_name())
+    // input_file may already be captured (writeBatch caches a slim
+    // projection; input_file_name() evaluates to "" on cached rows)
+    val withFile =
+      if (routed.columns.contains("input_file")) routed
+      else routed.withColumn("input_file", input_file_name())
+    val audit = withFile
       .groupBy(col("topic"), col("input_file")).agg(
         count(lit(1)).as("rows"),
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parsed_rows"),
@@ -158,8 +200,7 @@ object Pipeline {
     val todo = batches.keys.toSeq.sorted.filterNot(done)
     todo.foreach { b =>
       val r = run(batches(b), cfg, dim)
-      writeFanOut(r.routed, outDir, b)
-      writeAudit(r.routed, auditDir, b)
+      writeBatch(r.routed, outDir, auditDir, b)
     }
     todo
   }

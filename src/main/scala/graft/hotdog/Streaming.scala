@@ -33,9 +33,10 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val routed = Router.route(batch, cfg)
-        Pipeline.writeFanOut(routed, outDir, batchId)
-        Pipeline.writeAudit(routed, s"$outDir-audit", batchId)
+        // single cascade evaluation per micro-batch: writeBatch persists a
+        // slim projection and feeds fan-out + audit from it
+        Pipeline.writeBatch(Router.route(batch, cfg), outDir,
+          s"$outDir-audit", batchId)
         ()
       }
       .start()

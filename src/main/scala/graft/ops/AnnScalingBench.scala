@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** ANN scale rehearsal with measured recall (judge r3 ask #6), mirroring
+  * DedupScalingBench: a planted-neighbor corpus whose exact top-k is known
+  * BY CONSTRUCTION, lshTopK and ivfTopK timed at two per-JVM cluster
+  * sizes, recall@k and vectors/s reported, plus cross-level result
+  * equality and a sampled brute-force validation of the plant geometry.
+  *
+  * Corpus (dim 64, deterministic splitmix per id):
+  *  - ids [0, Q): the queries — random unit-ish vectors.
+  *  - ids [Q, Q+R): random corpus vectors. Random cosines concentrate
+  *    around 0 (σ ≈ 1/√64 = 0.125); even the max over millions stays far
+  *    below the plant similarities, so plants are the exact top-k.
+  *  - ids [Q+R, Q+R+5Q): 5 plants per query — query + ε·noise, ε stepped
+  *    0.08/0.11/0.14/0.17/0.20 → cosines ≈ .997/.994/.990/.986/.981,
+  *    strictly ordered, gaps ≫ float noise. plantsOf(q) is id arithmetic.
+  *  - the FIRST `nlist` corpus ids are random vectors (not plants), so
+  *    ivfTopK's deterministic quantizer gets spread centroids.
+  *
+  * Parameters chosen for the 2M-vector scale: LSH planes=96, bands=8
+  * (12-bit chunks → 4096 buckets/band; at plant angles ≤ 11°, per-chunk
+  * match ≥ 0.45, miss-all-8-bands ≤ 1%); IVF nlist=256, nprobe=4
+  * (candidates/query ≈ 4·N/256). Both re-rank with exact cosine.
+  */
+object AnnScalingBench {
+
+  private val Dims = 64
+  private val Q = 2000
+  private val PlantsPerQuery = 5
+  private val K = 5
+  private val ShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-ann-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", ShufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def corpusDirOf(n: Long) = s"/dev/shm/graft-ann-corpus-$n"
+  private def queriesDirOf(n: Long) = s"/dev/shm/graft-ann-queries-$n"
+  private val WarmN = 200000L
+  private def committed(dir: String) = Files.exists(Paths.get(dir, "_SUCCESS"))
+
+  /** deterministic pseudo-random unit-ish vector for an id */
+  private def randVec(seed: Long): Array[Float] = {
+    val r = new java.util.SplittableRandom(seed * 0x9e3779b97f4a7c15L + 0x3c6ef372L)
+    val v = Array.fill(Dims)((r.nextDouble() * 2.0 - 1.0).toFloat)
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private def plantVec(qid: Long, j: Int, plantId: Long): Array[Float] = {
+    val q = randVec(qid)
+    val noise = randVec(plantId + 0x5eed5eedL)
+    val eps = 0.08 + 0.03 * j
+    val v = Array.tabulate(Dims)(i => q(i) + eps.toFloat * noise(i))
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  /** total corpus size n = R randoms + 5Q plants (queries excluded) */
+  private def gen(n: Long): Unit = {
+    val nPlants = (PlantsPerQuery * Q).toLong
+    val nRandom = n - nPlants
+    require(nRandom > 0, s"corpus $n too small for $nPlants plants")
+    val s = session(32)
+    import s.implicits._
+    if (!committed(queriesDirOf(n))) {
+      s.range(0, Q.toLong).map { id => (id, randVec(id)) }
+        .toDF("vec_id", "embedding")
+        .repartition(4).write.mode("overwrite").parquet(queriesDirOf(n))
+    }
+    if (!committed(corpusDirOf(n))) {
+      s.range(Q.toLong, Q + n).map { id =>
+        val vec =
+          if (id < Q + nRandom) randVec(id)
+          else {
+            val p = id - Q - nRandom
+            plantVec(p / PlantsPerQuery, (p % PlantsPerQuery).toInt, id)
+          }
+        (id, vec)
+      }.toDF("vec_id", "embedding")
+        .repartition(64).write.mode("overwrite").parquet(corpusDirOf(n))
+    }
+    // small warm corpus with the same schema/shape
+    if (!committed(corpusDirOf(WarmN)) || !committed(queriesDirOf(WarmN))) {
+      val keep = Seq(corpusDirOf(n), queriesDirOf(n))
+      if (!keep.contains(corpusDirOf(WarmN))) {
+        s.range(0, 200L).map(id => (id, randVec(id))).toDF("vec_id", "embedding")
+          .repartition(2).write.mode("overwrite").parquet(queriesDirOf(WarmN))
+        s.range(200L, 200L + WarmN).map(id => (id, randVec(id)))
+          .toDF("vec_id", "embedding")
+          .repartition(16).write.mode("overwrite").parquet(corpusDirOf(WarmN))
+      }
+    }
+    s.stop()
+  }
+
+  private def lsh(corpus: DataFrame, queries: DataFrame): DataFrame =
+    Similarity.lshTopK(corpus, queries, "vec_id", "embedding", K,
+      planes = 96, bands = 8)
+
+  private def ivf(corpus: DataFrame, queries: DataFrame): DataFrame =
+    Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
+      nlist = 256, nprobe = 4)
+
+  final case class AlgoResult(wallSec: Double, medianSec: Double,
+      trials: Seq[Double], warmups: Seq[Double], recallAt5: Double,
+      checksum: Long, rowsReturned: Long)
+
+  final case class RunResult(cores: Int, n: Long, lshR: AlgoResult, ivfR: AlgoResult)
+
+  /** recall@5 vs the PLANTED ground truth + an order-insensitive checksum
+    * for cross-level equality. */
+  private def score(out: DataFrame, n: Long): (Double, Long, Long) = {
+    val nRandom = n - PlantsPerQuery * Q
+    val rows = out.select("query_id", "neighbor_id", "rank").collect()
+    val hits = rows.count { r =>
+      val nb = r.getLong(1)
+      nb >= Q + nRandom && (nb - Q - nRandom) / PlantsPerQuery == r.getLong(0)
+    }
+    val recall = hits.toDouble / (Q.toLong * K)
+    val checksum = rows.map(r =>
+      java.util.Objects.hash(Long.box(r.getLong(0)), Long.box(r.getLong(1)),
+        Int.box(r.getInt(2))).toLong).sum
+    (recall, checksum, rows.length.toLong)
+  }
+
+  private def run(cores: Int, n: Long): RunResult = {
+    val s = session(cores)
+    val minTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val maxTrials = math.max(minTrials, 5)
+    def algo(f: (DataFrame, DataFrame) => DataFrame): AlgoResult = {
+      def job(cDir: String, qDir: String): Double = {
+        val t0 = System.nanoTime()
+        f(s.read.parquet(cDir), s.read.parquet(qDir)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warmups = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var steady = false
+      while (!steady && warmups.length < 6) {
+        val t = job(corpusDirOf(WarmN), queriesDirOf(WarmN))
+        if (warmups.nonEmpty)
+          steady = math.abs(t - warmups.last) / math.min(t, warmups.last) < 0.15
+        warmups += t
+      }
+      warmups += job(corpusDirOf(n), queriesDirOf(n)) // untimed full-size
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def spread(ts: collection.Seq[Double]) = ts.max / ts.min - 1.0
+      while (walls.length < minTrials ||
+          (walls.length < maxTrials &&
+            spread(walls.sorted.take(minTrials)) >= 0.15)) {
+        walls += job(corpusDirOf(n), queriesDirOf(n))
+      }
+      val (recall, checksum, returned) =
+        score(f(s.read.parquet(corpusDirOf(n)), s.read.parquet(queriesDirOf(n))), n)
+      val sorted = walls.sorted
+      AlgoResult(walls.min, sorted(sorted.length / 2), walls.toSeq,
+        warmups.toSeq, recall, checksum, returned)
+    }
+    val lshR = algo(lsh)
+    val ivfR = algo(ivf)
+    s.stop()
+    RunResult(cores, n, lshR, ivfR)
+  }
+
+  private def arr(ts: Seq[Double]) = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
+  private def algoJson(a: AlgoResult): String =
+    s"""{"wallSec":${a.wallSec},"medianSec":${a.medianSec},"trials":${arr(a.trials)},"warmups":${arr(a.warmups)},"recallAt5":${a.recallAt5},"checksum":${a.checksum},"rowsReturned":${a.rowsReturned}}"""
+  private def fragmentJson(r: RunResult): String =
+    s"""{"cores":${r.cores},"n":${r.n},"lsh":${algoJson(r.lshR)},"ivf":${algoJson(r.ivfR)}}"""
+
+  private def parseFragment(path: String): RunResult = {
+    val root = graft.hotdog.HotdogJson.parseOrNull(Files.readString(Paths.get(path)))
+    require(root != null, s"bad fragment: $path")
+    def darr(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[Double] = {
+      val a = n.get(f); (0 until a.size()).map(a.get(_).doubleValue())
+    }
+    def algo(n: com.fasterxml.jackson.databind.JsonNode): AlgoResult =
+      AlgoResult(n.get("wallSec").doubleValue(), n.get("medianSec").doubleValue(),
+        darr(n, "trials"), darr(n, "warmups"), n.get("recallAt5").doubleValue(),
+        n.get("checksum").longValue(), n.get("rowsReturned").longValue())
+    RunResult(root.get("cores").intValue(), root.get("n").longValue(),
+      algo(root.get("lsh")), algo(root.get("ivf")))
+  }
+
+  /** brute-force a SAMPLE of queries and check their exact top-5 is the
+    * planted set in plant order — validates the corpus geometry claim the
+    * recall metric rests on. */
+  private def validatePlants(s: SparkSession, n: Long, sample: Int): Boolean = {
+    val nRandom = n - PlantsPerQuery * Q
+    val qs = s.read.parquet(queriesDirOf(n)).filter(col("vec_id") < sample)
+    val exact = Similarity.bruteForceTopK(
+      s.read.parquet(corpusDirOf(n)), qs, "vec_id", "embedding", K)
+      .collect()
+    exact.forall { r =>
+      val (q, nb, rank) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      nb == Q + nRandom + q * PlantsPerQuery + (rank - 1)
+    }
+  }
+
+  private def combine(n: Long, r8: RunResult, r32: RunResult, outMd: String): Unit = {
+    def eff(a8: AlgoResult, a32: AlgoResult) = a8.wallSec / (4.0 * a32.wallSec)
+    def effMed(a8: AlgoResult, a32: AlgoResult) = a8.medianSec / (4.0 * a32.medianSec)
+    val s = session(32)
+    val plantsOk = validatePlants(s, n, sample = 128)
+    s.stop()
+    val sameLsh = r8.lshR.checksum == r32.lshR.checksum
+    val sameIvf = r8.ivfR.checksum == r32.ivfR.checksum
+
+    def row(name: String, a8: AlgoResult, a32: AlgoResult): String =
+      f"""|| $name | ${a8.wallSec}%.1f | ${a32.wallSec}%.1f | ${n / a8.wallSec}%.0f | ${n / a32.wallSec}%.0f | ${eff(a8, a32)}%.3f | ${effMed(a8, a32)}%.3f | ${a32.recallAt5}%.4f |"""
+
+    val md =
+      f"""# BENCH/ANN — ANN scale rehearsal with measured recall
+         |
+         |Planted-neighbor corpus: $n%d vectors (dim $Dims%d) + $Q%d queries;
+         |each query has $PlantsPerQuery%d plants at cosines ≈ .997/.994/.990/.986/.981
+         |(see AnnScalingBench scaladoc). Ground truth is known by
+         |construction; a 128-query brute-force sample re-verifies that the
+         |exact top-$K%d equals the planted set in plant order: **$plantsOk**.
+         |
+         |Timed job: full top-$K%d retrieval for all $Q%d queries (signature/
+         |quantize → bucket/cell join → exact cosine re-rank → per-query
+         |top-k), count() materialized. Per-level JVMs (ActiveProcessorCount
+         |matched), corpus+shuffle on tmpfs, adaptive warmups + untimed
+         |full-size run + trials extended until best-2 spread < 15%%.
+         |
+         || algo | wall@8 (s) | wall@32 (s) | corpus vec/s @8 | corpus vec/s @32 | eff (min) | eff (median) | recall@5 |
+         ||---|---|---|---|---|---|---|---|
+         |${row("LSH (planes=96, bands=8)", r8.lshR, r32.lshR)}
+         |${row("IVF (nlist=256, nprobe=4)", r8.ivfR, r32.ivfR)}
+         |
+         |Scaling efficiency = wall@8 / (4 × wall@32), target ≥ 0.8;
+         |recall@5 target ≥ 0.95. Cross-level result equality (order-
+         |insensitive checksum over (query, neighbor, rank)): LSH $sameLsh,
+         |IVF $sameIvf. Rows returned (of ${Q * K}%d): LSH ${r32.lshR.rowsReturned}%d,
+         |IVF ${r32.ivfR.rowsReturned}%d (a sparse-bucket query may return
+         |fewer than k — `multiProbe` in Similarity.lshTopK probes the
+         |Hamming-1 buckets on the query side if recall needs a boost).
+         |
+         |trials (s) — LSH@8: ${r8.lshR.trials.map(t => f"$t%.1f").mkString(", ")};
+         |LSH@32: ${r32.lshR.trials.map(t => f"$t%.1f").mkString(", ")};
+         |IVF@8: ${r8.ivfR.trials.map(t => f"$t%.1f").mkString(", ")};
+         |IVF@32: ${r32.ivfR.trials.map(t => f"$t%.1f").mkString(", ")}.
+         |warmups (s) — LSH@8: ${r8.lshR.warmups.map(t => f"$t%.1f").mkString(", ")};
+         |LSH@32: ${r32.lshR.warmups.map(t => f"$t%.1f").mkString(", ")};
+         |IVF@8: ${r8.ivfR.warmups.map(t => f"$t%.1f").mkString(", ")};
+         |IVF@32: ${r32.ivfR.warmups.map(t => f"$t%.1f").mkString(", ")}.
+         |""".stripMargin
+    Files.createDirectories(Paths.get(outMd).getParent)
+    Files.writeString(Paths.get(outMd), md)
+    println(md)
+    println(s"""{"metric":"ann_corpus_vec_per_sec_local32","lsh_eff":${eff(r8.lshR, r32.lshR)},"ivf_eff":${eff(r8.ivfR, r32.ivfR)},"lsh_recall5":${r32.lshR.recallAt5},"ivf_recall5":${r32.ivfR.recallAt5},"n":$n,"plants_validated":$plantsOk,"cross_level_equal":${sameLsh && sameIvf}}""")
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") => gen(args(1).toLong)
+    case Some("level") =>
+      val Array(_, cores, n, outJson) = args
+      val r = run(cores.toInt, n.toLong)
+      Files.writeString(Paths.get(outJson), fragmentJson(r))
+      println(fragmentJson(r))
+    case Some("combine") =>
+      val Array(_, n, j8, j32, outMd) = args
+      combine(n.toLong, parseFragment(j8), parseFragment(j32), outMd)
+    case other =>
+      sys.error(s"usage: gen N | level CORES N OUT.json | combine N J8 J32 OUT.md (got $other)")
+  }
+}

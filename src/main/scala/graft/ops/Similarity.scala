@@ -42,21 +42,33 @@ object Similarity {
     * are the corpus vectors sharing ≥1 (band, chunk) bucket with the
     * query, and the exact cosine re-ranks within candidates. A query may
     * return fewer than k rows when its buckets are sparse (raise planes/
-    * bands or multi-probe for higher recall). Shuffles only (band, chunk,
-    * id) triples + the candidate pairs; vectors re-join narrowly. */
+    * bands, or set `multiProbe`). Shuffles only (band, chunk, id) triples
+    * + the candidate pairs; vectors re-join narrowly.
+    *
+    * `multiProbe` = m > 0 additionally probes, per band, the m buckets at
+    * Hamming distance 1 from the query's bucket (chunk with bit i flipped,
+    * i < m) — the classic recall/cost dial: candidate volume grows ~×(1+m)
+    * on the QUERY side only (the corpus banding is untouched, so the big
+    * side's shuffle is unchanged — the right trade at web scale where
+    * corpus ≫ queries). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4,
+      multiProbe: Int = 0): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val per = planes / bands
+    require(multiProbe >= 0 && multiProbe <= per, "multiProbe in [0, planes/bands]")
     val mask = (1L << per) - 1L
-    def banded(df: DataFrame, idAs: String) =
+    def banded(df: DataFrame, idAs: String, probes: Int) =
       df.select(col(idCol).as(idAs),
         opscol.hyperplaneSig(col(vecCol), planes).as("s"))
         .select(col(idAs), posexplode(array((0 until bands).map(b =>
           shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val cand = banded(queries, "query_id")
-      .join(banded(corpus, "neighbor_id"), Seq("band", "chunk"))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk0")
+        .select(col(idAs), col("band"), explode(array(
+          (col("chunk0") +: (0 until probes).map(i =>
+            col("chunk0").bitwiseXOR(lit(1L << i)))): _*)).as("chunk"))
+    val cand = banded(queries, "query_id", multiProbe)
+      .join(banded(corpus, "neighbor_id", 0), Seq("band", "chunk"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

@@ -61,6 +61,48 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0).getLong(2) >= 60L)
   }
 
+  test("lshTopK multiProbe: Hamming-1 query probes recover planted near-neighbors") {
+    // recall is only recoverable by 1-bit probes for NEAR vectors (small
+    // angle ⇒ few differing sign bits) — so plant perturbed copies of each
+    // query (cosine ≈ .99/.98/.97) and measure planted recall, not the
+    // brute-force top-k of random pairs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(16)(rng.nextFloat() * 2f - 1f)
+    val queries0 = Seq.tabulate(16)(i => (i.toLong, vec()))
+    val randoms = Seq.tabulate(200)(i => (100L + i, vec()))
+    val plants = for {
+      (qid, qv) <- queries0
+      j <- 0 until 3
+    } yield {
+      val eps = 0.15f + 0.05f * j
+      val n = vec()
+      (1000L + qid * 3 + j, qv.zip(n).map { case (a, b) => a + eps * b })
+    }
+    val corpus = (randoms ++ plants).toDF("vec_id", "embedding")
+    val queries = queries0.toDF("vec_id", "embedding")
+    def plantedMisses(mp: Int): Int = {
+      val got = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3,
+        planes = 16, bands = 2, multiProbe = mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (for ((qid, _) <- queries0; j <- 0 until 3)
+        yield (qid, 1000L + qid * 3 + j)).count(p => !got.contains(p))
+    }
+    val m0 = plantedMisses(0)
+    val m8 = plantedMisses(8) // probe every Hamming-1 bucket per band
+    assert(m8 <= m0, s"probing lost recall: $m0 -> $m8")
+    assert(m8 <= 4, s"multi-probe recall too low: $m8 of 48 planted missed")
+    // and probing must not perturb sims of pairs both runs found
+    val r0 = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3,
+      planes = 16, bands = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val r1 = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3,
+      planes = 16, bands = 2, multiProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    r0.keys.filter(r1.contains).foreach(k => assert(r0(k) == r1(k)))
+  }
+
   test("connectedComponents: min-label + path halving on chains, cliques, isolated pairs") {
     // a 64-node chain (worst case for pure propagation — needs pointer
     // jumping to converge in O(log n) rounds), a clique, and a 2-cycle

@@ -466,4 +466,20 @@ object Queries {
     table(spark, dir, "documents")
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
       .orderBy("doc_id")
+
+  /** The END-TO-END corpus-clean verdict (quality → language → exact
+    * dedup → near-dup components), TOTAL over the input: every document
+    * gets its first-failing-stage status, so the oracle compare covers
+    * all N rows, not just survivors. The input doubles every document as
+    * a synthetic exact copy (doc_id + 1e6) so the exact stage has real
+    * work; copies inherit quality/lang flags and must come out
+    * drop_exact (or drop_quality/drop_lang upstream), never kept. */
+  def pipeClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.ops.CorpusClean.cleanVerdict(doubled, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
 }

@@ -56,7 +56,8 @@ object SparkEntry {
     "txt_langid" -> (Queries.txtLangid _),
     "txt_fingerprint" -> (Queries.txtFingerprint _),
     "txt_repetition" -> (Queries.txtRepetition _),
-    "txt_rolling" -> (Queries.txtRolling _))
+    "txt_rolling" -> (Queries.txtRolling _),
+    "pipe_clean" -> (Queries.pipeClean _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -469,5 +470,56 @@ object SparkEntry {
         |  list_extract(['image','audio','video'], (doc_id % 3) + 1) AS kind,
         |  octet_length(encode(text))::INT AS n_bytes,
         |  md5(text) AS payload_md5
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // end-to-end corpus-clean verdict, replayed stage by stage: quality
+    // (word count) → language (stopword argmax) → exact dedup (row_number
+    // over md5(norm) among filter survivors) → near-dup components
+    // (recursive-CTE transitive closure over the exact all-pairs 3-gram
+    // jaccard graph of the exact representatives); status = first
+    // rejecting stage, total over the doubled corpus
+    "pipe_clean" ->
+      s"""WITH RECURSIVE alldocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |sc AS (SELECT doc_id, text,
+         |  len(string_split($normE, ' ')) AS nw,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('the','a','of','and','to','in','is','it'))) AS en,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('el','la','de','y','que','en','un','es'))) AS es,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('der','die','und','das','ist','ein','zu','den'))) AS de,
+         |  len(list_filter(string_split($normE, ' '), x -> x IN ('le','la','de','et','un','est','en','que'))) AS fr
+         | FROM alldocs),
+         |st AS (SELECT doc_id, text, nw >= 20 AS q_ok,
+         |  (CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+         |        WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |        WHEN es >= de AND es >= fr THEN 'es'
+         |        WHEN de >= fr THEN 'de' ELSE 'fr' END) = 'en' AS l_ok
+         | FROM sc),
+         |ex AS (SELECT doc_id, text,
+         |   row_number() OVER (PARTITION BY md5($normE) ORDER BY doc_id) AS rn
+         | FROM st WHERE q_ok AND l_ok),
+         |w AS (SELECT doc_id AS id, $normE AS norm, string_split($normE, ' ') AS ws
+         | FROM ex WHERE rn = 1),
+         |base AS (SELECT id, list_distinct(
+         |   CASE WHEN len(ws) < 3 THEN [norm]
+         |        ELSE list_transform(range(0, len(ws) - 2),
+         |               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS sh
+         | FROM w),
+         |p AS (SELECT a.id AS u, b.id AS v FROM base a JOIN base b ON a.id < b.id
+         | WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60),
+         |edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach AS (
+         |  SELECT u AS id, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |nd AS (SELECT id, least(id, min(r)) = id AS nd_keep FROM reach GROUP BY id)
+         |SELECT st.doc_id,
+         |  CASE WHEN NOT st.q_ok THEN 'drop_quality'
+         |       WHEN NOT st.l_ok THEN 'drop_lang'
+         |       WHEN ex.rn > 1 THEN 'drop_exact'
+         |       WHEN nd.nd_keep = false THEN 'drop_neardup'
+         |       ELSE 'kept' END AS status
+         |FROM st LEFT JOIN ex ON ex.doc_id = st.doc_id
+         |        LEFT JOIN nd ON nd.id = st.doc_id
+         |ORDER BY st.doc_id""".stripMargin)
 }

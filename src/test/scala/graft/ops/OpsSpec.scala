@@ -406,4 +406,31 @@ class OpsSpec extends AnyFunSuite {
       ("a", "b", 1L, 2L), ("a", "c", 1L, 3L), ("b", "c", 2L, 3L),
       ("x", "y", 7L, 8L)))
   }
+
+  test("cleanVerdict: total first-failing-stage status per document") {
+    val a = "the cat is in the hat and it is a fine day to walk in the park of the town and see the dog"
+    val corpus = Seq(
+      (0L, a),                                          // kept (near-dup rep)
+      (1L, "The cat IS in the hat and it is a fine day to walk in the park of the town and see the dog"), // exact dup of 0 after normalize
+      (2L, a.dropRight(3) + "bird"),                    // near-dup of 0 (1 word)
+      (3L, "it is a tiny doc"),                         // < 20 words
+      (4L, "el gato y la casa de la madre es un lugar que en la tarde el perro y el sol de la manana brilla"), // es
+      (5L, "a dog and a cat is to run in the yard of the house and it is a good game to play all day") // kept
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.cleanVerdict(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      0L -> "kept", 1L -> "drop_exact", 2L -> "drop_neardup",
+      3L -> "drop_quality", 4L -> "drop_lang", 5L -> "kept"))
+  }
+
+  test("cleanVerdict: no pairs found still yields a total verdict") {
+    val corpus = Seq(
+      (0L, "a dog and a cat is to run in the yard of the house and it is a good game to play all day"),
+      (1L, "it is short")
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.cleanVerdict(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "kept", 1L -> "drop_quality"))
+  }
 }

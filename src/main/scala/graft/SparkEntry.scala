@@ -57,7 +57,8 @@ object SparkEntry {
     "txt_fingerprint" -> (Queries.txtFingerprint _),
     "txt_repetition" -> (Queries.txtRepetition _),
     "txt_rolling" -> (Queries.txtRolling _),
-    "pipe_clean" -> (Queries.pipeClean _))
+    "pipe_clean" -> (Queries.pipeClean _),
+    "dd_stream_dedup" -> (Queries.ddStreamDedup _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -274,15 +275,18 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // pairs → keep/drop verdict: recursive-CTE transitive closure over the
-    // exact all-pairs same-source word-set near-dup graph; rep = min id
-    // reachable, keep ⇔ the doc IS its component's min
+    // exact all-pairs 3-gram near-dup graph (the dd_minhash graph); rep =
+    // min id reachable, keep ⇔ the doc IS its component's min
     "dd_components" ->
-      s"""WITH RECURSIVE base AS (
-         |  SELECT source AS g, doc_id AS id,
-         |    list_distinct(string_split($normE, ' ')) AS sh
-         |  FROM documents),
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |base AS (SELECT id, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS sh
+         |  FROM w),
          |p AS (SELECT a.id AS u, b.id AS v
-         |  FROM base a JOIN base b ON a.g = b.g AND a.id < b.id
+         |  FROM base a JOIN base b ON a.id < b.id
          |  WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60),
          |edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
          |reach AS (
@@ -471,6 +475,14 @@ object SparkEntry {
         |  octet_length(encode(text))::INT AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // streaming keyed dedup: the surviving key SET is deterministic (the
+    // output projects to the dedup keys), so the oracle is the plain
+    // distinct over the parse-ok stream's key columns
+    "dd_stream_dedup" ->
+      s"""SELECT DISTINCT $hostE AS hostname, 'app-' || (user_id % 10) AS appname
+         |FROM events WHERE event_type <> 'error'
+         |ORDER BY hostname, appname""".stripMargin,
 
     // end-to-end corpus-clean verdict, replayed stage by stage: quality
     // (word count) → language (stopword argmax) → exact dedup (row_number

@@ -78,6 +78,23 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: the first row per dedup key survives, later
+    * arrivals are dropped while the key's state lives. State is keyed on
+    * `keyCols` and expires once the watermark (max event time − lateness)
+    * passes the key's own event time — the bounded-state contract an
+    * unbounded stream needs at 100 TB: a plain streaming dropDuplicates
+    * pins EVERY key ever seen in the state store forever, and a web-scale
+    * ingest stream has ~unbounded key cardinality. The trade a caller
+    * makes is the horizon: a key recurring AFTER its state expired is
+    * emitted again, so `lateness` is the dedup window you can afford
+    * (crawl-window dedup, not dedup-forever — the batch [[graft.ops.Dedup]]
+    * path owns the forever case over the materialized corpus). */
+  def streamingDedupKeys(streamingRows: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String, lateness: String): DataFrame =
+    streamingRows
+      .withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Tumbling-window per-topic routed counts over an event-time column
     * carried through the router (input must have `event_time` timestamp).
     * Watermark bounds state: rows later than `lateness` are dropped. */

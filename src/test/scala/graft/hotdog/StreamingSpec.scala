@@ -146,4 +146,52 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(finals == want)
   }
+
+  test("streamingDedupKeys: cross-batch dedup; state expiry re-emits past the horizon") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val t0 = 1700000000L
+    // the file source orders micro-batches by modification time — stamp
+    // each appended part file explicitly so batch order is deterministic
+    var stamp = 1000000L
+    val stamped = scala.collection.mutable.Set.empty[String]
+    def file(rows: Seq[(String, Long)]): Unit = {
+      rows.toDF("k", "sec")
+        .select(col("k"), timestamp_seconds(col("sec")).as("event_time"))
+        .repartition(1).write.mode("append").parquet(tmp)
+      stamp += 60000L
+      new java.io.File(tmp).listFiles().foreach { f =>
+        if (f.getName.startsWith("part-") && stamped.add(f.getName))
+          f.setLastModified(stamp)
+      }
+    }
+    // batch 1: a,b (plus an in-batch duplicate of a); batch 2: c two hours
+    // later (its max event time advances the watermark for LATER batches);
+    // batch 3: d — processed under the advanced watermark, so a/b's state
+    // (expiry t0+10min) is evicted here; batch 4: a again → re-emitted.
+    // Eviction takes effect one batch after the watermark passes the
+    // expiry (the watermark a batch runs under is the one committed by
+    // the previous batch) — hence the spacer batch.
+    file(Seq("a" -> t0, "a" -> t0, "b" -> t0))
+    file(Seq("c" -> (t0 + 7200L)))
+    file(Seq("d" -> (t0 + 7200L)))
+    file(Seq("a" -> (t0 + 7260L), "c" -> (t0 + 7260L)))
+
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val dedup = Streaming.streamingDedupKeys(
+      stream, Seq("k"), "event_time", lateness = "10 minutes")
+    val q = dedup.select("k").writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sdedup").collect().map(_.getString(0)).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    // in-batch and live-state duplicates dropped (b, c); `a` re-emitted
+    // ONCE because its first state expired when the watermark moved 2h —
+    // the documented horizon trade of dropDuplicatesWithinWatermark
+    assert(got == Map("a" -> 2, "b" -> 1, "c" -> 1, "d" -> 1), got.toString)
+  }
 }

@@ -37,8 +37,11 @@ class DedupPlanSpec extends AnyFunSuite {
         s"dd_simhash should be join-free, found $joins joins")
       // dd_components' returned frame is a localCheckpoint scan (the CC
       // rounds run eagerly inside the operator), so like dd_exact there is
-      // no join left in the final plan to audit
-      else if (name != "dd_exact" && name != "dd_components")
+      // no join left in the final plan to audit; dd_stream_dedup is keyed
+      // streaming state (dropDuplicatesWithinWatermark), join-free by
+      // design — its returned frame is the memory-sink table
+      else if (name != "dd_exact" && name != "dd_components" &&
+          name != "dd_stream_dedup")
         assert(joins > 0, s"$name had no joins to audit")
     }
   }

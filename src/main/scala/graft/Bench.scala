@@ -37,7 +37,7 @@ object Bench {
       "dd_wordset_jaccard", "pipe_clean", "dd_neardup_dedup", "dd_minhash",
       "dd_components", "dd_simhash", "dd_embed_neardup", "dd_exact",
       "sim_topk_lsh", "sim_topk_ivf", "sim_topk").zipWithIndex.toMap
-    val streamingLast = Set("hd_window", "hd_state_totals")
+    val streamingLast = Set("hd_window", "hd_state_totals", "dd_stream_dedup")
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (if (streamingLast(n)) 2 else if (priority.contains(n)) 0 else 1,
         priority.getOrElse(n, 0), n)

@@ -517,4 +517,59 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
+
+  /** Concat-and-chunk sequence packing (tokens = whitespace words of the
+    * normalized text): each doc's absolute token offset and the training-
+    * chunk range it spans at a 2048-token budget. The global running sum
+    * is the distributed two-level scan in [[graft.ops.Packing]] — never a
+    * single-partition window; the DuckDB oracle IS that naive global
+    * window, so equality proves the distributed scan exact. */
+  def pipePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    graft.ops.Packing.packChunks(docs, "doc_id", "n_tok", budget = 2048L)
+      .select("doc_id", "n_tok", "start_off", "bin_first", "bin_last")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted corpus mixing: per-source sampling rates
+    * ((srcIdx*7) mod 101 percent) applied via the md5-based hash —
+    * row membership is a pure function of doc_id, so re-runs, other
+    * partitionings, and other cluster sizes keep exactly the same rows. */
+  def pipeSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val rates = docs.select(col("source")).distinct()
+      .withColumn("rate_pct",
+        (substring(col("source"), 4, 10).cast("int") * 7) % 101)
+    graft.ops.Mixing.sampleBySource(docs, "doc_id", "source", rates)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: training docs (doc_id % 23 ≠ 0) sharing
+    * any word 4-gram with the held-out eval slice (doc_id % 23 = 0),
+    * with the count of distinct shared 4-grams. */
+  def ddContam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val evalSet = docs.filter(col("doc_id") % 23 === 0)
+    val train = docs.filter(col("doc_id") % 23 =!= 0)
+    graft.ops.Contamination.contaminated(train, evalSet, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+  }
+
+  /** Span-level duplicate-text stats: per doc, distinct word 8-grams and
+    * how many of them appear in ≥1 other document (the substring-dedup
+    * signal doc-level MinHash can't see). Total: one row per doc. */
+  def ddSpan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.spanDupStats(
+      table(spark, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  /** Global top-k vocabulary with corpus count + document frequency;
+    * k=20 < |vocab| so the deterministic (n desc, word asc) boundary
+    * order is load-bearing in the cross-engine compare. */
+  def txtVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.vocabulary(
+      table(spark, dir, "documents"), "doc_id", "text", k = 20)
 }

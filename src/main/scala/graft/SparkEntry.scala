@@ -58,7 +58,12 @@ object SparkEntry {
     "txt_repetition" -> (Queries.txtRepetition _),
     "txt_rolling" -> (Queries.txtRolling _),
     "pipe_clean" -> (Queries.pipeClean _),
-    "dd_stream_dedup" -> (Queries.ddStreamDedup _))
+    "dd_stream_dedup" -> (Queries.ddStreamDedup _),
+    "pipe_pack" -> (Queries.pipePack _),
+    "pipe_sample" -> (Queries.pipeSample _),
+    "dd_contam" -> (Queries.ddContam _),
+    "dd_span" -> (Queries.ddSpan _),
+    "txt_vocab" -> (Queries.txtVocab _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -533,5 +538,67 @@ object SparkEntry {
          |       ELSE 'kept' END AS status
          |FROM st LEFT JOIN ex ON ex.doc_id = st.doc_id
          |        LEFT JOIN nd ON nd.id = st.doc_id
-         |ORDER BY st.doc_id""".stripMargin)
+         |ORDER BY st.doc_id""".stripMargin,
+
+    // the naive GLOBAL window (one total order over the corpus) — the
+    // Spark side computes the same running sum with the distributed
+    // two-level scan in Packing, so equality proves that scan exact
+    "pipe_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split($normE, ' '))::BIGINT AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tok, start_off,
+         |  (start_off // 2048)::BIGINT AS bin_first,
+         |  ((start_off + n_tok - 1) // 2048)::BIGINT AS bin_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // identical md5-prefix hash and per-source rate arithmetic — row
+    // membership is a pure function of (doc_id, source) in both engines
+    "pipe_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |      < (substr(source, 4)::INT * 7) % 101
+        |ORDER BY doc_id""".stripMargin,
+
+    "dd_contam" ->
+      s"""WITH w AS (SELECT doc_id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shingleListE(4)} AS sh FROM w),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 23 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 23 <> 0)
+         |SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "dd_span" ->
+      s"""WITH w AS (SELECT doc_id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shingleListE(8)} AS sh FROM w),
+         |gr AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |gd AS (SELECT gr.doc_id, count(*)::BIGINT AS n_dup FROM gr
+         |  JOIN d USING (g) GROUP BY gr.doc_id)
+         |SELECT sh.doc_id, len(sh.sh)::BIGINT AS n_sh,
+         |  coalesce(gd.n_dup, 0)::BIGINT AS n_dup_sh
+         |FROM sh LEFT JOIN gd USING (doc_id) ORDER BY sh.doc_id""".stripMargin,
+
+    "txt_vocab" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(string_split($normE, ' ')) AS word FROM documents)
+         |SELECT word, count(*)::BIGINT AS n,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM w GROUP BY word
+         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)
+
+  /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
+    * distinct word n-grams of the normalized text; fewer than n words ⇒
+    * the whole normalized text as the single shingle. */
+  private def shingleListE(n: Int): String = {
+    val gram = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len(ws) < $n THEN [norm]
+       |    ELSE list_transform(range(0, len(ws) - ${n - 1}), i -> $gram) END)""".stripMargin
+  }
 }

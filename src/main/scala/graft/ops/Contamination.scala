@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram overlap operators for training-corpus hygiene:
+  *
+  *  - [[contaminated]]: benchmark DECONTAMINATION — which training docs
+  *    share any word n-gram with a (small) eval/benchmark set. The
+  *    standard "n-gram overlap" test-set-leakage check every serious
+  *    training pipeline runs before training.
+  *  - [[spanDupStats]]: per-document duplicate-TEXT fraction — how much of
+  *    a doc's n-gram surface also appears in other documents (the
+  *    span-level signal behind exact-substring dedup à la "Deduplicating
+  *    Training Data Makes Language Models Better"; doc-level MinHash
+  *    can't see a boilerplate paragraph pasted into otherwise-distinct
+  *    pages, this can).
+  *
+  * Both ride [[Dedup.shingles]] (codegen'd normalize→split→n-gram kernel,
+  * distinct shingles per doc).
+  */
+object Contamination {
+
+  /** Training docs sharing ≥1 word n-gram with the eval set, with the
+    * count of distinct shared n-grams. Output: (idCol, n_shared).
+    *
+    * 100 TB shape: benchmark suites are tiny (≤ millions of n-grams) —
+    * the distinct eval-gram set is BROADCAST, so the train side is one
+    * narrow explode + hash-probe with map-side partial aggregation; the
+    * only shuffle carries (id, partial count) for docs that hit, which
+    * contamination makes rare by construction. No shuffle ever carries
+    * the corpus n-grams.
+    */
+  def contaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .distinct()
+    train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      .join(broadcast(evalGrams), "_g")
+      // shingles are distinct per doc ⇒ count(*) = distinct shared grams
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-document span-duplication stats: n_sh = distinct word n-grams in
+    * the doc, n_dup_sh = how many of those appear in ≥1 OTHER doc.
+    * Output: (idCol, n_sh, n_dup_sh) — total (one row per input doc;
+    * docs sharing nothing report n_dup_sh = 0).
+    *
+    * 100 TB shape: the gram-frequency pass groups on md5(gram) — a fixed
+    * 128-bit key, so the big shuffle never carries raw n-gram text, and
+    * cross-doc detection is min(id)≠max(id) (two longs per gram, map-side
+    * combined) rather than a count-distinct. The per-doc dup count then
+    * semi-joins the exploded grams against the duplicated-gram keys —
+    * both sides shuffle-partitioned by the same 128-bit key. A Bloom/
+    * broadcast short-circuit is deliberately NOT used: the duplicated-gram
+    * set is corpus-sized, not benchmark-sized.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh"))
+    val grams = base
+      .select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), md5(col("_g")).as("_gh"))
+    val dupGrams = grams
+      .groupBy("_gh")
+      .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))
+      .filter(col("_mn") =!= col("_mx"))
+      .select("_gh")
+    val perDocDup = grams
+      .join(dupGrams, Seq("_gh"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_sh"))
+    base
+      .select(col(idCol), size(col("_sh")).cast("long").as("n_sh"))
+      .join(perDocDup, Seq(idCol), "left")
+      .withColumn("n_dup_sh", coalesce(col("n_dup_sh"), lit(0L)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sequence packing for LLM training corpora: concatenate every document's
+  * token stream in a global deterministic order (the id) and cut the stream
+  * into fixed-size training chunks ("concat-and-chunk" — the standard
+  * packing used to build fixed-length training batches). The answer per
+  * document is its absolute token offset and the chunk range it spans.
+  *
+  * 100 TB shape: the global running sum is a classic two-level scan, NOT a
+  * single-partition window (the naive `Window.orderBy(id)` plans ONE
+  * partition holding the whole corpus — a driver-killer at scale):
+  *
+  *   1. range-shuffle on the id (narrow (id, n_tok) rows only — never the
+  *      text/tokens payload),
+  *   2. per-partition token sums — #partitions rows — cumulated into
+  *      exclusive partition OFFSETS on a single tiny partition,
+  *   3. offsets broadcast back; each partition computes its local running
+  *      sum independently (window partitioned BY partition id, so every
+  *      partition scans in parallel).
+  *
+  * All arithmetic is integer (`DIV`), exact at any corpus size — a double
+  * division would lose token-offset precision past 2^53 (a ~9e15-token,
+  * i.e. >10 PB, corpus — but exactness is free here).
+  */
+object Packing {
+
+  /** Assign each document its exclusive token start offset (order = idCol
+    * ascending) and the [bin_first, bin_last] chunk range it occupies when
+    * the concatenated stream is cut every `budget` tokens.
+    *
+    * Output: idCol, nTokCol, start_off, bin_first, bin_last — one row per
+    * input row (total operator: no document is dropped).
+    *
+    * @param numParts range-partition count; <=0 ⇒ the session's shuffle
+    *                 partitions (at real scale: size so a partition's
+    *                 (id, n_tok) pairs fit an executor — 64-byte rows,
+    *                 so even 128 MiB partitions hold ~2M docs).
+    */
+  def packChunks(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Long, numParts: Int = 0): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    // narrow projection BEFORE the shuffle: only (id, n_tok) moves
+    val ranged = df
+      .select(col(idCol), col(nTokCol).cast("long").as(nTokCol))
+      .repartitionByRange(parts, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition sums: #partitions rows — the only single-partition
+    // step runs over THIS tiny frame, never the data
+    val offW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("_pid")
+      .agg(sum(nTokCol).as("_psum"))
+      .withColumn("_off", coalesce(sum("_psum").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    // local exclusive running sum, one window scan per partition in
+    // parallel (partitionBy _pid ⇒ no global-order single partition)
+    val intraW = Window.partitionBy("_pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), "_pid")
+      .withColumn("start_off",
+        col("_off") + coalesce(sum(col(nTokCol)).over(intraW), lit(0L)))
+      .withColumn("bin_first", expr(s"start_off DIV ${budget}L"))
+      .withColumn("bin_last",
+        expr(s"(start_off + `$nTokCol` - 1) DIV ${budget}L"))
+      .drop("_pid", "_off")
+  }
+}

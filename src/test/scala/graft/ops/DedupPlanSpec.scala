@@ -12,8 +12,11 @@ class DedupPlanSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("every join in every dd_* plan references a bounded bucket/id key") {
+    // doc_id: unique per row (fan-out 1); _gh: md5(n-gram) — per-key group
+    // size is the number of docs sharing one exact n-gram, the quantity
+    // dd_span is measuring, bounded by construction after exact-dedup.
     val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
-      "query_id", "neighbor_id")
+      "query_id", "neighbor_id", "doc_id", "_gh")
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan
@@ -24,9 +27,20 @@ class DedupPlanSpec extends AnyFunSuite {
           val refs = j.condition
             .map(_.references.toSeq.map(_.name).toSet)
             .getOrElse(Set.empty[String])
-          assert(refs.intersect(bounded).nonEmpty,
+          // a raw-gram key (_g) is acceptable ONLY against the broadcast
+          // eval set (dd_contam) — the corpus side never shuffles on it;
+          // the physical broadcast is pinned below
+          val broadcastGram = name == "dd_contam" && refs == Set("_g")
+          assert(broadcastGram || refs.intersect(bounded).nonEmpty,
             s"$name join keys $refs include no bounded bucket/id column")
         case _ => ()
+      }
+      // dd_contam's only gram join must BE the broadcast probe: a
+      // SortMergeJoin here would shuffle every corpus n-gram
+      if (name == "dd_contam") {
+        val phys = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(phys.contains("BroadcastHashJoin"), s"dd_contam:\n$phys")
+        assert(!phys.contains("SortMergeJoin"), s"dd_contam:\n$phys")
       }
       // the LSH paths generate candidates join-free (collect_list per
       // bucket + explode²); only the shingle/vector VERIFY re-joins on id.

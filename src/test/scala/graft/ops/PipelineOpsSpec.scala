@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.hotdog.SparkSpec
+
+/** Specs for the training-pipeline operators added late in round 4:
+  * sequence packing (Packing), corpus mixing + vocabulary (Mixing), and
+  * n-gram contamination / span-dup stats (Contamination). */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // ---- Packing -----------------------------------------------------------
+
+  test("packChunks: offsets equal the naive global running sum") {
+    val n = 257 // not a multiple of any partition count in play
+    val rows = (0L until n).map(i => (i, 1L + (i * 37) % 113))
+    val df = rows.toDF("doc_id", "n_tok").repartition(7) // scrambled input
+    val out = Packing.packChunks(df, "doc_id", "n_tok", budget = 100L,
+        numParts = 5)
+      .select("doc_id", "n_tok", "start_off", "bin_first", "bin_last")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    var off = 0L
+    rows.sortBy(_._1).foreach { case (id, nt) =>
+      val (gotNt, gotOff, binF, binL) = out(id)
+      assert(gotNt == nt)
+      assert(gotOff == off, s"doc $id: offset $gotOff != $off")
+      assert(binF == off / 100, s"doc $id bin_first")
+      assert(binL == (off + nt - 1) / 100, s"doc $id bin_last")
+      off += nt
+    }
+    assert(out.size == n) // total: every doc keeps a row
+  }
+
+  test("packChunks: result independent of partition count") {
+    val df = (0L until 64L).map(i => (i, (i % 9) + 1)).toDF("doc_id", "n_tok")
+    def run(p: Int) =
+      Packing.packChunks(df, "doc_id", "n_tok", budget = 16L, numParts = p)
+        .select("doc_id", "start_off").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == run(8))
+  }
+
+  test("packChunks: no global single-partition window over the data") {
+    val df = (0L until 32L).map(i => (i, 3L)).toDF("doc_id", "n_tok")
+    val plan = Packing.packChunks(df, "doc_id", "n_tok", 8L, numParts = 4)
+      .queryExecution.optimizedPlan.toString()
+    // every Window over the data frame must be partitioned by _pid; the
+    // only unpartitioned window runs on the #partitions-row offsets frame
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    assert(unpartitioned.forall(_.contains("_psum")),
+      s"global window over data rows:\n$plan")
+  }
+
+  test("packChunks rejects a non-positive budget") {
+    val df = Seq((1L, 2L)).toDF("doc_id", "n_tok")
+    intercept[IllegalArgumentException] {
+      Packing.packChunks(df, "doc_id", "n_tok", 0L)
+    }
+  }
+
+  // ---- Mixing ------------------------------------------------------------
+
+  test("hashPct is deterministic and in [0, 100)") {
+    val ids = (0L until 500L).toDF("id")
+    val pct = ids.select(Mixing.hashPct(col("id")).as("p"))
+      .collect().map(_.getLong(0))
+    assert(pct.forall(p => p >= 0 && p < 100))
+    val again = ids.repartition(13)
+      .select(col("id"), Mixing.hashPct(col("id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 500L).foreach(i => assert(again(i) == pct(i.toInt)))
+    // and it actually spreads: at least 60 distinct values over 500 ids
+    assert(pct.distinct.length > 60)
+  }
+
+  test("sampleBySource keeps exactly the rows hashing under their rate") {
+    val docs = (0L until 300L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val rates = Seq(("src0", 0), ("src1", 50), ("src2", 100))
+      .toDF("source", "rate_pct")
+    val kept = Mixing.sampleBySource(docs, "doc_id", "source", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pct = docs.select(col("doc_id"), Mixing.hashPct(col("doc_id")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 300L).foreach { i =>
+      val rate = Seq(0, 50, 100)((i % 3).toInt)
+      assert(kept.contains(i) == (pct(i) < rate), s"doc $i")
+    }
+    assert(!kept.exists(_ % 3 == 0))     // rate 0: nothing
+    assert((0L until 300L).filter(_ % 3 == 2).forall(kept.contains)) // rate 100: all
+  }
+
+  test("vocabulary: counts, doc frequency, deterministic top-k boundary") {
+    val docs = Seq(
+      (0L, "a a b c"),
+      (1L, "a b b z"),
+      (2L, "c a z z")).toDF("doc_id", "text")
+    // counts: a=4 b=3 z=3 c=2; df: a=3 b=2 z=2 c=2
+    val top = Mixing.vocabulary(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // tie n=3 broken word-asc: b before z
+    assert(top.toSeq == Seq(("a", 4L, 3L), ("b", 3L, 2L), ("z", 3L, 2L)))
+  }
+
+  // ---- Contamination -----------------------------------------------------
+
+  test("contaminated: counts distinct shared n-grams against the eval set") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares "alpha beta" bigram
+      (11L, "zeta eta theta iota"),            // no overlap
+      (12L, "alpha beta alpha beta gamma")     // shares 2 distinct bigrams
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = Contamination.contaminated(train, evalSet, "doc_id", "text",
+        n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 2L, 12L -> 2L)) // "alpha beta", "beta gamma"
+  }
+
+  test("spanDupStats is total and counts cross-doc n-grams only") {
+    val docs = Seq(
+      (0L, "one two three four"),   // trigrams: {one two three, two three four}
+      (1L, "one two three five"),   // shares "one two three"
+      (2L, "six seven eight nine")  // unique
+    ).toDF("doc_id", "text")
+    val out = Contamination.spanDupStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((2L, 1L)))
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((2L, 0L))) // present with zero dups — total output
+  }
+
+  test("contaminated plan broadcasts the eval grams — no shuffle of train grams") {
+    val train = (0L until 50L).map(i => (i, s"word$i filler text here"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((0L, "filler text here now")).toDF("doc_id", "text")
+    val plan = Contamination.contaminated(train, evalSet, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side not broadcast:\n$plan")
+  }
+}

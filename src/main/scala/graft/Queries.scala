@@ -572,4 +572,23 @@ object Queries {
   def txtVocab(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Mixing.vocabulary(
       table(spark, dir, "documents"), "doc_id", "text", k = 20)
+
+  /** Global top-k token trigrams over the sequences table's
+    * `tokens: array<int32>` column itself (the BASELINE input_hint
+    * payload) — corpus occurrence count + distinct-sequence frequency,
+    * k=25 < |grams| so the deterministic tie order is load-bearing. */
+  def tokNgrams(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.ngramTopK(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", n = 3, k = 25)
+
+  /** Per-sequence duplicated-token-span stats: distinct token 16-grams
+    * and how many appear in ≥1 other sequence — the span-level
+    * exact-substring dedup signal computed directly on token ids.
+    * Total: one row per sequence (short sequences report 0, 0). */
+  def tokSpanDup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.tokenSpanDupStats(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", n = 16)
+      .orderBy("doc_id")
 }

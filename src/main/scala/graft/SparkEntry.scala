@@ -63,7 +63,9 @@ object SparkEntry {
     "pipe_sample" -> (Queries.pipeSample _),
     "dd_contam" -> (Queries.ddContam _),
     "dd_span" -> (Queries.ddSpan _),
-    "txt_vocab" -> (Queries.txtVocab _))
+    "txt_vocab" -> (Queries.txtVocab _),
+    "tok_ngrams" -> (Queries.tokNgrams _),
+    "tok_span_dup" -> (Queries.tokSpanDup _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -591,11 +593,44 @@ object SparkEntry {
          |SELECT word, count(*)::BIGINT AS n,
          |  count(DISTINCT doc_id)::BIGINT AS n_docs
          |FROM w GROUP BY word
-         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin)
+         |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+
+    // token-axis operators: tokens = codepoints of the constructed line
+    // (stringToCodepoints parity), grams rendered comma-joined in both
+    // engines — the compare covers windowing, counting and the k-boundary
+    "tok_ngrams" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |g AS (SELECT doc_id, unnest(${tokGramListE(3)}) AS gram FROM s)
+         |SELECT gram, count(*)::BIGINT AS n,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM g GROUP BY gram
+         |ORDER BY n DESC, gram ASC LIMIT 25""".stripMargin,
+
+    "tok_span_dup" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |sh AS (SELECT doc_id, list_distinct(${tokGramListE(16)}) AS sh FROM s),
+         |gr AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |d AS (SELECT g FROM gr GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         |gd AS (SELECT gr.doc_id, count(*)::BIGINT AS n_dup FROM gr
+         |  JOIN d USING (g) GROUP BY gr.doc_id)
+         |SELECT sh.doc_id, len(sh.sh)::BIGINT AS n_sh,
+         |  coalesce(gd.n_dup, 0)::BIGINT AS n_dup_sh
+         |FROM sh LEFT JOIN gd USING (doc_id) ORDER BY sh.doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒
     * the whole normalized text as the single shingle. */
+  /** DuckDB replica of the [[graft.ops.TokenOps.tokenNgrams]] contract
+    * over codepoint token streams: every window of n consecutive
+    * codepoints of `line`, comma-joined. range(0, len-n+1) is empty for
+    * lines shorter than n — same as the Spark side's empty-array guard. */
+  private def tokGramListE(n: Int): String = {
+    val gram = (1 to n)
+      .map(j => s"unicode(substr(line, (i+$j)::INT, 1))::VARCHAR")
+      .mkString(" || ',' || ")
+    s"list_transform(range(0, len(line) - ${n - 1}), i -> $gram)"
+  }
+
   private def shingleListE(n: Int): String = {
     val gram = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
     s"""list_distinct(CASE WHEN len(ws) < $n THEN [norm]

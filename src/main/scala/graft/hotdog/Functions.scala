@@ -38,6 +38,9 @@ object Functions {
     reg("hyperplane_sig")(a => graft.ops.HyperplaneSig(a(0), intLit(a(1))))
     reg("minhash_bands")(a => graft.ops.MinHashBands(a(0), intLit(a(1))))
     reg("word_shingles")(a => graft.ops.WordShingles(a(0), intLit(a(1))))
+    // token_ngrams(tokens, n [, distinct]) — comma-joined sliding windows
+    reg("token_ngrams")(a => graft.ops.TokenNgrams(a(0), intLit(a(1)),
+      a.length > 2 && a(2).eval(null).asInstanceOf[Boolean]))
     // regex_captures(str, pattern, groupIdx...) — groups default to (1)
     reg("regex_captures")(a => RegexCaptures(a(0), a(1),
       if (a.length > 2) a.drop(2).map(intLit) else Seq(1)))

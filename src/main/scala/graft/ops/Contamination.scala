@@ -59,10 +59,19 @@ object Contamination {
     * set is corpus-sized, not benchmark-sized.
     */
   def spanDupStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8): DataFrame = {
-    val base = df.select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh"))
+      n: Int = 8): DataFrame =
+    spanDupStatsGrams(
+      df.select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh")),
+      idCol, "_sh")
+
+  /** Gram-level core of [[spanDupStats]]: `gramsCol` must hold the
+    * DISTINCT grams of each document (any renderable gram domain — word
+    * shingles, token n-grams). Output: (idCol, n_sh, n_dup_sh), total.
+    */
+  private[ops] def spanDupStatsGrams(base: DataFrame, idCol: String,
+      gramsCol: String): DataFrame = {
     val grams = base
-      .select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), explode(col(gramsCol)).as("_g"))
       .select(col(idCol), md5(col("_g")).as("_gh"))
     val dupGrams = grams
       .groupBy("_gh")
@@ -74,7 +83,7 @@ object Contamination {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_dup_sh"))
     base
-      .select(col(idCol), size(col("_sh")).cast("long").as("n_sh"))
+      .select(col(idCol), size(col(gramsCol)).cast("long").as("n_sh"))
       .join(perDocDup, Seq(idCol), "left")
       .withColumn("n_dup_sh", coalesce(col("n_dup_sh"), lit(0L)))
   }

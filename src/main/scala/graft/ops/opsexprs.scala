@@ -184,6 +184,66 @@ object OpsKernels {
     new GenericArrayData(arr)
   }
 
+  /** Token n-grams over an int token array: each window of n consecutive
+    * tokens rendered as a comma-joined decimal string (engine-portable
+    * group key); sequences shorter than n yield an empty array. One pass,
+    * each token rendered to decimal exactly once (it appears in up to n
+    * windows). `distinct=true` keeps first occurrences only (array_distinct
+    * order), for per-document span-set semantics.
+    *
+    * Replaces the transform(sequence)/slice/array_join Column composition:
+    * higher-order functions fall out of whole-stage codegen and allocate
+    * ~5 intermediate arrays per window — measured 7.5s → this kernel for
+    * the sf0.1 trigram count (see TokenOps). Null token elements are
+    * rejected loudly (pre-tokenized sequences never contain them). */
+  def tokenNgrams(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      if (tokens.isNullAt(i))
+        throw new IllegalArgumentException("token_ngrams: null token element")
+      toks(i) = java.lang.Integer.toString(tokens.getInt(i))
+      i += 1
+    }
+    val count = len - n + 1
+    val sb = new java.lang.StringBuilder
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var s = 0
+      while (s < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(',')
+          sb.append(toks(s + k)); k += 1
+        }
+        seen.add(sb.toString)
+        s += 1
+      }
+      val arr = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val out = new Array[Any](count)
+      var s = 0
+      while (s < count) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(',')
+          sb.append(toks(s + k)); k += 1
+        }
+        out(s) = UTF8String.fromString(sb.toString)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Cosine similarity between two float arrays, accumulated in double.
     * Bulk-copies to primitive arrays first (one Platform.copyMemory for
     * UnsafeArrayData) so the accumulation loop runs on float[] — no
@@ -417,7 +477,25 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** `TokenNgrams(tokens array<int>, n, distinct) -> array<string>` (n,
+  * distinct literal): comma-joined sliding token windows in one codegen'd
+  * pass; distinct=true keeps first occurrences (array_distinct order). */
+case class TokenNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.tokenNgrams(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.tokenNgrams($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): TokenNgrams = copy(child = c)
+  override def prettyName: String = "token_ngrams"
+}
+
 object opscol {
+  def tokenNgrams(c: Column, n: Int, distinct: Boolean = false): Column =
+    graftshim.column(TokenNgrams(graftshim.expression(c), n, distinct))
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =

@@ -591,4 +591,37 @@ object Queries {
       eventSequences(spark, dir).select("doc_id", "tokens"),
       "doc_id", "tokens", n = 16)
       .orderBy("doc_id")
+
+  /** Token-level benchmark decontamination: training sequences sharing
+    * any token 12-gram with the held-out eval slice (event_id % 23 = 0),
+    * with distinct-shared-gram counts — decontamination on raw token ids,
+    * no retokenization between the check and the training input. */
+  def tokContam(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = eventSequences(spark, dir)
+    val evalSet = seqs.filter(col("event_id") % 23 === 0)
+    val train = seqs.filter(col("event_id") % 23 =!= 0)
+    graft.ops.TokenOps.tokenContaminated(train, evalSet, "doc_id", "tokens",
+        n = 12)
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing over documents whose text is augmented with synthetic
+    * deterministic PII (an email, an IPv4, a 16-digit account run per
+    * doc — the raw corpus has none, the augmentation makes every pattern
+    * load-bearing): redacted text + per-class counts. */
+  def txtRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val withPii = docs.withColumn("text_pii", concat(
+      col("text"),
+      lit(" contact u"), col("doc_id"), lit("@ex-mail.org from 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string"), lit(" acct "),
+      lpad((col("doc_id") * 37).cast("string"), 16, "9")))
+    TextAnalysis.redactPii(withPii, col("text_pii"))
+      .select(col("doc_id"), col("text_redacted"),
+        col("n_email").cast("long").as("n_email"),
+        col("n_ipv4").cast("long").as("n_ipv4"),
+        col("n_idnum").cast("long").as("n_idnum"))
+      .orderBy("doc_id")
+  }
 }

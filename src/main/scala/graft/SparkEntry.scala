@@ -65,7 +65,9 @@ object SparkEntry {
     "dd_span" -> (Queries.ddSpan _),
     "txt_vocab" -> (Queries.txtVocab _),
     "tok_ngrams" -> (Queries.tokNgrams _),
-    "tok_span_dup" -> (Queries.tokSpanDup _))
+    "tok_span_dup" -> (Queries.tokSpanDup _),
+    "tok_contam" -> (Queries.tokContam _),
+    "txt_redact" -> (Queries.txtRedact _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -615,11 +617,45 @@ object SparkEntry {
          |  JOIN d USING (g) GROUP BY gr.doc_id)
          |SELECT sh.doc_id, len(sh.sh)::BIGINT AS n_sh,
          |  coalesce(gd.n_dup, 0)::BIGINT AS n_dup_sh
-         |FROM sh LEFT JOIN gd USING (doc_id) ORDER BY sh.doc_id""".stripMargin)
+         |FROM sh LEFT JOIN gd USING (doc_id) ORDER BY sh.doc_id""".stripMargin,
+
+    "tok_contam" ->
+      s"""WITH s AS (SELECT event_id, event_id::VARCHAR AS doc_id,
+         |    ($lineE) AS line FROM events),
+         |sh AS (SELECT event_id, doc_id,
+         |    list_distinct(${tokGramListE(12)}) AS sh FROM s),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE event_id % 23 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE event_id % 23 <> 0)
+         |SELECT tr.doc_id, count(*)::BIGINT AS n_shared
+         |FROM tr JOIN ev USING (g)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // same pattern strings (Java/RE2-shared subset), same sequential
+    // masking for the counts — regexp_replace needs the 'g' flag here
+    "txt_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact u' || doc_id || '@ex-mail.org from 10.' ||
+         |    (doc_id % 256) || '.0.' || (doc_id % 100) || ' acct ' ||
+         |    lpad((doc_id * 37)::VARCHAR, 16, '9') AS t FROM documents),
+         |m1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t1 FROM p),
+         |m2 AS (SELECT doc_id, t, t1,
+         |  regexp_replace(t1, '$ipv4Re', '<IP>', 'g') AS t2 FROM m1)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '$idnumRe', '<IDNUM>', 'g') AS text_redacted,
+         |  len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(t1, '$ipv4Re'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(t2, '$idnumRe'))::BIGINT AS n_idnum
+         |FROM m2 ORDER BY doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒
     * the whole normalized text as the single shingle. */
+  // PII pattern strings shared verbatim with ops.TextAnalysis.redactPii
+  private val emailRe = graft.ops.TextAnalysis.PiiPatterns(0)._2
+  private val ipv4Re = graft.ops.TextAnalysis.PiiPatterns(1)._2
+  private val idnumRe = graft.ops.TextAnalysis.PiiPatterns(2)._2
+
   /** DuckDB replica of the [[graft.ops.TokenOps.tokenNgrams]] contract
     * over codepoint token streams: every window of n consecutive
     * codepoints of `line`, comma-joined. range(0, len-n+1) is empty for

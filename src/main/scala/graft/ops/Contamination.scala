@@ -32,17 +32,40 @@ object Contamination {
     * the corpus n-grams.
     */
   def contaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
-      textCol: String, n: Int = 8): DataFrame = {
-    val evalGrams = evalSet
-      .select(explode(Dedup.shingles(col(textCol), n)).as("_g"))
+      textCol: String, n: Int = 8): DataFrame =
+    contaminatedGrams(
+      train.select(col(idCol), Dedup.shingles(col(textCol), n).as("_sh")),
+      evalSet.select(Dedup.shingles(col(textCol), n).as("_sh")), idCol, "_sh")
+
+  /** Gram-level core of [[contaminated]]: `gramsCol` must hold the
+    * DISTINCT grams of each document (so count(*) after the probe equals
+    * the distinct shared grams). Output: (idCol, n_shared), hits only. */
+  private[ops] def contaminatedGrams(train: DataFrame, evalSet: DataFrame,
+      idCol: String, gramsCol: String): DataFrame = {
+    val evalGrams = guardGrams(evalSet, gramsCol)
+      .select(explode(col(gramsCol)).as("_g"))
       .distinct()
-    train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_g"))
+    guardGrams(train, gramsCol, idCol)
+      .select(col(idCol), explode(col(gramsCol)).as("_g"))
       .join(broadcast(evalGrams), "_g")
-      // shingles are distinct per doc ⇒ count(*) = distinct shared grams
+      // grams are distinct per doc ⇒ count(*) = distinct shared grams
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Pushdown barrier around a computed grams column. explode() makes the
+    * optimizer infer `size(g) > 0 AND isnotnull(g)` below the Generate
+    * (InferFiltersFromGenerate) and push it through the defining Project
+    * into the scan — re-evaluating the WHOLE gram-render chain two extra
+    * times per row (measured 3× wall on tok_contam's train side). Marking
+    * the projected column non-deterministic blocks the substitution, so
+    * the inferred filter tests the already-materialized array instead
+    * (see NoPushdown's scaladoc: the barrier must wrap the projected
+    * column, not the predicate). */
+  private[ops] def guardGrams(df: DataFrame, gramsCol: String,
+      keep: String*): DataFrame =
+    df.select(keep.map(col) :+
+      graft.hotdog.exprs.noPushdown(col(gramsCol)).as(gramsCol): _*)
 
   /** Per-document span-duplication stats: n_sh = distinct word n-grams in
     * the doc, n_dup_sh = how many of those appear in ≥1 OTHER doc.
@@ -68,8 +91,9 @@ object Contamination {
     * DISTINCT grams of each document (any renderable gram domain — word
     * shingles, token n-grams). Output: (idCol, n_sh, n_dup_sh), total.
     */
-  private[ops] def spanDupStatsGrams(base: DataFrame, idCol: String,
+  private[ops] def spanDupStatsGrams(base0: DataFrame, idCol: String,
       gramsCol: String): DataFrame = {
+    val base = guardGrams(base0, gramsCol, idCol)
     val grams = base
       .select(col(idCol), explode(col(gramsCol)).as("_g"))
       .select(col(idCol), md5(col("_g")).as("_gh"))

@@ -80,6 +80,45 @@ object TextAnalysis {
       .withColumn("n_tri_dup", total - distinctTri)
   }
 
+  // PII patterns: the regex subset shared by Java and RE2 (no
+  // backreferences/lookaround), so the DuckDB oracle replays them
+  // verbatim. Ordered: emails first (an email must not first lose its
+  // digits to the number pattern), then IPv4, then long digit runs
+  // (card/account-like). \b is ASCII word boundary in both dialects.
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("idnum", "\\b\\d{13,19}\\b", "<IDNUM>"))
+
+  /** PII scrubbing (Dolma/FineWeb-style anonymization): replace emails,
+    * IPv4 addresses and long account-like digit runs with typed
+    * placeholders, and report the per-type match counts (the counts feed
+    * the usual "drop documents with extreme PII density" filter).
+    * Narrow per-row projection — regexp_replace/regexp_count are
+    * codegen'd builtins; patterns apply in a fixed order so the output
+    * is deterministic when classes overlap. Output adds: text_redacted,
+    * n_email, n_ipv4, n_idnum.
+    */
+  def redactPii(df: DataFrame, text: Column): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(text) { case (c, (_, re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+    PiiPatterns.foldLeft(df.withColumn("text_redacted", redacted)) {
+      case (d, (name, re, _)) =>
+        // count on the ORIGINAL text, sequentially masked like the
+        // replace chain, so each char participates in at most one class
+        d.withColumn(s"n_$name", regexp_count(maskedUpTo(text, name), lit(re)))
+    }
+  }
+
+  /** `text` with every PII class BEFORE `name` (in PiiPatterns order)
+    * already replaced — the counting view that matches the replace
+    * chain's left-to-right precedence. */
+  private def maskedUpTo(text: Column, name: String): Column =
+    PiiPatterns.takeWhile(_._1 != name).foldLeft(text) {
+      case (c, (_, re, tag)) => regexp_replace(c, re, tag)
+    }
+
   /** Integer-valued quality counters (ratios are left to the consumer so
     * the oracle comparison stays float-free). */
   def qualityCounters(df: DataFrame, text: Column): DataFrame =

@@ -50,7 +50,10 @@ object TokenOps {
     */
   def ngramTopK(df: DataFrame, idCol: String, tokensCol: String, n: Int,
       k: Int): DataFrame =
-    df.select(col(idCol), explode(tokenNgrams(col(tokensCol), n)).as("gram"))
+    Contamination.guardGrams(
+        df.select(col(idCol), tokenNgrams(col(tokensCol), n).as("_sh")),
+        "_sh", idCol)
+      .select(col(idCol), explode(col("_sh")).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("n_docs"))
       .orderBy(col("n").desc, col("gram").asc)
@@ -67,6 +70,24 @@ object TokenOps {
       n: Int): DataFrame =
     Contamination.spanDupStatsGrams(
       df.select(col(idCol),
+        opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
+      idCol, "_sh")
+
+  /** Benchmark decontamination on RAW TOKEN IDS: training sequences
+    * sharing ≥1 token n-gram with the (tokenized) eval set, with the
+    * distinct-shared-gram count — how production pipelines actually
+    * decontaminate against tokenized benchmarks (no retokenization /
+    * normalization ambiguity between the check and the training input).
+    * Same broadcast shape as [[Contamination.contaminated]]: eval grams
+    * broadcast, train side a narrow explode + hash probe with map-side
+    * partials — corpus token grams never shuffle.
+    */
+  def tokenContaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
+      tokensCol: String, n: Int): DataFrame =
+    Contamination.contaminatedGrams(
+      train.select(col(idCol),
+        opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
+      evalSet.select(
         opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
       idCol, "_sh")
 }

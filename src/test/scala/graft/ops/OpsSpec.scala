@@ -333,6 +333,36 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("redactPii: emails, IPv4s, long digit runs replaced with typed tags and counted once") {
+    val df = Seq(
+      (1L, "mail a.b+c@foo-bar.org or x@y.io, ip 10.0.0.1, card 4111111111111111 ok"),
+      (2L, "no pii here, short num 123, ip-ish 1.2.3 (three octets), a@b (no tld)"),
+      (3L, "x@y.io twice: x@y.io; 255.255.255.255")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, col("text"))
+      .select("doc_id", "text_redacted", "n_email", "n_ipv4", "n_idnum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(1L) ==
+      (("mail <EMAIL> or <EMAIL>, ip <IP>, card <IDNUM> ok", 2, 1, 1)))
+    assert(out(2L) ==
+      (("no pii here, short num 123, ip-ish 1.2.3 (three octets), a@b (no tld)",
+        0, 0, 0)))
+    assert(out(3L) == (("<EMAIL> twice: <EMAIL>; <IP>", 2, 1, 0)))
+  }
+
+  test("redactPii: counts use the masked view (an email's digits are not re-counted)") {
+    // the email local part IS a 13-digit run (boundary-eligible); after
+    // email masking it is gone, so n_idnum must be 0 (counting raw text
+    // would report 1)
+    val df = Seq((1L, "mail 1234567890123@host.org sent")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, col("text"))
+      .select("text_redacted", "n_email", "n_idnum").collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> sent")
+    assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 0)
+  }
+
   test("langId picks the dominant stopword language") {
     val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -82,6 +82,23 @@ class TokenOpsSpec extends AnyFunSuite {
     ))
   }
 
+  // ---- tokenContaminated ---------------------------------------------
+
+  test("tokenContaminated: distinct shared grams vs eval set, hits only, eval grams broadcast") {
+    val train = Seq(
+      ("t1", Seq(1, 2, 3, 4)),   // 2-grams: 1,2 2,3 3,4 — shares 1,2 and 2,3
+      ("t2", Seq(9, 8, 7)),      // shares nothing
+      ("t3", Seq(1, 2, 1, 2))    // distinct 2-grams 1,2 2,1 — shares 1,2 ONCE
+    ).toDF("doc_id", "tokens")
+    val evalSet = Seq(("e1", Seq(1, 2, 3)), ("e2", Seq(1, 2)))
+      .toDF("doc_id", "tokens")
+    val out = TokenOps.tokenContaminated(train, evalSet, "doc_id", "tokens", n = 2)
+    val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("t1" -> 2L, "t3" -> 1L)) // t2 absent: hits only
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tokenSpanDupStats: plan has no cartesian or nested-loop join") {
     val df = Seq(("a", Seq(1, 2, 3))).toDF("doc_id", "tokens")
     val plan = TokenOps.tokenSpanDupStats(df, "doc_id", "tokens", n = 2)

@@ -97,10 +97,14 @@ object Dedup {
     // banding needs only (group?, id, band, bucket) — signatures never
     // shuffle; bucket hashes are integer-native (MinHashBands, no string
     // round-trip per band)
+    // noPushdown: posexplode makes the optimizer infer size/isnotnull
+    // filters on bb and substitute them through this Project — paying the
+    // whole shingle→minhash→band chain 3× per row (see
+    // Contamination.guardGrams). The barrier keeps it evaluated once.
     df.select(gCols :+ col(idCol).as("id") :+
-        opscol.minhashBands(
+        graft.hotdog.exprs.noPushdown(opscol.minhashBands(
           opscol.minhashSig(shingles(col(textCol), shingleN), numHashes),
-          bands).as("bb"): _*)
+          bands)).as("bb"): _*)
       .select(gCols :+ col("id") :+ posexplode(col("bb")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")

@@ -60,6 +60,28 @@ class DedupPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("banding/gram renders are never re-evaluated in an inferred Filter") {
+    // posexplode/explode over a computed column makes the optimizer infer
+    // size/isnotnull filters and substitute them through the defining
+    // Project — paying the whole render chain 3× per row at the scan
+    // (fixed via NoPushdown barriers; this pins the fix)
+    val docs = graft.Queries.table(spark, sf, "documents")
+    val plans = Seq(
+      "bandedBuckets" ->
+        Dedup.bandedBuckets(docs, "doc_id", "text", 64, 32, 3, None),
+      "ngramTopK" -> TokenOps.ngramTopK(
+        graft.Queries.eventSequences(spark, sf).select("doc_id", "tokens"),
+        "doc_id", "tokens", 3, 5),
+      "spanDupStats" -> Contamination.spanDupStats(docs, "doc_id", "text"))
+    for ((tag, df) <- plans;
+         needle <- Seq("minhash_sig", "token_ngrams", "word_shingles")) {
+      val filterLines = df.queryExecution.optimizedPlan.toString()
+        .linesIterator.filter(_.contains("Filter")).toSeq
+      assert(!filterLines.exists(_.contains(needle)),
+        s"$tag re-evaluates $needle inside a Filter:\n${filterLines.mkString("\n")}")
+    }
+  }
+
   test("no cartesian/nested-loop join in any dd_* or sim_* physical plan") {
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_")) {

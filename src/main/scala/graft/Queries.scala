@@ -605,6 +605,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** ExactSubstr-style duplicated-span scrub verdict over the token
+    * sequences: per sequence, how many token positions sit inside a token
+    * 16-gram occurring ≥2 times in the corpus (within-sequence repeats
+    * count — Lee et al. 2022 semantics) and how many survive the scrub.
+    * Total: one row per sequence. */
+  def tokScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.scrubDupSpans(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", n = 16)
+      .orderBy("doc_id")
+
   /** PII scrubbing over documents whose text is augmented with synthetic
     * deterministic PII (an email, an IPv4, a 16-digit account run per
     * doc — the raw corpus has none, the augmentation makes every pattern

@@ -67,6 +67,7 @@ object SparkEntry {
     "tok_ngrams" -> (Queries.tokNgrams _),
     "tok_span_dup" -> (Queries.tokSpanDup _),
     "tok_contam" -> (Queries.tokContam _),
+    "tok_scrub" -> (Queries.tokScrub _),
     "txt_redact" -> (Queries.txtRedact _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
@@ -630,6 +631,26 @@ object SparkEntry {
          |FROM tr JOIN ev USING (g)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
+    // ExactSubstr-style scrub verdict: duplicated window starts (count>=2
+    // over the WHOLE corpus, within-doc repeats included), then the
+    // interval-union length via the same lead()-window fold the Spark side
+    // uses — equality covers windowing, the frequency threshold, the
+    // overlap merge arithmetic and the left-join totality
+    "tok_scrub" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |pg AS (SELECT doc_id, unnest(${tokGramPosListE(16)}) AS u FROM s),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM pg),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+         |cv AS (SELECT doc_id,
+         |    least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos + 16) - pos, 16) AS c
+         |  FROM st),
+         |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_dup_tok FROM cv GROUP BY doc_id)
+         |SELECT s.doc_id, len(line)::BIGINT AS n_tok,
+         |  coalesce(agg.n_dup_tok, 0)::BIGINT AS n_dup_tok,
+         |  len(line)::BIGINT - coalesce(agg.n_dup_tok, 0)::BIGINT AS n_keep_tok
+         |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // same pattern strings (Java/RE2-shared subset), same sequential
     // masking for the counts — regexp_replace needs the 'g' flag here
     "txt_redact" ->
@@ -665,6 +686,15 @@ object SparkEntry {
       .map(j => s"unicode(substr(line, (i+$j)::INT, 1))::VARCHAR")
       .mkString(" || ',' || ")
     s"list_transform(range(0, len(line) - ${n - 1}), i -> $gram)"
+  }
+
+  /** [[tokGramListE]] with window-start positions: a list of
+    * {'pos', 'gram'} structs, one per n-token window of `line`. */
+  private def tokGramPosListE(n: Int): String = {
+    val gram = (1 to n)
+      .map(j => s"unicode(substr(line, (i+$j)::INT, 1))::VARCHAR")
+      .mkString(" || ',' || ")
+    s"list_transform(range(0, len(line) - ${n - 1}), i -> {'pos': i, 'gram': $gram})"
   }
 
   private def shingleListE(n: Int): String = {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Operators over the tokens axis itself — the `tokens: array<int32>`
   * column of the pre-tokenized sequences table (BASELINE input_hint), as
@@ -72,6 +73,88 @@ object TokenOps {
       df.select(col(idCol),
         opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
       idCol, "_sh")
+
+  /** Duplicated window starts per sequence: every position `pos` (0-based)
+    * where the token n-gram starting at `pos` occurs ≥ `minCount` times in
+    * the WHOLE corpus — counting repeats within the same sequence too (a
+    * boilerplate header pasted twice into one page is still a duplicate;
+    * cross-doc-only semantics are [[tokenSpanDupStats]]'s job). This is the
+    * candidate set of the ExactSubstr dedup of "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. 2022), with the paper's
+    * suffix-array match lowered to fixed-width n-gram anchors.
+    *
+    * 100 TB shape: windows render narrowly ([[tokenNgrams]] kernel behind
+    * the guardGrams pushdown barrier); the frequency pass groups on
+    * md5(gram) — a fixed 128-bit key, so the big shuffle never carries the
+    * rendered gram text, and Zipf-hot grams collapse under map-side
+    * combine; the duplicated-gram set is corpus-sized (never broadcast),
+    * so starts are recovered with a semi-join where both sides are
+    * shuffle-partitioned by the same 128-bit key.
+    */
+  private[ops] def dupSpanStarts(df: DataFrame, idCol: String,
+      tokensCol: String, n: Int, minCount: Long): DataFrame = {
+    val grams = Contamination.guardGrams(
+        df.select(col(idCol), opscol.tokenNgrams(col(tokensCol), n).as("_sh")),
+        "_sh", idCol)
+      .select(col(idCol), posexplode(col("_sh")))
+      .select(col(idCol), col("pos").as("_pos"), md5(col("col")).as("_gh"))
+    val dupKeys = grams
+      .groupBy("_gh").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select("_gh")
+    grams.join(dupKeys, Seq("_gh"), "left_semi")
+      .select(col(idCol), col("_pos"))
+  }
+
+  /** ExactSubstr-style duplicated-span scrub VERDICT: for each sequence,
+    * how many token positions are covered by some duplicated n-gram window
+    * (see [[dupSpanStarts]]) and how many survive. TOTAL output — every
+    * input sequence reports (n_dup_tok = 0 when nothing is duplicated):
+    * `(idCol, n_tok, n_dup_tok, n_keep_tok)`.
+    *
+    * The covered-position count is the interval-union length of the
+    * fixed-width windows, folded from SORTED starts with a per-sequence
+    * window function: a start `s` contributes `min(n, next_start − s)` and
+    * the last start contributes `n` — never a materialized position set.
+    * The lead() window partitions by sequence id (the groupBy key), so no
+    * global ordering exists anywhere in the plan.
+    */
+  def scrubDupSpans(df: DataFrame, idCol: String, tokensCol: String, n: Int,
+      minCount: Long = 2L): DataFrame = {
+    val starts = dupSpanStarts(df, idCol, tokensCol, n, minCount)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val perDoc = starts
+      .withColumn("_cov", least(
+        coalesce(lead(col("_pos"), 1).over(w), col("_pos") + n) - col("_pos"),
+        lit(n)).cast("long"))
+      .groupBy(idCol).agg(sum(col("_cov")).as("n_dup_tok"))
+    df.select(col(idCol), size(col(tokensCol)).cast("long").as("n_tok"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_dup_tok", coalesce(col("n_dup_tok"), lit(0L)))
+      .withColumn("n_keep_tok", col("n_tok") - col("n_dup_tok"))
+  }
+
+  /** The scrub itself: `(idCol, tokens_clean)` with every token covered by
+    * a duplicated window removed — what actually ships to training after
+    * the [[scrubDupSpans]] audit. Starts are collected per sequence
+    * (bounded by the sequence's own length, NOT corpus-sized) and the mask
+    * test is `exists(starts, s -> s ≤ i < s+n)` per token — O(L·K) per
+    * sequence with K = duplicated starts; fine for the boilerplate-scrub
+    * regime (K ≪ L), and still bounded by O(L²) for a fully-duplicated
+    * sequence. Sequences with nothing duplicated pass through unchanged.
+    */
+  def scrubTokens(df: DataFrame, idCol: String, tokensCol: String, n: Int,
+      minCount: Long = 2L): DataFrame = {
+    val startsArr = dupSpanStarts(df, idCol, tokensCol, n, minCount)
+      .groupBy(idCol).agg(sort_array(collect_list(col("_pos"))).as("_starts"))
+    df.select(col(idCol), col(tokensCol))
+      .join(startsArr, Seq(idCol), "left")
+      .withColumn("tokens_clean",
+        when(col("_starts").isNull, col(tokensCol)).otherwise(
+          filter(col(tokensCol), (_, i) =>
+            !exists(col("_starts"), s => i >= s && i < s + n))))
+      .select(col(idCol), col("tokens_clean"))
+  }
 
   /** Benchmark decontamination on RAW TOKEN IDS: training sequences
     * sharing ≥1 token n-gram with the (tokenized) eval set, with the

@@ -99,6 +99,94 @@ class TokenOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  // ---- scrubDupSpans / scrubTokens ----------------------------------------
+
+  test("scrubDupSpans: overlap merge, within-doc repeats count, totality") {
+    val df = Seq(
+      ("a", Seq(1, 2, 3, 4, 5)), // windows 1,2 / 2,3 duplicated with b → starts 0,1
+      ("b", Seq(1, 2, 3, 9, 8)),
+      ("c", Seq(7, 7, 7)),       // 7,7 at starts 0,1 — twice WITHIN c: duplicated
+      ("d", Seq(5))              // shorter than n: no windows
+    ).toDF("doc_id", "tokens")
+    val out = TokenOps.scrubDupSpans(df, "doc_id", "tokens", n = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // starts {0,1} with n=2 cover positions {0,1,2}: 3, NOT 4 — the
+    // interval-union fold must merge the overlap
+    assert(out == Map(
+      "a" -> ((5L, 3L, 2L)),
+      "b" -> ((5L, 3L, 2L)),
+      "c" -> ((3L, 3L, 0L)), // fully covered by its own repeat
+      "d" -> ((1L, 0L, 1L))  // no windows, still reported
+    ))
+  }
+
+  test("scrubTokens: removes exactly the covered positions, pass-through otherwise") {
+    val df = Seq(
+      ("a", Seq(1, 2, 3, 4, 5)),
+      ("b", Seq(1, 2, 3, 9, 8)),
+      ("c", Seq(7, 7, 7)),
+      ("d", Seq(5))
+    ).toDF("doc_id", "tokens")
+    val out = TokenOps.scrubTokens(df, "doc_id", "tokens", n = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(out == Map(
+      "a" -> Seq(4, 5),   // positions 0..2 covered
+      "b" -> Seq(9, 8),
+      "c" -> Seq.empty,
+      "d" -> Seq(5)
+    ))
+  }
+
+  /** brute-force reference: mark every position covered by a window whose
+    * gram occurs ≥2 times in the whole corpus (same-doc repeats counted). */
+  private def bruteScrub(docs: Map[String, Seq[Int]], n: Int)
+      : Map[String, (Long, Long, Seq[Int])] = {
+    val freq = docs.values.toSeq
+      .flatMap(t => t.sliding(n).filter(_.length == n))
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    docs.map { case (id, t) =>
+      val covered = t.indices.sliding(n).filter(_.length == n)
+        .filter(w => freq(t.slice(w.head, w.head + n)) >= 2)
+        .flatten.toSet
+      val clean = t.indices.filterNot(covered).map(t)
+      id -> ((t.length.toLong, covered.size.toLong, clean))
+    }
+  }
+
+  test("scrubDupSpans/scrubTokens: differential vs brute force on a seeded corpus") {
+    val rnd = new scala.util.Random(42)
+    // small alphabet forces plenty of genuine window collisions
+    val docs = (0 until 60).map { i =>
+      s"d$i" -> Seq.fill(3 + rnd.nextInt(20))(rnd.nextInt(4))
+    }.toMap
+    val df = docs.toSeq.toDF("doc_id", "tokens")
+    val n = 3
+    val want = bruteScrub(docs, n)
+    val gotStats = TokenOps.scrubDupSpans(df, "doc_id", "tokens", n)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val gotClean = TokenOps.scrubTokens(df, "doc_id", "tokens", n)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    docs.keys.foreach { id =>
+      val (nTok, nDup, clean) = want(id)
+      assert(gotStats(id) == ((nTok, nDup, nTok - nDup)), s"stats($id)")
+      assert(gotClean(id) == clean, s"clean($id)")
+    }
+  }
+
+  test("scrubDupSpans: no global window — every Window is partitioned by doc") {
+    val df = Seq(("a", Seq(1, 2, 3))).toDF("doc_id", "tokens")
+    val plan = TokenOps.scrubDupSpans(df, "doc_id", "tokens", n = 2)
+      .queryExecution.executedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"global window over data rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("tokenSpanDupStats: plan has no cartesian or nested-loop join") {
     val df = Seq(("a", Seq(1, 2, 3))).toDF("doc_id", "tokens")
     val plan = TokenOps.tokenSpanDupStats(df, "doc_id", "tokens", n = 2)

@@ -358,6 +358,22 @@ object Queries {
       "vec_id", "embedding", minSimE6 = 300000L)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup-style semantic dedup verdict over the embeddings augmented
+    * with 100 byte-identical copies (vec_id + 10000): the copies pair at
+    * cosine 1.0 with their originals (and land in the same quantizer cell
+    * by construction), while τ = 0.40 also catches the corpus's natural
+    * within-cell semantic near-dups — both the planted and the organic
+    * drop causes are load-bearing in the compare. Total: one keep/drop row
+    * per vector. */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Similarity.semanticDedup(emb.unionAll(copies), "vec_id", "embedding",
+        minSimE6 = 400000L, nlist = 16)
+      .orderBy("vec_id")
+  }
+
   /** Materialize the event-time-carrying sequences stream input (pure
     * function of the sf tables — once per JVM, so repeat bench trials time
     * the streaming job itself). 8 files so a maxFilesPerTrigger=4 reader

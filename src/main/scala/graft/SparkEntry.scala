@@ -48,6 +48,7 @@ object SparkEntry {
     "dd_neardup_dedup" -> (Queries.ddNeardupDedup _),
     "dd_components" -> (Queries.ddComponents _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
+    "dd_semantic" -> (Queries.ddSemantic _),
     "sim_topk" -> (Queries.simTopk _),
     "sim_topk_lsh" -> (Queries.simTopkLsh _),
     "sim_topk_ivf" -> (Queries.simTopkIvf _),
@@ -354,6 +355,33 @@ object SparkEntry {
         |  FROM cand JOIN v va ON va.vec_id = cand.id_a JOIN v vb ON vb.vec_id = cand.id_b)
         |SELECT id_a, id_b, sim_e6 FROM sim WHERE sim_e6 >= 300000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup replicated in SQL: same deterministic coarse quantizer as
+    // sim_topk_ivf (first-16 centroids, nearest cell, ties by cent_id),
+    // all within-cell pairs, drop ⇔ a lower-id cell-mate at cosine ≥ 0.40;
+    // the 100 planted copies pair at 1.0, the organic near-dups at ~0.4-0.5
+    "dd_semantic" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM allv),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM v WHERE vec_id < 16),
+        |sims AS (SELECT a.vec_id, c.cent_id,
+        |    list_dot_product(a.v, c.cv) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS s
+        |  FROM v a, cents c),
+        |cell AS (SELECT vec_id, cent_id FROM (SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id ASC) AS rn
+        |  FROM sims) WHERE rn = 1),
+        |drops AS (SELECT DISTINCT greatest(a.vec_id, b.vec_id) AS vec_id
+        |  FROM cell a JOIN cell b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE floor(list_dot_product(va.v, vb.v) /
+        |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))
+        |      * 1000000.0) >= 400000)
+        |SELECT v.vec_id, (d.vec_id IS NULL) AS keep
+        |FROM v LEFT JOIN drops d ON d.vec_id = v.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

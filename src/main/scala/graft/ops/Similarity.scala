@@ -122,6 +122,51 @@ object Similarity {
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
+  /** SemDeDup-style SEMANTIC dedup verdict (Abbas et al. 2023): partition
+    * the corpus into `nlist` cells with a deterministic coarse quantizer
+    * (the first `nlist` vectors by id are the centroids — same quantizer
+    * as [[ivfTopK]]), generate all pairs WITHIN each cell, and drop every
+    * vector that has a lower-id cell-mate with cosine ≥ `minSimE6`/1e6.
+    * TOTAL output: `(idCol, keep boolean)` — one row per input vector.
+    *
+    * Drop rule: `drop(x) ⇔ ∃ y in cell(x) with y < x ∧ cos(x,y) ≥ τ` — the
+    * paper keeps one exemplar per ε-ball; pinning the MIN id makes the
+    * verdict deterministic and engine-replicable (the paper's choice of
+    * exemplar is arbitrary/random).
+    *
+    * 100 TB shape: centroid assignment is a broadcast cross of `nlist`
+    * tiny rows (O(N·nlist), embarrassingly parallel); within-cell pairs
+    * stream through one cell-keyed shuffle ([[Dedup.withinBucketPairs]] —
+    * no self-join, no cartesian); id-pairs re-join the vectors narrowly
+    * and the verdict is a left-anti-style join on id. Within-cell pair
+    * work is inherently O(cell²) — that is SemDeDup's contract — so
+    * `nlist` must scale with the corpus (the paper runs k=50k on 600M
+    * docs, keeping cells at ~12k); a k-means refinement of the centroids
+    * changes only the quantizer, not this plan. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minSimE6: Long, nlist: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cents = vecs.orderBy(col("id")).limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val cells = vecs.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", opscol.cosineSimF(col("v"), col("cent_v")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("cent_id"))
+    val dropped = Dedup.withinBucketPairs(cells, Seq("cent_id"), Seq("id"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .filter(floor(opscol.cosineSimF(col("v_a"), col("v_b")) * 1e6)
+        .cast("long") >= minSimE6)
+      .select(greatest(col("id_a"), col("id_b")).as("id"))
+      .distinct()
+    vecs.select(col("id"))
+      .join(dropped.withColumn("_d", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("_d").isNull.as("keep"))
+  }
+
   /** Candidate pairs sharing ≥1 LSH band, re-ranked by exact cosine.
     * Returns near-dup pairs (id_a, id_b, sim_e6) with cosine ≥ minSimE6.
     *

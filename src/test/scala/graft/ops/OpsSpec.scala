@@ -333,6 +333,42 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("semanticDedup: lower-id cell-mate above τ drops, totality, brute-force parity") {
+    // 2 well-separated directions (cells) + near-dups inside each: with
+    // nlist=2 the centroids are vectors 0 and 1 (first two by id)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // centroid A
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // centroid B
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // cell A, ~1.0 vs 0 → drop
+      (3L, Array(0.0f, 0.98f, 0.02f, 0.0f)), // cell B, ~1.0 vs 1 → drop
+      (4L, Array(0.1f, 0.9f, 0.3f, 0.0f)),   // cell B, cos vs 1/3 < .97
+      (5L, Array(1.0f, 0.0f, 0.0f, 0.0f)))   // cell A, exact copy of 0 → drop
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        minSimE6 = 970000L, nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false))
+    // brute force over the same rule: drop ⇔ ∃ lower-id same-cell mate ≥ τ
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val data = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f), 1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(0.99f, 0.01f, 0.0f, 0.0f), 3L -> Array(0.0f, 0.98f, 0.02f, 0.0f),
+      4L -> Array(0.1f, 0.9f, 0.3f, 0.0f), 5L -> Array(1.0f, 0.0f, 0.0f, 0.0f))
+    val cents = data.take(2)
+    def cellOf(v: Array[Float]) = cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1
+    val want = data.map { case (id, v) =>
+      id -> !data.exists { case (oid, ov) =>
+        oid < id && cellOf(ov) == cellOf(v) &&
+          math.floor(cos(v, ov) * 1e6) >= 970000L }
+    }.toMap
+    assert(out == want)
+  }
+
   test("redactPii: emails, IPv4s, long digit runs replaced with typed tags and counted once") {
     val df = Seq(
       (1L, "mail a.b+c@foo-bar.org or x@y.io, ip 10.0.0.1, card 4111111111111111 ok"),

@@ -94,9 +94,12 @@ object Contamination {
   private[ops] def spanDupStatsGrams(base0: DataFrame, idCol: String,
       gramsCol: String): DataFrame = {
     val base = guardGrams(base0, gramsCol, idCol)
+    // 16-byte BINARY key (unhex), not the 32-char hex string: the gram
+    // shuffle is the big one, and the key is pure routing — halving its
+    // bytes halves the dominant shuffle traffic
     val grams = base
       .select(col(idCol), explode(col(gramsCol)).as("_g"))
-      .select(col(idCol), md5(col("_g")).as("_gh"))
+      .select(col(idCol), unhex(md5(col("_g"))).as("_gh"))
     val dupGrams = grams
       .groupBy("_gh")
       .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))

@@ -143,18 +143,25 @@ object Similarity {
     * `nlist` must scale with the corpus (the paper runs k=50k on 600M
     * docs, keeping cells at ~12k); a k-means refinement of the centroids
     * changes only the quantizer, not this plan. */
-  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      minSimE6: Long, nlist: Int = 16): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+  /** nearest-centroid cell assignment of [[semanticDedup]] — the O(N·nlist)
+    * broadcast cross (exposed for the plan-shape spec: the centroid table
+    * must SHIP, never shuffle). */
+  private[ops] def assignCells(vecs: DataFrame, nlist: Int): DataFrame = {
     val cents = vecs.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cent_sim").desc, col("cent_id").asc)
-    val cells = vecs.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cent_sim", opscol.cosineSimF(col("v"), col("cent_v")))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .select(col("id"), col("cent_id"))
+  }
+
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minSimE6: Long, nlist: Int = 16): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cells = assignCells(vecs, nlist)
     val dropped = Dedup.withinBucketPairs(cells, Seq("cent_id"), Seq("id"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

@@ -97,7 +97,8 @@ object TokenOps {
         df.select(col(idCol), opscol.tokenNgrams(col(tokensCol), n).as("_sh")),
         "_sh", idCol)
       .select(col(idCol), posexplode(col("_sh")))
-      .select(col(idCol), col("pos").as("_pos"), md5(col("col")).as("_gh"))
+      // 16-byte binary key — see spanDupStatsGrams: the key only routes
+      .select(col(idCol), col("pos").as("_pos"), unhex(md5(col("col"))).as("_gh"))
     val dupKeys = grams
       .groupBy("_gh").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)

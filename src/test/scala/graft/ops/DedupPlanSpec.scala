@@ -31,7 +31,14 @@ class DedupPlanSpec extends AnyFunSuite {
           // eval set (dd_contam) — the corpus side never shuffles on it;
           // the physical broadcast is pinned below
           val broadcastGram = name == "dd_contam" && refs == Set("_g")
-          assert(broadcastGram || refs.intersect(bounded).nonEmpty,
+          // dd_semantic's condition-free join is the centroid-assignment
+          // cross against the BROADCAST ≤nlist-row centroid table — the
+          // standard O(N·nlist) IVF build (fan-out bounded by nlist, not
+          // by any data-dependent group size); its physical form is
+          // pinned below
+          val centroidCross = name == "dd_semantic" && j.condition.isEmpty
+          assert(broadcastGram || centroidCross ||
+            refs.intersect(bounded).nonEmpty,
             s"$name join keys $refs include no bounded bucket/id column")
         case _ => ()
       }
@@ -87,7 +94,25 @@ class DedupPlanSpec extends AnyFunSuite {
          if name.startsWith("dd_")) {
       val phys = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!phys.contains("CartesianProduct"), s"$name:\n$phys")
-      assert(!phys.contains("BroadcastNestedLoopJoin"), s"$name:\n$phys")
+      // dd_semantic's centroid-assignment cross lives inside the
+      // withinBucketPairs RDD lineage (a Scan ExistingRDD here), so its
+      // nested-loop is invisible to this plan string; its broadcast form
+      // is pinned by the dedicated assignCells test below
+      if (name != "dd_semantic")
+        assert(!phys.contains("BroadcastNestedLoopJoin"), s"$name:\n$phys")
     }
+  }
+
+  test("semanticDedup cell assignment: the centroid cross is BROADCAST, never shuffled") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Queries.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val phys = Similarity.assignCells(vecs, 16)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+    // and the window that picks the nearest cell is per-vector, not global
+    val windows = phys.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("id")), phys)
   }
 }

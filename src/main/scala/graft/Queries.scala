@@ -651,4 +651,26 @@ object Queries {
         col("n_idnum").cast("long").as("n_idnum"))
       .orderBy("doc_id")
   }
+
+  /** CCNet-style LM quality scoring: an add-one bigram LM trained on the
+    * doc_id % 5 = 0 reference slice, every document scored by average
+    * bigram negative log-likelihood and perplexity. Total: one row per
+    * document (docs with < 2 words score null at n_big = 0). */
+  def txtLmPpl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val (bi, uni, v) = graft.ops.LangModel.trainBigramLm(ref, "text")
+    graft.ops.LangModel.scoreDocs(docs, "doc_id", "text", bi, uni, v)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global training-order shuffle: each document's position
+    * under the (md5(doc_id || 'epoch1'), doc_id) total order, computed by
+    * the distributed two-level rank scan. The oracle IS the naive global
+    * row_number window, so hash equality proves the scan exact. */
+  def pipeShuffle(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.globalShuffleOrder(
+      table(spark, dir, "documents").select("doc_id"),
+      "doc_id", seed = "epoch1")
+      .orderBy("doc_id")
 }

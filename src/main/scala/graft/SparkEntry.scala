@@ -69,7 +69,9 @@ object SparkEntry {
     "tok_span_dup" -> (Queries.tokSpanDup _),
     "tok_contam" -> (Queries.tokContam _),
     "tok_scrub" -> (Queries.tokScrub _),
-    "txt_redact" -> (Queries.txtRedact _))
+    "txt_redact" -> (Queries.txtRedact _),
+    "txt_lm_ppl" -> (Queries.txtLmPpl _),
+    "pipe_shuffle" -> (Queries.pipeShuffle _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -695,7 +697,38 @@ object SparkEntry {
          |  len(regexp_extract_all(t, '$emailRe'))::BIGINT AS n_email,
          |  len(regexp_extract_all(t1, '$ipv4Re'))::BIGINT AS n_ipv4,
          |  len(regexp_extract_all(t2, '$idnumRe'))::BIGINT AS n_idnum
-         |FROM m2 ORDER BY doc_id""".stripMargin)
+         |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style bigram-LM scoring: ordered bigrams WITH multiplicity
+    // (range(0, len-1) is empty for <2-word docs), add-one smoothing
+    // p = (cb+1)/(cu+V) with cu = history count over the reference slice
+    // and V = its distinct-word vocab; ln/exp differences between engines
+    // sit ~1e-15 rel, far inside the compare's 1e-6 float tolerance
+    "txt_lm_ppl" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normE, ' ') AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+         |    i -> {'g': ws[i+1] || ' ' || ws[i+2], 'w1': ws[i+1]})) AS u FROM w),
+         |b2 AS (SELECT doc_id, u.g AS g, u.w1 AS w1 FROM bg),
+         |bi AS (SELECT g, count(*)::BIGINT AS cb FROM b2 WHERE doc_id % 5 = 0 GROUP BY g),
+         |uni AS (SELECT w1, count(*)::BIGINT AS cu FROM b2 WHERE doc_id % 5 = 0 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT word)::BIGINT AS v FROM
+         |  (SELECT unnest(ws) AS word FROM w WHERE doc_id % 5 = 0)),
+         |sc AS (SELECT b2.doc_id, count(*)::BIGINT AS n_big,
+         |    sum(ln((coalesce(bi.cb, 0) + 1.0) / (coalesce(uni.cu, 0) + v.v))) AS slp
+         |  FROM b2 LEFT JOIN bi USING (g) LEFT JOIN uni USING (w1) CROSS JOIN v
+         |  GROUP BY b2.doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_big, 0)::BIGINT AS n_big,
+         |  -sc.slp / sc.n_big AS avg_nll,
+         |  exp(-sc.slp / sc.n_big) AS ppl
+         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the naive GLOBAL row_number window over the pseudo-random total
+    // order — the Spark side computes the same position with the
+    // distributed two-level rank scan, so equality proves the scan exact
+    "pipe_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id) - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

@@ -73,4 +73,46 @@ object Packing {
         expr(s"(start_off + `$nTokCol` - 1) DIV ${budget}L"))
       .drop("_pid", "_off")
   }
+
+  /** Deterministic global shuffle for training order: every row's position
+    * 0..N-1 under the pseudo-random total order (md5(id || seed), id).
+    * Changing `seed` gives an independent permutation per epoch; keeping
+    * it gives EXACTLY the same order on any rerun, partitioning, or
+    * cluster size (position is a rank under a total order that mentions
+    * no partition boundary — `rand()`- or `zipWithIndex`-based shuffles
+    * guarantee neither).
+    *
+    * Same two-level scan as [[packChunks]], counting rows instead of
+    * summing tokens: range-shuffle narrow (id, key) rows on the hash key,
+    * per-partition COUNTS (#partitions rows) cumulated into exclusive
+    * offsets on one tiny partition, offsets broadcast back, and the
+    * intra-partition rank computed by parallel per-partition windows —
+    * the naive `row_number().over(Window.orderBy(key))` would pull the
+    * corpus into ONE partition.
+    */
+  def globalShuffleOrder(df: DataFrame, idCol: String, seed: String = "",
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(seed))).as("_skey"))
+      .repartitionByRange(parts, col("_skey"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val offW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("_pid")
+      .agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    // count of preceding rows = 0-based rank, one parallel scan per part
+    val intraW = Window.partitionBy("_pid").orderBy(col("_skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), "_pid")
+      .select(col(idCol),
+        (col("_off") + count(lit(1)).over(intraW)).as("pos"))
+  }
 }

@@ -145,4 +145,77 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"eval side not broadcast:\n$plan")
   }
+
+  // ---- globalShuffleOrder --------------------------------------------------
+
+  test("globalShuffleOrder: positions are the exact md5-order permutation") {
+    val n = 211
+    val df = (0L until n).toDF("doc_id").repartition(6)
+    val out = Packing.globalShuffleOrder(df, "doc_id", seed = "s1",
+        numParts = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n)
+    assert(out.values.toSeq.sorted == (0L until n), "not a permutation")
+    val expected = (0L until n)
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}s1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .zipWithIndex.map { case (id, p) => id -> p.toLong }.toMap
+    assert(out == expected)
+  }
+
+  test("globalShuffleOrder: order independent of partition count, seed-distinct") {
+    val df = (0L until 64L).toDF("doc_id")
+    def run(p: Int, seed: String) =
+      Packing.globalShuffleOrder(df, "doc_id", seed, numParts = p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1, "e1") == run(8, "e1"))
+    assert(run(4, "e1") != run(4, "e2"), "epochs must permute independently")
+  }
+
+  test("globalShuffleOrder: no global single-partition window over the data") {
+    val df = (0L until 32L).toDF("doc_id")
+    val plan = Packing.globalShuffleOrder(df, "doc_id", numParts = 4)
+      .queryExecution.optimizedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    assert(unpartitioned.forall(_.contains("_pn")),
+      s"global window over data rows:\n$plan")
+  }
+
+  // ---- LangModel -----------------------------------------------------------
+
+  test("bigram LM: hand-computed add-one probabilities") {
+    // ref "a b a b a": bigrams ab,ba,ab,ba -> cb(a b)=2, cb(b a)=2;
+    // histories a:2 b:2; V = 2 distinct words
+    val ref = Seq((0L, "a b a b a")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "a b a b a"),
+      (1L, "a b c"), // p(b|a)=(2+1)/(2+2)=.75, p(c|b)=(0+1)/(2+2)=.25
+      (2L, "x")      // no bigrams: n_big=0, null score
+    ).toDF("doc_id", "text")
+    val (bi, uni, v) = LangModel.trainBigramLm(ref, "text")
+    val out = LangModel.scoreDocs(docs, "doc_id", "text", bi, uni, v)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2))))).toMap
+    assert(out.size == 3) // total: every doc reports
+    assert(out(0L)._1 == 4L)
+    assert(out(1L)._1 == 2L)
+    val want1 = -(math.log(0.75) + math.log(0.25)) / 2
+    assert(math.abs(out(1L)._2.get - want1) < 1e-12)
+    assert(out(2L) == ((0L, None)))
+    // doc 0 = the training text itself: every bigram at p = 3/4
+    assert(math.abs(out(0L)._2.get - (-math.log(0.75))) < 1e-12)
+  }
+
+  test("bigram LM scoring: count tables join broadcast, never sort-merge") {
+    val ref = (0L until 40L).map(i => (i, s"w${i % 5} w${i % 7} common end"))
+      .toDF("doc_id", "text")
+    val (bi, uni, v) = LangModel.trainBigramLm(ref, "text")
+    val plan = LangModel.scoreDocs(ref, "doc_id", "text", bi, uni, v)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"LM tables must broadcast — corpus grams may not shuffle:\n$plan")
+  }
 }

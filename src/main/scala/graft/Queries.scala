@@ -673,4 +673,15 @@ object Queries {
       table(spark, dir, "documents").select("doc_id"),
       "doc_id", seed = "epoch1")
       .orderBy("doc_id")
+
+  /** Spherical k-means over the embeddings (k=16, 2 Lloyd rounds,
+    * deterministic first-k init): final per-vector cluster + cosine to
+    * its trained centroid (floor×1e6). The oracle replays both rounds in
+    * SQL, so assignment, per-dimension means AND the trained centroid
+    * values are all load-bearing in the compare. */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.kmeansAssign(
+      table(spark, dir, "embeddings"), "vec_id", "embedding",
+      k = 16, iters = 2)
+      .orderBy("vec_id")
 }

@@ -71,7 +71,8 @@ object SparkEntry {
     "tok_scrub" -> (Queries.tokScrub _),
     "txt_redact" -> (Queries.txtRedact _),
     "txt_lm_ppl" -> (Queries.txtLmPpl _),
-    "pipe_shuffle" -> (Queries.pipeShuffle _))
+    "pipe_shuffle" -> (Queries.pipeShuffle _),
+    "sim_kmeans" -> (Queries.simKmeans _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -728,7 +729,24 @@ object SparkEntry {
     "pipe_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id) - 1 AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // both Lloyd update rounds replayed in SQL: first-16 init, cosine
+    // arg-max assignment (ties to smaller cid), per-dimension member
+    // means (the embedding dim is fixed 64 — see TESTDATA.md) — twice —
+    // then the final assignment under the twice-trained centroids;
+    // output floors the final cosine to 1e-6
+    "sim_kmeans" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM v WHERE id < 16),
+         |${kmeansRoundE("s1", "a1", "v", "c0")},
+         |${kmeansMeansE("a1", "m1", "c1")},
+         |${kmeansRoundE("s2", "a2", "v", "c1")},
+         |${kmeansMeansE("a2", "m2", "c2")},
+         |${kmeansRoundE("s3", "a3", "v", "c2")}
+         |SELECT a3.id AS vec_id, a3.cid,
+         |  CAST(floor(a3.sim * 1000000.0) AS BIGINT) AS sim_e6
+         |FROM a3 ORDER BY vec_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒
@@ -757,6 +775,28 @@ object SparkEntry {
       .mkString(" || ',' || ")
     s"list_transform(range(0, len(line) - ${n - 1}), i -> {'pos': i, 'gram': $gram})"
   }
+
+  /** one Lloyd half-round in DuckDB SQL: cosine of every vector against
+    * every centroid in `cents`, arg-max assignment with ties to the
+    * smaller cid — kmeansAssign's max(struct(sim, -cid)) rule. */
+  private def kmeansRoundE(simCte: String, asgCte: String, vecs: String,
+      cents: String): String =
+    s"""$simCte AS (SELECT a.id, c.cid,
+       |    list_dot_product(a.v, c.cv) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+       |  FROM $vecs a, $cents c),
+       |$asgCte AS (SELECT id, cid, sim FROM (SELECT id, cid, sim,
+       |    row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+       |  FROM $simCte) WHERE rn = 1)""".stripMargin
+
+  /** the Lloyd centroid update in DuckDB SQL: per-(cluster, dimension)
+    * member mean, re-listed in dimension order. */
+  private def kmeansMeansE(asgCte: String, mCte: String,
+      cCte: String): String =
+    s"""$mCte AS (SELECT $asgCte.cid, t.i AS pos, avg(v.v[t.i + 1]) AS m
+       |  FROM $asgCte JOIN v USING (id) CROSS JOIN range(0, 64) t(i)
+       |  GROUP BY $asgCte.cid, t.i),
+       |$cCte AS (SELECT cid, list(m ORDER BY pos) AS cv FROM $mCte GROUP BY cid)""".stripMargin
 
   private def shingleListE(n: Int): String = {
     val gram = (1 to n).map(j => s"ws[i+$j]").mkString(" || ' ' || ")

@@ -208,4 +208,62 @@ object Similarity {
       .filter(col("sim_e6") >= minSimE6)
       .select("id_a", "id_b", "sim_e6")
   }
+
+  /** Spherical k-means (Lloyd, fixed `iters` rounds, deterministic
+    * first-k init): the clustering step of cluster-balanced curation —
+    * SemDeDup's real quantizer is a trained k-means (Abbas et al. 2023
+    * §3 run k=50k over 600M embeddings); [[ivfTopK]]'s first-k centroids
+    * are the untrained stand-in this operator upgrades.
+    *
+    * Returns the final assignment: (idCol, cid, sim_e6) — every vector's
+    * cluster and its cosine to the trained centroid (floor×1e6, so the
+    * centroid VALUES are load-bearing in an integer compare).
+    *
+    * 100 TB shape, per round:
+    *  - assignment is a broadcast cross of k tiny centroid rows
+    *    (O(N·k)); the arg-max is a `max(struct(sim, -cid))` AGGREGATE,
+    *    not a window — map-side partials collapse the k candidate rows
+    *    per vector before the shuffle, so it carries ~N rows, and the
+    *    vector rides the same aggregate (constant per id), so no re-join
+    *    against the corpus.
+    *  - the centroid update explodes members to (cid, dim, x) and
+    *    mean-reduces: map-side combine bounds the shuffle at
+    *    k·d rows PER PARTITION regardless of N.
+    *  - each round's k×d centroid table is localCheckpoint'd (eager):
+    *    round t's plan would otherwise re-run every earlier round once
+    *    per consumer, and the lineage would deepen linearly.
+    * Ties (equidistant centroids) break to the smaller cid — the same
+    * deterministic rule as [[assignCells]], engine-replicable.
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // all fields of a group row are identical per id ⇒ first() is
+    // deterministic here; it just dodges an O(d) array comparison
+    def assign(cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("sim", opscol.cosineSimD(col("v"), col("cv")))
+        .groupBy("id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("id"), (-col("m.nc")).as("cid"), col("v"),
+          col("m.sim").as("sim"))
+    var cents = vecs.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pv"))
+        .select(col("cid"),
+          transform(col("pv"), p => p.getField("m")).as("cv"))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .select(col("id").as(idCol), col("cid"),
+        floor(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
 }

@@ -270,6 +270,28 @@ object OpsKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosineF]] over array<double> inputs (k-means centroids are double
+    * means — narrowing them to float would shift sims by ~1e-7, right at
+    * the oracle compare's tolerance). */
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val xs = a.toDoubleArray()
+    val ys = b.toDoubleArray()
+    val n = math.min(xs.length, ys.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs(i)
+      val y = ys(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** floor(100·|a∩b| / |a∪b|) over two string arrays as SETS, in one
     * open-hashing pass per side. Replaces the array_intersect+array_union
     * Column pair, which builds two hash sets AND materializes two result
@@ -421,6 +443,19 @@ case class CosineSimF(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "cosine_sim_f"
 }
 
+/** [[CosineSimF]] for array<double> inputs. */
+case class CosineSimD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    OpsKernels.cosineD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.ops.OpsKernels.cosineD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimD =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim_d"
+}
+
 /** `JaccardPct(a array<string>, b array<string>) -> long`: one-pass
   * integer jaccard percent over DISTINCT shingle arrays (the verify
   * primitive of every dedup path). */
@@ -502,6 +537,8 @@ object opscol {
     graftshim.column(MinHashSig(graftshim.expression(c), k))
   def cosineSimF(a: Column, b: Column): Column =
     graftshim.column(CosineSimF(graftshim.expression(a), graftshim.expression(b)))
+  def cosineSimD(a: Column, b: Column): Column =
+    graftshim.column(CosineSimD(graftshim.expression(a), graftshim.expression(b)))
   def jaccardPct(a: Column, b: Column): Column =
     graftshim.column(JaccardPct(graftshim.expression(a), graftshim.expression(b)))
   def hyperplaneSig(c: Column, planes: Int): Column =

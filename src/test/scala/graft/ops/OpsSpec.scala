@@ -499,4 +499,44 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(0L -> "kept", 1L -> "drop_quality"))
   }
+
+  test("kmeansAssign: Lloyd rounds move centroids to the planted clusters") {
+    // two tight axis clusters; first-2 init puts BOTH seeds in cluster A
+    // (ids 0,1), so only a real mean-update round can separate them:
+    // after round 1, centroid 1 = mean of everything it grabbed, and the
+    // re-assignment must still split by dominant axis
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.05f)), (1L, Array(1.0f, 0.05f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), (3L, Array(0.95f, 0.0f, 0.1f)),
+      (4L, Array(0.0f, 1.0f, 0.05f)), (5L, Array(0.1f, 0.9f, 0.0f)),
+      (6L, Array(0.0f, 0.95f, 0.1f)), (7L, Array(0.05f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+        k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 8) // total
+    val a = Set(0L, 1L, 2L, 3L).map(out)
+    val b = Set(4L, 5L, 6L, 7L).map(out)
+    assert(a.size == 1 && b.size == 1 && a != b,
+      s"planted clusters not separated: $out")
+  }
+
+  test("kmeansAssign: deterministic across partition counts, ties to smaller cid") {
+    val vecs = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(p: Int) =
+      Similarity.kmeansAssign(vecs.repartition(p), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+    // duplicate vectors must land in the same cluster (the smaller-cid
+    // tie rule is a function of the vector alone)
+    val dup = Seq((0L, Array(1.0f, 1.0f)), (1L, Array(1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cids = Similarity.kmeansAssign(dup, "vec_id", "embedding",
+        k = 2, iters = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(cids.size == 1)
+  }
 }

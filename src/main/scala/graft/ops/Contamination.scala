@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** N-gram overlap operators for training-corpus hygiene:
@@ -92,14 +92,24 @@ object Contamination {
     * shingles, token n-grams). Output: (idCol, n_sh, n_dup_sh), total.
     */
   private[ops] def spanDupStatsGrams(base0: DataFrame, idCol: String,
-      gramsCol: String): DataFrame = {
-    val base = guardGrams(base0, gramsCol, idCol)
+      gramsCol: String): DataFrame =
     // 16-byte BINARY key (unhex), not the 32-char hex string: the gram
     // shuffle is the big one, and the key is pure routing — halving its
     // bytes halves the dominant shuffle traffic
+    spanDupStatsCore(base0, idCol, gramsCol, g => unhex(md5(g)))
+
+  /** [[spanDupStatsGrams]] for a column that ALREADY holds 16-byte binary
+    * routing keys (tokenGramKeys) — skips the md5-over-rendered-string. */
+  private[ops] def spanDupStatsKeys(base0: DataFrame, idCol: String,
+      keysCol: String): DataFrame =
+    spanDupStatsCore(base0, idCol, keysCol, identity)
+
+  private def spanDupStatsCore(base0: DataFrame, idCol: String,
+      gramsCol: String, key: Column => Column): DataFrame = {
+    val base = guardGrams(base0, gramsCol, idCol)
     val grams = base
       .select(col(idCol), explode(col(gramsCol)).as("_g"))
-      .select(col(idCol), unhex(md5(col("_g"))).as("_gh"))
+      .select(col(idCol), key(col("_g")).as("_gh"))
     val dupGrams = grams
       .groupBy("_gh")
       .agg(min(col(idCol)).as("_mn"), max(col(idCol)).as("_mx"))

@@ -18,12 +18,12 @@ object ProfileTok {
     val seqs = graft.Queries.eventSequences(spark, dir).select("doc_id", "tokens", "event_id")
     time("grams-render-train") {
       seqs.filter(col("event_id") % 23 =!= 0)
-        .select(col("doc_id"), explode(opscol.tokenNgrams(col("tokens"), 12, distinct = true)).as("_g"))
+        .select(col("doc_id"), explode(opscol.tokenGramKeys(col("tokens"), 12, distinct = true)).as("_g"))
         .count()
     }
     time("eval-distinct") {
       seqs.filter(col("event_id") % 23 === 0)
-        .select(explode(opscol.tokenNgrams(col("tokens"), 12, distinct = true)).as("_g"))
+        .select(explode(opscol.tokenGramKeys(col("tokens"), 12, distinct = true)).as("_g"))
         .distinct().count()
     }
     time("full tok_contam") { graft.Queries.tokContam(spark, dir).count() }

@@ -69,9 +69,9 @@ object TokenOps {
     */
   def tokenSpanDupStats(df: DataFrame, idCol: String, tokensCol: String,
       n: Int): DataFrame =
-    Contamination.spanDupStatsGrams(
+    Contamination.spanDupStatsKeys(
       df.select(col(idCol),
-        opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
+        opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
       idCol, "_sh")
 
   /** Duplicated window starts per sequence: every position `pos` (0-based)
@@ -94,11 +94,13 @@ object TokenOps {
   private[ops] def dupSpanStarts(df: DataFrame, idCol: String,
       tokensCol: String, n: Int, minCount: Long): DataFrame = {
     val grams = Contamination.guardGrams(
-        df.select(col(idCol), opscol.tokenNgrams(col(tokensCol), n).as("_sh")),
+        df.select(col(idCol),
+          opscol.tokenGramKeys(col(tokensCol), n).as("_sh")),
         "_sh", idCol)
       .select(col(idCol), posexplode(col("_sh")))
-      // 16-byte binary key — see spanDupStatsGrams: the key only routes
-      .select(col(idCol), col("pos").as("_pos"), unhex(md5(col("col"))).as("_gh"))
+      // 16-byte binary key straight from the int window (tokenGramKeys —
+      // the key only routes; no decimal render, no md5-over-string)
+      .select(col(idCol), col("pos").as("_pos"), col("col").as("_gh"))
     val dupKeys = grams
       .groupBy("_gh").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount)
@@ -168,10 +170,14 @@ object TokenOps {
     */
   def tokenContaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
       tokensCol: String, n: Int): DataFrame =
+    // the contamination core is gram-domain-agnostic (explode + distinct
+    // + broadcast probe + count) — feeding it 16-byte binary keys instead
+    // of rendered gram strings drops the decimal render on BOTH sides and
+    // shrinks the broadcast probe set
     Contamination.contaminatedGrams(
       train.select(col(idCol),
-        opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
+        opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
       evalSet.select(
-        opscol.tokenNgrams(col(tokensCol), n, distinct = true).as("_sh")),
+        opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
       idCol, "_sh")
 }

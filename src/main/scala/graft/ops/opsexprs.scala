@@ -244,6 +244,83 @@ object OpsKernels {
     }
   }
 
+  /** splitmix64's bijective finalizer (no stream increment) — shared by
+    * the minhash family above and the gram-key lanes below. */
+  @inline private def mix64(z: Long): Long = {
+    var x = z
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 128-bit gram ROUTING keys straight from the int token windows — the
+    * render-free sibling of [[tokenNgrams]] for consumers that never show
+    * the gram (frequency shuffles, dup detection, contamination probes).
+    * tokenNgrams + md5 pays a decimal render, a string alloc and an md5
+    * per window just to derive a key; this kernel mixes each token once
+    * per lane (splitmix64, reused across the n windows it appears in) and
+    * folds two independent polynomial lanes per window, finalized
+    * bijectively — 16 bytes out, ~2^-128 random-collision odds per pair
+    * (same effective exactness budget as the md5 keys it replaces; a
+    * false collision can only MERGE two gram groups).
+    * Contract mirrors tokenNgrams: len < n ⇒ empty; element i = window
+    * starting at i (non-distinct mode); distinct keeps first-seen order.
+    */
+  def tokenGramKeys(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val m1 = new Array[Long](len)
+    val m2 = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      if (tokens.isNullAt(i))
+        throw new IllegalArgumentException("token_gram_keys: null token element")
+      val t = tokens.getInt(i).toLong
+      m1(i) = mix64(t ^ 0x243f6a8885a308d3L) // pi lanes: arbitrary distinct
+      m2(i) = mix64(t ^ 0x13198a2e03707344L) // constants, nothing magic
+      i += 1
+    }
+    val count = len - n + 1
+    def keyAt(s: Int): Array[Byte] = {
+      var h1 = 0x9368e53c2f6af274L ^ n.toLong
+      var h2 = 0x586dcd208f7cd3fdL + n.toLong
+      var k = 0
+      while (k < n) {
+        h1 = h1 * 0x100000001b3L + m1(s + k)
+        h2 = h2 * 0xc6a4a7935bd1e995L + m2(s + k)
+        k += 1
+      }
+      h1 = mix64(h1)
+      h2 = mix64(h2)
+      val b = new Array[Byte](16)
+      var j = 0
+      while (j < 8) {
+        b(j) = (h1 >>> (56 - 8 * j)).toByte
+        b(8 + j) = (h2 >>> (56 - 8 * j)).toByte
+        j += 1
+      }
+      b
+    }
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]()
+      var s = 0
+      while (s < count) {
+        seen.add(java.nio.ByteBuffer.wrap(keyAt(s)))
+        s += 1
+      }
+      val arr = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { arr(m) = it.next().array(); m += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val out = new Array[Any](count)
+      var s = 0
+      while (s < count) { out(s) = keyAt(s); s += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Cosine similarity between two float arrays, accumulated in double.
     * Bulk-copies to primitive arrays first (one Platform.copyMemory for
     * UnsafeArrayData) so the accumulation loop runs on float[] — no
@@ -528,9 +605,27 @@ case class TokenNgrams(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "token_ngrams"
 }
 
+/** `TokenGramKeys(tokens array<int>, n, distinct) -> array<binary>`:
+  * 16-byte routing keys per token window, render-free (see
+  * [[OpsKernels.tokenGramKeys]]). */
+case class TokenGramKeys(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.tokenGramKeys(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.tokenGramKeys($c, $n, $distinct)")
+  override protected def withNewChildInternal(c: Expression): TokenGramKeys = copy(child = c)
+  override def prettyName: String = "token_gram_keys"
+}
+
 object opscol {
   def tokenNgrams(c: Column, n: Int, distinct: Boolean = false): Column =
     graftshim.column(TokenNgrams(graftshim.expression(c), n, distinct))
+  def tokenGramKeys(c: Column, n: Int, distinct: Boolean = false): Column =
+    graftshim.column(TokenGramKeys(graftshim.expression(c), n, distinct))
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =

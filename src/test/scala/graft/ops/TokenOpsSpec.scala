@@ -194,4 +194,47 @@ class TokenOpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("tokenGramKeys: keyed windows mirror the rendered grams exactly") {
+    // keys must identify windows precisely: equal key ⇔ equal rendered
+    // gram, positions aligned, distinct mode keeps first-seen order —
+    // checked by differential against the string kernel over a corpus
+    // with planted repeats (both within and across sequences)
+    val seqs = (0 until 40).map { i =>
+      (i.toString,
+        Seq.tabulate(30)(j => ((i * 13 + j * 7) % 19) - 5) ++ Seq(1, 2, 3, 4))
+    }.toDF("doc_id", "tokens")
+    for (distinct <- Seq(false, true); n <- Seq(1, 4)) {
+      val both = seqs.select(
+        opscol.tokenNgrams(col("tokens"), n, distinct).as("g"),
+        opscol.tokenGramKeys(col("tokens"), n, distinct).as("k"))
+        .collect()
+      val gramToKey = scala.collection.mutable.Map[String, Seq[Byte]]()
+      val keyToGram = scala.collection.mutable.Map[Seq[Byte], String]()
+      both.foreach { r =>
+        val gs = r.getSeq[String](0)
+        val ks = r.getSeq[Array[Byte]](1).map(_.toSeq)
+        assert(gs.length == ks.length, s"length mismatch n=$n distinct=$distinct")
+        gs.zip(ks).foreach { case (g, k) =>
+          assert(k.length == 16)
+          assert(gramToKey.getOrElseUpdate(g, k) == k, s"gram $g two keys")
+          assert(keyToGram.getOrElseUpdate(k, g) == g, s"key collision on $g")
+        }
+      }
+    }
+  }
+
+  test("tokenGramKeys: short sequences empty, null token rejected") {
+    val out = Seq(("a", Seq(1, 2))).toDF("doc_id", "tokens")
+      .select(opscol.tokenGramKeys(col("tokens"), 3).as("k"))
+      .head().getSeq[Array[Byte]](0)
+    assert(out.isEmpty)
+    val err = intercept[Exception] {
+      Seq(("a", Seq[Integer](1, null, 3))).toDF("doc_id", "tokens")
+        .select(opscol.tokenGramKeys(col("tokens"), 2).as("k"))
+        .collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(4).exists(e => Option(e.getMessage).exists(_.contains("null token"))))
+  }
 }

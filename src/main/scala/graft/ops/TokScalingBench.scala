@@ -204,9 +204,10 @@ object TokScalingBench {
          |
          |End-to-end job over the input_hint table shape
          |`(doc_id, tokens array<int32>, n_tok, source)`:
-         |scan(parquet) → token 16-gram window render (one-pass codegen
-         |kernel) → gram-frequency shuffle on 16-byte binary md5 keys
-         |(map-side combine) → duplicated-start semi-join (co-partitioned)
+         |scan(parquet) → token 16-gram window keys (one-pass codegen
+         |kernel `token_gram_keys`: 16-byte binary keys hashed straight
+         |from the int windows — no string render) → gram-frequency
+         |shuffle (map-side combine) → duplicated-start semi-join (co-partitioned)
          |→ per-sequence interval-union fold (lead() window partitioned by
          |doc) → totals aggregate. Same job, same ${n}%d-sequence corpus
          |(${SeqLen}%d tokens each), two parallelism levels in separate JVMs
@@ -220,6 +221,11 @@ object TokScalingBench {
          |
          |**Scaling efficiency** = (seqs/s @32) / (4 × seqs/s @8) =
          |**$eff%.3f** min-of-trials, **$effMedian%.3f** medians (target ≥ 0.8).
+         |Efficiency above 1.0 is an artifact of the noisy-neighbor VM
+         |(~1 core of steady hypervisor steal hurts the 8-core level
+         |proportionally more, and trial spread is double-digit — see the
+         |raw trials below); the honest claim is "≥ 0.8 with margin",
+         |not super-linear scaling.
          |
          |warmups (s) — local[8]: ${r8.warmupsSec.map(w => f"$w%.1f").mkString(", ")};
          |local[32]: ${r32.warmupsSec.map(w => f"$w%.1f").mkString(", ")}.

@@ -57,12 +57,13 @@ object Similarity {
     require(planes % bands == 0, "bands must divide planes")
     val per = planes / bands
     require(multiProbe >= 0 && multiProbe <= per, "multiProbe in [0, planes/bands]")
-    val mask = (1L << per) - 1L
+    // banded chunks straight from the plane matrix (HyperplaneBandChunks):
+    // bit-identical to shifting the packed signature for planes <= 64,
+    // and lifts the 64-plane cap (only the per-band width must fit a long)
     def banded(df: DataFrame, idAs: String, probes: Int) =
       df.select(col(idCol).as(idAs),
-        opscol.hyperplaneSig(col(vecCol), planes).as("s"))
-        .select(col(idAs), posexplode(array((0 until bands).map(b =>
-          shiftright(col("s"), b * per).bitwiseAND(lit(mask))): _*)))
+        opscol.hyperplaneBandChunks(col(vecCol), planes, bands).as("cs"))
+        .select(col(idAs), posexplode(col("cs")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk0")
         .select(col(idAs), col("band"), explode(array(
           (col("chunk0") +: (0 until probes).map(i =>

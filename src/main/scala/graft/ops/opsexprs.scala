@@ -481,6 +481,58 @@ object OpsKernels {
     }
     sig
   }
+
+  /** Banded variant of [[hyperplaneSig]]: chunk b = sign bits of planes
+    * [b·per, (b+1)·per), bit i of the chunk = plane b·per+i — identical
+    * values to shifting the packed signature when planes ≤ 64, but with
+    * no limit on the total plane count. */
+  def hyperplaneBandChunks(v: ArrayData, planes: Int, bands: Int): ArrayData = {
+    val n = v.numElements()
+    val m = planeMatrix(planes, n)
+    val per = planes / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var chunk = 0L
+      var j = 0
+      while (j < per) {
+        val w = m(b * per + j)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          dot += v.getFloat(i) * w(i)
+          i += 1
+        }
+        if (dot >= 0.0) chunk |= (1L << j)
+        j += 1
+      }
+      out(b) = chunk
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `HyperplaneBandChunks(v array<float>, planes, bands) -> array<long>`:
+  * the banded LSH chunks directly — chunk b packs the sign bits of planes
+  * [b·per, (b+1)·per) of the SAME plane matrix as [[HyperplaneSig]], so
+  * for planes ≤ 64 the values are bit-identical to extracting chunk b
+  * from the packed signature; unlike the packed form, the plane count is
+  * unlimited (per-band width ≤ 64 is the only packing constraint). */
+case class HyperplaneBandChunks(child: Expression, planes: Int, bands: Int)
+    extends UnaryExpression {
+  require(planes > 0 && bands > 0 && planes % bands == 0,
+    s"bands must divide planes, got planes=$planes bands=$bands")
+  require(planes / bands <= 64, s"per-band chunk must fit a long, got ${planes / bands} bits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.hyperplaneBandChunks(input.asInstanceOf[ArrayData], planes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.hyperplaneBandChunks($c, $planes, $bands)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneBandChunks =
+    copy(child = c)
+  override def prettyName: String = "hyperplane_band_chunks"
 }
 
 /** `SimHash64(tokens array<string>) -> long` */
@@ -638,6 +690,8 @@ object opscol {
     graftshim.column(JaccardPct(graftshim.expression(a), graftshim.expression(b)))
   def hyperplaneSig(c: Column, planes: Int): Column =
     graftshim.column(HyperplaneSig(graftshim.expression(c), planes))
+  def hyperplaneBandChunks(c: Column, planes: Int, bands: Int): Column =
+    graftshim.column(HyperplaneBandChunks(graftshim.expression(c), planes, bands))
   def minhashBands(c: Column, bands: Int): Column =
     graftshim.column(MinHashBands(graftshim.expression(c), bands))
   def wordShingles(c: Column, n: Int): Column =

@@ -500,6 +500,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(0L -> "kept", 1L -> "drop_quality"))
   }
 
+  test("hyperplaneBandChunks: bit-identical to packed-sig extraction; >64 planes legal") {
+    val vecs = (0L until 50L)
+      .map(i => (i, Array.tabulate(16)(d => (((i * 31 + d * 17) % 23) - 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    // parity with the packed signature for planes <= 64
+    val per = 4
+    val rows = vecs.select(col("vec_id"),
+        opscol.hyperplaneSig(col("embedding"), 16).as("s"),
+        opscol.hyperplaneBandChunks(col("embedding"), 16, 4).as("cs"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getLong(1)
+      val cs = r.getSeq[Long](2)
+      (0 until 4).foreach { b =>
+        assert(cs(b) == ((s >>> (b * per)) & ((1L << per) - 1)),
+          s"band $b mismatch for vec ${r.getLong(0)}")
+      }
+    }
+    // planes beyond the 64-bit packing cap: 96 planes / 8 bands, chunks
+    // within 12 bits, and a vector equals itself in every band
+    val wide = vecs.select(
+        opscol.hyperplaneBandChunks(col("embedding"), 96, 8).as("cs"))
+      .collect().map(_.getSeq[Long](0))
+    wide.foreach { cs =>
+      assert(cs.length == 8)
+      cs.foreach(c => assert(c >= 0 && c < (1L << 12)))
+    }
+    assert(wide.distinct.length > 1) // chunks actually vary across vectors
+  }
+
   test("kmeansAssign: Lloyd rounds move centroids to the planted clusters") {
     // two tight axis clusters; first-2 init puts BOTH seeds in cluster A
     // (ids 0,1), so only a real mean-update round can separate them:

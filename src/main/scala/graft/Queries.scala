@@ -684,4 +684,31 @@ object Queries {
       table(spark, dir, "embeddings"), "vec_id", "embedding",
       k = 16, iters = 2)
       .orderBy("vec_id")
+
+  /** Incremental exact dedup of a "new batch" (all documents) against a
+    * "prior snapshot" (the doc_id % 3 != 1 slice, re-idd as an earlier
+    * crawl): sharded-bloom prefilter + broadcast-semi verification, so
+    * the verdict is EXACT and the oracle is plain set membership. ~2/3
+    * drop (their own text is in prior), ~1/3 kept — both statuses
+    * load-bearing in the compare. */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val prior = docs.filter(col("doc_id") % 3 =!= 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    graft.ops.Bloom.incrementalDedupVerdict(docs, prior, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Model-based quality classification (the DCLM/FineWeb-Edu filter
+    * step): multinomial-NB linear classifier trained on the doc_id % 5
+    * = 0 slice labeled pos ⇔ lang = 'en', every document scored +
+    * keep/drop verdict. The oracle replays training counts, vocab size
+    * and the log-odds arithmetic, so model AND scores are load-bearing. */
+  def txtClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    graft.ops.LangModel.nbClassifierScores(docs, "doc_id", "text",
+      ref, "text", col("lang") === "en")
+      .orderBy("doc_id")
+  }
 }

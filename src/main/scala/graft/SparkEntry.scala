@@ -72,7 +72,9 @@ object SparkEntry {
     "txt_redact" -> (Queries.txtRedact _),
     "txt_lm_ppl" -> (Queries.txtLmPpl _),
     "pipe_shuffle" -> (Queries.pipeShuffle _),
-    "sim_kmeans" -> (Queries.simKmeans _))
+    "sim_kmeans" -> (Queries.simKmeans _),
+    "dd_incremental" -> (Queries.ddIncremental _),
+    "txt_classify" -> (Queries.txtClassify _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -746,7 +748,50 @@ object SparkEntry {
          |${kmeansRoundE("s3", "a3", "v", "c2")}
          |SELECT a3.id AS vec_id, a3.cid,
          |  CAST(floor(a3.sim * 1000000.0) AS BIGINT) AS sim_e6
-         |FROM a3 ORDER BY vec_id""".stripMargin)
+         |FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // the bloom index is a pure prefilter (verification makes the verdict
+    // exact), so the oracle is plain set membership against the prior
+    // snapshot — no bloom arithmetic to replicate
+    "dd_incremental" ->
+      s"""WITH prior AS (
+         |  SELECT md5($normE) AS k FROM documents WHERE doc_id % 3 <> 1)
+         |SELECT doc_id,
+         |  CASE WHEN md5($normE) IN (SELECT k FROM prior)
+         |       THEN 'drop_prior' ELSE 'kept' END AS status
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full replay of NB training (per-class occurrence counts, class
+    // totals, doc priors, vocab size) + per-doc log-odds scoring — the
+    // trained model and every score are load-bearing in the compare
+    "txt_classify" ->
+      s"""WITH refd AS (
+         |  SELECT lang = 'en' AS pos, string_split($normE, ' ') AS ws
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |refw AS (SELECT pos, unnest(ws) AS w FROM refd),
+         |model AS (SELECT w,
+         |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+         |    sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS cn
+         |  FROM refw GROUP BY w),
+         |consts AS (SELECT
+         |    (SELECT sum(CASE WHEN pos THEN len(ws) ELSE 0 END) FROM refd) AS np,
+         |    (SELECT sum(CASE WHEN pos THEN 0 ELSE len(ws) END) FROM refd) AS nn,
+         |    (SELECT count(*) FROM refd WHERE pos) AS dp,
+         |    (SELECT count(*) FROM refd WHERE NOT pos) AS dn,
+         |    (SELECT count(DISTINCT w) FROM refw) AS v),
+         |occ AS (SELECT doc_id, unnest(string_split($normE, ' ')) AS w
+         |  FROM documents),
+         |lo AS (SELECT doc_id,
+         |    ln(coalesce(cp, 0) + 1.0) - ln((np + v)::DOUBLE)
+         |    - ln(coalesce(cn, 0) + 1.0) + ln((nn + v)::DOUBLE) AS lo
+         |  FROM occ LEFT JOIN model USING (w), consts),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_words, sum(lo) AS slo
+         |  FROM lo GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_words, 0)::BIGINT AS n_words,
+         |  ln(c.dp::DOUBLE) - ln(c.dn::DOUBLE) + coalesce(sc.slo, 0) AS score,
+         |  (ln(c.dp::DOUBLE) - ln(c.dn::DOUBLE) + coalesce(sc.slo, 0)) > 0 AS keep
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, consts c
+         |ORDER BY d.doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

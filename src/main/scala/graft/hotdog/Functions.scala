@@ -44,5 +44,8 @@ object Functions {
     // regex_captures(str, pattern, groupIdx...) — groups default to (1)
     reg("regex_captures")(a => RegexCaptures(a(0), a(1),
       if (a.length > 2) a.drop(2).map(intLit) else Seq(1)))
+    // bloom_might_contain(bits array<bigint>, key_hash bigint, k)
+    reg("bloom_might_contain")(a =>
+      graft.ops.BloomMightContain(a(0), a(1), intLit(a(2))))
   }
 }

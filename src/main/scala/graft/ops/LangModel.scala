@@ -84,4 +84,67 @@ object LangModel {
         (-col("slp") / col("n_big")).as("avg_nll"),
         exp(-col("slp") / col("n_big")).as("ppl"))
   }
+
+  /** fastText/DCLM-style supervised quality classifier (Joulin et al.
+    * 2016; the model-based filter step of DCLM / FineWeb-Edu): a
+    * multinomial Naive Bayes over unigram occurrences with add-one
+    * smoothing — the closed-form member of the linear-classifier family
+    * fastText trains by SGD, so the arithmetic is exactly replicable by
+    * the DuckDB oracle while the distributed SHAPE (model broadcast,
+    * corpus never shuffles on words) is identical to the trained case.
+    *
+    * Train on `ref` labeled by `posCol`; score EVERY doc in `docs` with
+    *   score(d) = ln(dp/dn) + Σ_w∈d [ln((cp(w)+1)/(Np+V)) −
+    *                                 ln((cn(w)+1)/(Nn+V))]
+    * (occurrences with multiplicity; unseen words fall back to the
+    * smoothed floor via the left join's coalesce-to-0 — no special
+    * case). Output is TOTAL: (id, n_words, score, keep = score > 0); a
+    * null text scores the prior alone at n_words = 0.
+    *
+    * 100 TB shape: the model is VOCAB-sized, so it rides a broadcast
+    * hash join probed by a narrow per-row explode; explode preserves
+    * locality, so the per-doc aggregate map-side-combines each document
+    * to one (count, sum) row before the only shuffle. Training is one
+    * wordcount shuffle over the (small, labeled) reference slice.
+    */
+  def nbClassifierScores(docs: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, posCol: Column): DataFrame = {
+    val refw = ref.select(posCol.as("_pos"),
+      explode(TextAnalysis.words(col(refTextCol))).as("w"))
+    val model = refw.groupBy("w").agg(
+      sum(when(col("_pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(col("_pos"), 0L).otherwise(1L)).as("cn"))
+    // scalar training constants: total occurrences / docs per class +
+    // vocab size — one row, broadcast-crossed into the scoring pass
+    val consts = ref
+      .select(posCol.as("_pos"),
+        size(TextAnalysis.words(col(refTextCol))).cast("long").as("_nw"))
+      .agg(
+        sum(when(col("_pos"), col("_nw")).otherwise(0L)).as("np"),
+        sum(when(col("_pos"), 0L).otherwise(col("_nw"))).as("nn"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("dp"),
+        sum(when(col("_pos"), 0L).otherwise(1L)).as("dn"))
+      .crossJoin(refw.agg(count_distinct(col("w")).as("v")))
+    // explode_outer keeps null-text docs as a single null-word row, so
+    // the per-doc aggregate is already TOTAL — no corpus-wide join-back
+    // on the id (count(w) ignores the null row; its lo is null too)
+    val occ = docs.select(col(idCol),
+      explode_outer(TextAnalysis.words(col(textCol))).as("w"))
+    occ
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("w"),
+        when(col("w").isNotNull,
+          log(coalesce(col("cp"), lit(0L)).cast("double") + 1.0) -
+          log((col("np") + col("v")).cast("double")) -
+          log(coalesce(col("cn"), lit(0L)).cast("double") + 1.0) +
+          log((col("nn") + col("v")).cast("double"))).as("lo"))
+      .groupBy(idCol)
+      .agg(count(col("w")).as("n_words"), sum("lo").as("slo"))
+      .crossJoin(broadcast(consts.select(col("dp"), col("dn"))))
+      .select(col(idCol), col("n_words"),
+        (log(col("dp").cast("double")) - log(col("dn").cast("double")) +
+          coalesce(col("slo"), lit(0.0))).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
 }

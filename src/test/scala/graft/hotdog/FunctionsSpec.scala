@@ -24,7 +24,9 @@ class FunctionsSpec extends AnyFunSuite {
         |  hyperplane_sig(array(1.0F, -1.0F), 16) IS NOT NULL AS hs,
         |  size(minhash_bands(minhash_sig(array('x','y'), 8), 4)) AS mb,
         |  word_shingles('The quick  fox', 2) AS wsh,
-        |  regex_captures('ab', '(a)(?<g>b)', 2) AS rc
+        |  regex_captures('ab', '(a)(?<g>b)', 2) AS rc,
+        |  bloom_might_contain(array(-1L, -1L), xxhash64('k'), 8) AS bmc1,
+        |  bloom_might_contain(array(0L, 0L), xxhash64('k'), 8) AS bmc0
         |FROM fx""".stripMargin).collect()(0)
     assert(r.getString(0) == "hi")
     assert(r.getString(1) == "notice")
@@ -40,6 +42,7 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[String](11) == Seq("the quick", "quick fox"))
     val rc = r.getStruct(12)
     assert(rc.getBoolean(0) && rc.getSeq[String](1) == Seq("b"))
+    assert(r.getBoolean(13) && !r.getBoolean(14))
   }
 
   test("json_valid: serde_json acceptance; merge of invalid RENDERED template fails the task") {

@@ -15,8 +15,11 @@ class DedupPlanSpec extends AnyFunSuite {
     // doc_id: unique per row (fan-out 1); _gh: md5(n-gram) — per-key group
     // size is the number of docs sharing one exact n-gram, the quantity
     // dd_span is measuring, bounded by construction after exact-dedup.
+    // shard: ≤`shards` bloom-index rows (broadcast); _k: md5(text) joined
+    // against a DISTINCT candidate/confirmed key set — fan-out ≤ 1 on the
+    // broadcast side regardless of how many docs share a text
     val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
-      "query_id", "neighbor_id", "doc_id", "_gh")
+      "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k")
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan

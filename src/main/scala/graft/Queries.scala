@@ -711,4 +711,17 @@ object Queries {
       ref, "text", col("lang") === "en")
       .orderBy("doc_id")
   }
+
+  /** DSIR importance resampling: select the 200 documents whose
+    * hashed-bigram distribution most resembles the lang='en' target
+    * slice, Gumbel-top-k over smoothed importance weights (all
+    * md5-derandomized). The oracle replays bucket counts, both
+    * multinomials, the Gumbel inverse-CDF and the top-k threshold. */
+  def pipeDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Mixing.dsirSelect(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text",
+      buckets = 4096, k = 200, seed = "dsir1")
+      .orderBy("doc_id")
+  }
 }

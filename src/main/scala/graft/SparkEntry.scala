@@ -74,7 +74,8 @@ object SparkEntry {
     "pipe_shuffle" -> (Queries.pipeShuffle _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
-    "txt_classify" -> (Queries.txtClassify _))
+    "txt_classify" -> (Queries.txtClassify _),
+    "pipe_dsir" -> (Queries.pipeDsir _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -791,7 +792,45 @@ object SparkEntry {
          |  ln(c.dp::DOUBLE) - ln(c.dn::DOUBLE) + coalesce(sc.slo, 0) AS score,
          |  (ln(c.dp::DOUBLE) - ln(c.dn::DOUBLE) + coalesce(sc.slo, 0)) > 0 AS keep
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, consts c
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR full replay: hashed-bigram buckets (32-bit-md5 mod 4096, the
+    // pipe_sample idiom), both smoothed multinomials, per-doc importance
+    // weight, the md5-seeded Gumbel inverse-CDF, and the top-200
+    // threshold — weights AND the selection set are load-bearing
+    "pipe_dsir" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normE, ' ') AS ws
+         |  FROM documents),
+         |bg AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(ws) < 2 THEN []
+         |         ELSE list_transform(range(0, len(ws) - 1),
+         |                i -> ws[i+1] || ' ' || ws[i+2]) END) AS g FROM w),
+         |bb AS (SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b FROM bg),
+         |tgt AS (SELECT b FROM bb JOIN documents USING (doc_id)
+         |  WHERE lang = 'en'),
+         |ct AS (SELECT b, count(*)::BIGINT AS ct FROM tgt GROUP BY b),
+         |cr AS (SELECT b, count(*)::BIGINT AS cr FROM bb GROUP BY b),
+         |consts AS (SELECT (SELECT count(*) FROM tgt) AS nt,
+         |                  (SELECT count(*) FROM bb) AS nr),
+         |lo AS (SELECT doc_id,
+         |    ln(coalesce(ct, 0) + 1.0) - ln((nt + 4096)::DOUBLE)
+         |    - ln(coalesce(cr, 0) + 1.0) + ln((nr + 4096)::DOUBLE) AS lr
+         |  FROM bb LEFT JOIN ct USING (b) LEFT JOIN cr USING (b), consts),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_feat, sum(lr) AS slr
+         |  FROM lo GROUP BY doc_id),
+         |fin AS (SELECT d.doc_id,
+         |    coalesce(sc.n_feat, 0)::BIGINT AS n_feat,
+         |    coalesce(sc.slr, 0) AS logw,
+         |    coalesce(sc.slr, 0) - ln(-ln(
+         |      ((('0x' || substr(md5(d.doc_id::VARCHAR || 'dsir1'), 1, 8))::BIGINT
+         |        + 0.5) / 4294967296.0))) AS sel_key
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |th AS (SELECT min(sel_key) AS th FROM
+         |  (SELECT sel_key FROM fin ORDER BY sel_key DESC LIMIT 200))
+         |SELECT f.doc_id, f.n_feat, f.logw, f.sel_key,
+         |  f.sel_key >= t.th AS selected
+         |FROM fin f, th t ORDER BY f.doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

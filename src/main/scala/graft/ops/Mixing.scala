@@ -29,6 +29,94 @@ object Mixing {
     df.join(broadcast(rates), srcCol)
       .filter(hashPct(col(idCol)) < col("rate_pct"))
 
+  /** Word bigrams WITH multiplicity ("w1 w2" strings) — the hashed
+    * feature space DSIR estimates its distributions over. < 2 words ⇒
+    * empty array; null text ⇒ null. */
+  private def bigrams(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Engine-stable feature-hash bucket of a gram: first 32 bits of
+    * md5(gram) mod `buckets` (same idiom as [[hashPct]]). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * select the k raw documents whose hashed-bigram distribution most
+    * resembles a TARGET corpus, by Gumbel-top-k over importance weights.
+    *
+    *   log w(x) = Σ_g [ln p̂_target(b(g)) − ln p̂_raw(b(g))]
+    *
+    * with add-one-smoothed multinomials over `buckets` hashed-bigram
+    * buckets (raw estimated from `docs` itself, target from `target`),
+    * and selection key = log w(x) + Gumbel(md5(id ‖ seed)) — sampling
+    * without replacement from the importance distribution, derandomized:
+    * the Gumbel variate is a pure function of (id, seed), so reruns,
+    * repartitionings and other cluster sizes select EXACTLY the same
+    * corpus, and a new seed is an independent draw.
+    *
+    * Output is TOTAL: (idCol, n_feat, logw, sel_key, selected), exactly
+    * k rows selected (keys are almost-surely distinct); a doc with < 2
+    * words carries logw = 0 (no features) and competes on its Gumbel
+    * alone — DSIR's behavior for feature-less inputs.
+    *
+    * 100 TB shape: both count tables are `buckets`-sized (broadcast; the
+    * two estimation passes are wordcount shuffles whose map-side combine
+    * bounds each partition's output by `buckets` rows); scoring is one
+    * narrow explode + broadcast probes, per-doc aggregate map-side-
+    * combined. The top-k is TakeOrderedAndProject (per-partition heap +
+    * driver merge — never a global sort); for corpus-sized k, swap the
+    * exact threshold for approx_percentile on sel_key (same plan
+    * otherwise).
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096, k: Int = 200, seed: String = "dsir"): DataFrame = {
+    val tb = target
+      .select(explode(bigrams(col(targetTextCol))).as("g"))
+      .select(bucketOf(col("g"), buckets).as("b"))
+    val rb = docs
+      .select(explode(bigrams(col(textCol))).as("g"))
+      .select(bucketOf(col("g"), buckets).as("b"))
+    val ct = tb.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cr = rb.groupBy("b").agg(count(lit(1)).as("cr"))
+    val consts = tb.agg(count(lit(1)).as("nt"))
+      .crossJoin(rb.agg(count(lit(1)).as("nr")))
+    // explode_outer keeps empty/null-text docs (null gram row) → TOTAL
+    // per-doc aggregate with no corpus-wide join-back on the id
+    val occ = docs
+      .select(col(idCol), explode_outer(bigrams(col(textCol))).as("g"))
+      .withColumn("b", bucketOf(col("g"), buckets))
+    val scored = occ
+      .join(broadcast(ct), Seq("b"), "left")
+      .join(broadcast(cr), Seq("b"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("g"),
+        when(col("g").isNotNull,
+          log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0) -
+          log((col("nt") + buckets).cast("double")) -
+          log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0) +
+          log((col("nr") + buckets).cast("double"))).as("lr"))
+      .groupBy(idCol)
+      .agg(count(col("g")).as("n_feat"), sum("lr").as("slr"))
+      .withColumn("logw", coalesce(col("slr"), lit(0.0)))
+      // inverse-CDF Gumbel from the 32-bit md5 uniform, centered off 0/1
+      .withColumn("_u",
+        (conv(substring(md5(concat(col(idCol).cast("string"), lit(seed))),
+          1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0)
+      .withColumn("sel_key", col("logw") - log(-log(col("_u"))))
+      .select(col(idCol), col("n_feat"), col("logw"), col("sel_key"))
+    val th = scored.orderBy(col("sel_key").desc).limit(k)
+      .agg(min(col("sel_key")).as("_th"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("selected", col("sel_key") >= col("_th"))
+      .drop("_th")
+  }
+
   /** Global word-frequency vocabulary: top-k words by corpus count with
     * per-word document frequency. Deterministic total order (count desc,
     * word asc) so the top-k boundary is unambiguous.

@@ -218,4 +218,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"LM tables must broadcast — corpus grams may not shuffle:\n$plan")
   }
+
+  // ---- DSIR --------------------------------------------------------------
+
+  private val dsirTarget = (0L until 20L)
+    .map(i => (1000L + i, "alpha beta gamma delta")).toDF("doc_id", "text")
+  private val dsirDocs = (
+    (0L until 10L).map(i => (i, "alpha beta gamma delta")) ++     // on-target
+    (10L until 20L).map(i => (i, s"noise${i} junk${i} other${i}")) :+ // off
+    (90L, "single") :+ (91L, null.asInstanceOf[String])           // featureless
+  ).toDF("doc_id", "text")
+
+  test("dsirSelect: on-target docs out-weigh off-target; output total; k selected") {
+    val out = Mixing.dsirSelect(dsirDocs, "doc_id", "text",
+        dsirTarget, "text", buckets = 512, k = 5, seed = "s")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(4)))).toMap
+    assert(out.size == 22) // total, incl. 1-word and null text
+    assert(out(90L)._1 == 0L && out(90L)._2 == 0.0)
+    assert(out(91L)._1 == 0L && out(91L)._2 == 0.0)
+    val onT = (0L until 10L).map(out(_)._2)
+    val offT = (10L until 20L).map(out(_)._2)
+    assert(onT.min > offT.max,
+      s"importance weights must separate: on ${onT.min} vs off ${offT.max}")
+    assert(out.values.count(_._3) == 5)
+  }
+
+  test("dsirSelect: deterministic across partitionings, seed-distinct") {
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Mixing.dsirSelect(df, "doc_id", "text", dsirTarget, "text",
+          buckets = 512, k = 5, seed = seed)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+        .sortBy(_._1).toSeq
+    val a = run(dsirDocs, "s")
+    val b = run(dsirDocs.repartition(7), "s")
+    assert(a == b)
+    val c = run(dsirDocs, "other-seed")
+    assert(a.map(_._2) != c.map(_._2)) // Gumbel keys move with the seed
+  }
+
+  test("dsirSelect plan: count tables broadcast; top-k is TakeOrdered, no global sort") {
+    val plan = Mixing.dsirSelect(dsirDocs, "doc_id", "text",
+        dsirTarget, "text", buckets = 512, k = 5, seed = "s")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortMergeJoin"),
+      s"bucket tables must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"threshold must come from a top-k heap, not a global sort:\n$plan")
+  }
 }

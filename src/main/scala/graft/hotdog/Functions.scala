@@ -47,5 +47,8 @@ object Functions {
     // bloom_might_contain(bits array<bigint>, key_hash bigint, k)
     reg("bloom_might_contain")(a =>
       graft.ops.BloomMightContain(a(0), a(1), intLit(a(2))))
+    // word_ngrams_multi(text, n) — in-order word n-grams with multiplicity
+    reg("word_ngrams_multi")(a =>
+      graft.ops.WordNgramsMulti(a(0), intLit(a(1))))
   }
 }

@@ -31,14 +31,10 @@ object Mixing {
 
   /** Word bigrams WITH multiplicity ("w1 w2" strings) — the hashed
     * feature space DSIR estimates its distributions over. < 2 words ⇒
-    * empty array; null text ⇒ null. */
-  private def bigrams(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
-    zip_with(
-      slice(ws, lit(1), size(ws) - 1),
-      slice(ws, lit(2), size(ws) - 1),
-      (a, b) => concat(a, lit(" "), b))
-  }
+    * empty array; null text ⇒ null. One-pass codegen kernel (the
+    * zip_with/slice Column form runs interpreted — see
+    * [[OpsKernels.wordNgramsMulti]]). */
+  private def bigrams(text: Column): Column = opscol.wordNgramsMulti(text, 2)
 
   /** Engine-stable feature-hash bucket of a gram: first 32 bits of
     * md5(gram) mod `buckets` (same idiom as [[hashPct]]). */
@@ -76,31 +72,43 @@ object Mixing {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 4096, k: Int = 200, seed: String = "dsir"): DataFrame = {
-    val tb = target
-      .select(explode(bigrams(col(targetTextCol))).as("g"))
+    // The two multinomials are MODEL-sized (≤`buckets` rows each, by
+    // construction) — estimate each with one map-side-combined wordcount
+    // pass and collect, like the ≤#topics stats collects: leaving them as
+    // DataFrames re-plans the whole estimation pipeline under every
+    // broadcast/subquery consumer (measured: 10 parquet scans of the
+    // corpus in one dsir plan, zero exchange reuse).
+    def bucketCounts(df: DataFrame, tc: String): Map[Long, Long] = df
+      .select(explode(bigrams(col(tc))).as("g"))
       .select(bucketOf(col("g"), buckets).as("b"))
-    val rb = docs
-      .select(explode(bigrams(col(textCol))).as("g"))
-      .select(bucketOf(col("g"), buckets).as("b"))
-    val ct = tb.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cr = rb.groupBy("b").agg(count(lit(1)).as("cr"))
-    val consts = tb.agg(count(lit(1)).as("nt"))
-      .crossJoin(rb.agg(count(lit(1)).as("nr")))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ctm = bucketCounts(target, targetTextCol)
+    val crm = bucketCounts(docs, textCol)
+    val nt = ctm.values.sum.toDouble
+    val nr = crm.values.sum.toDouble
+    // per-bucket log-ratio of the smoothed multinomials (java.lang.Math
+    // .log — the same libm call Spark's log codegen makes); a bucket
+    // absent from BOTH maps (unreachable for docs' own grams, which
+    // define crm) falls back to the both-unseen constant
+    def lrOf(ct: Long, cr: Long): Double =
+      math.log(ct + 1.0) - math.log(nt + buckets) -
+        (math.log(cr + 1.0) - math.log(nr + buckets))
+    val lrRows = (ctm.keySet ++ crm.keySet).toSeq.sorted
+      .map(b => (b, lrOf(ctm.getOrElse(b, 0L), crm.getOrElse(b, 0L))))
+    val unseenLr = lrOf(0L, 0L)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lrDf = lrRows.toDF("b", "lr")
     // explode_outer keeps empty/null-text docs (null gram row) → TOTAL
     // per-doc aggregate with no corpus-wide join-back on the id
-    val occ = docs
+    val scored = docs
       .select(col(idCol), explode_outer(bigrams(col(textCol))).as("g"))
       .withColumn("b", bucketOf(col("g"), buckets))
-    val scored = occ
-      .join(broadcast(ct), Seq("b"), "left")
-      .join(broadcast(cr), Seq("b"), "left")
-      .crossJoin(broadcast(consts))
+      .join(broadcast(lrDf), Seq("b"), "left")
       .select(col(idCol), col("g"),
         when(col("g").isNotNull,
-          log(coalesce(col("ct"), lit(0L)).cast("double") + 1.0) -
-          log((col("nt") + buckets).cast("double")) -
-          log(coalesce(col("cr"), lit(0L)).cast("double") + 1.0) +
-          log((col("nr") + buckets).cast("double"))).as("lr"))
+          coalesce(col("lr"), lit(unseenLr))).as("lr"))
       .groupBy(idCol)
       .agg(count(col("g")).as("n_feat"), sum("lr").as("slr"))
       .withColumn("logw", coalesce(col("slr"), lit(0.0)))
@@ -110,11 +118,15 @@ object Mixing {
           1, 8), 16, 10).cast("long").cast("double") + 0.5) / 4294967296.0)
       .withColumn("sel_key", col("logw") - log(-log(col("_u"))))
       .select(col(idCol), col("n_feat"), col("logw"), col("sel_key"))
-    val th = scored.orderBy(col("sel_key").desc).limit(k)
-      .agg(min(col("sel_key")).as("_th"))
-    scored.crossJoin(broadcast(th))
-      .withColumn("selected", col("sel_key") >= col("_th"))
-      .drop("_th")
+    // exact k-th-largest key via a TakeOrdered pass over the narrow
+    // (pruned) key column — for corpus-sized k swap in approx_percentile;
+    // ≥ against -inf when fewer than k rows exist selects everything
+    val topK = scored.orderBy(col("sel_key").desc).limit(k)
+      .select(col("sel_key")).collect()
+    // n ≤ k ⇒ the k-th is the minimum key ⇒ everything selects
+    val th = topK.lastOption.map(_.getDouble(0))
+      .getOrElse(Double.NegativeInfinity)
+    scored.withColumn("selected", col("sel_key") >= lit(th))
   }
 
   /** Global word-frequency vocabulary: top-k words by corpus count with

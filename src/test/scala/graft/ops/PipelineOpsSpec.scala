@@ -221,6 +221,29 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- DSIR --------------------------------------------------------------
 
+  test("wordNgramsMulti kernel == zip_with/slice Column composition") {
+    val texts = Seq("the quick brown fox", "  Mixed   CASE\ttabs\nhere ",
+      "one", "", "a a a a", "x y").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def colBigrams(text: org.apache.spark.sql.Column) = {
+      val ws = TextAnalysis.words(text)
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val rows = texts
+      .select(col("id"), opscol.wordNgramsMulti(col("text"), 2).as("k"),
+        colBigrams(col("text")).as("c"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id ${r.getLong(0)}")
+    }
+    // multiplicity preserved, order preserved, <n => empty
+    val m = rows.map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(4L) == Seq("a a", "a a", "a a"))
+    assert(m(2L) == Seq() && m(3L) == Seq())
+  }
+
   private val dsirTarget = (0L until 20L)
     .map(i => (1000L + i, "alpha beta gamma delta")).toDF("doc_id", "text")
   private val dsirDocs = (
@@ -257,13 +280,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_._2) != c.map(_._2)) // Gumbel keys move with the seed
   }
 
-  test("dsirSelect plan: count tables broadcast; top-k is TakeOrdered, no global sort") {
+  test("dsirSelect plan: ratio table broadcast, scoring chain sort-free") {
+    // the threshold is a separate bounded TakeOrdered collect (a top-k
+    // heap, k keys to the driver); the returned scoring plan itself must
+    // carry no shuffle join and no sort of any kind
     val plan = Mixing.dsirSelect(dsirDocs, "doc_id", "text",
         dsirTarget, "text", buckets = 512, k = 5, seed = "s")
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("SortMergeJoin"),
-      s"bucket tables must broadcast:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"threshold must come from a top-k heap, not a global sort:\n$plan")
+      s"ratio table must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Sort "), s"scoring chain must be sort-free:\n$plan")
   }
 }

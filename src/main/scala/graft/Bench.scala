@@ -35,7 +35,8 @@ object Bench {
     // (overhead-bound, checkpoint+listener machinery) go last.
     val priority = Seq(
       "dd_wordset_jaccard", "pipe_clean", "dd_neardup_dedup", "dd_minhash",
-      "dd_components", "dd_simhash", "dd_embed_neardup", "dd_exact",
+      "dd_incr_near", "dd_lines", "dd_components", "dd_simhash",
+      "dd_embed_neardup", "dd_exact",
       "sim_topk_lsh", "sim_topk_ivf", "sim_topk").zipWithIndex.toMap
     val streamingLast = Set("hd_window", "hd_state_totals", "dd_stream_dedup")
     val ordered = selected.toSeq.sortBy { case (n, _) =>

@@ -652,6 +652,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup verdict of a crawl batch against a prior corpus
+    * snapshot: batch = verbatim copies (doc_id + 1e6) of the doc_id%5=0
+    * slice; prior = everything else PLUS the doc_id%10=0 originals — so
+    * half the batch has its exact original in the prior (jaccard 100,
+    * drop) and the other half matches only via organic cross-slice
+    * near-dups. Oracle = exact all-pairs batch×prior 3-gram jaccard, so
+    * both the LSH recall and the TOTAL keep verdict are load-bearing. */
+  def ddIncrNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val prior = docs.filter(col("doc_id") % 5 =!= 0 || col("doc_id") % 10 === 0)
+    Dedup.incrementalNearDups(batch, prior, "doc_id", "text",
+        minJaccardPct = 60)
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style line/paragraph dedup over a synthesized multi-line corpus:
+    * every document gets a shared header line (duplicated corpus-wide — the
+    * boilerplate hot key), a footer shared by its doc_id%7 group, and a body
+    * split into lines at the word "table"; the corpus is doubled (doc_id +
+    * 1e6 copies) so whole-body duplication is load-bearing alongside the
+    * organic cross-document fragment collisions. TOTAL output: one row per
+    * document with line counts and the reassembled cleaned text. */
+  def ddLines(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val doubled = docs.union(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val multi = doubled.select(
+      col("doc_id"),
+      concat(
+        lit("Join Our Newsletter Today!\n"),
+        regexp_replace(col("text"), " table ", "\n"),
+        lit("\ncopyright footer "), (col("doc_id") % 7).cast("string"))
+        .as("t"))
+    TextAnalysis.lineDedup(multi, "doc_id", col("t")).orderBy("doc_id")
+  }
+
   /** CCNet-style LM quality scoring: an add-one bigram LM trained on the
     * doc_id % 5 = 0 reference slice, every document scored by average
     * bigram negative log-likelihood and perplexity. Total: one row per

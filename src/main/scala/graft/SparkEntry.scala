@@ -70,6 +70,8 @@ object SparkEntry {
     "tok_contam" -> (Queries.tokContam _),
     "tok_scrub" -> (Queries.tokScrub _),
     "txt_redact" -> (Queries.txtRedact _),
+    "dd_lines" -> (Queries.ddLines _),
+    "dd_incr_near" -> (Queries.ddIncrNear _),
     "txt_lm_ppl" -> (Queries.txtLmPpl _),
     "pipe_shuffle" -> (Queries.pipeShuffle _),
     "sim_kmeans" -> (Queries.simKmeans _),
@@ -702,6 +704,57 @@ object SparkEntry {
          |  len(regexp_extract_all(t1, '$ipv4Re'))::BIGINT AS n_ipv4,
          |  len(regexp_extract_all(t2, '$idnumRe'))::BIGINT AS n_idnum
          |FROM m2 ORDER BY doc_id""".stripMargin,
+
+    // CCNet paragraph dedup: first occurrence per normalized line key
+    // under the (doc_id, pos) total order; the oracle replays the
+    // multi-line construction, the first-occurrence window, and the
+    // ordered reassembly (string_agg ORDER BY pos), with the same
+    // left-join totality for fully-deduped documents
+    "dd_lines" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    'Join Our Newsletter Today!' || chr(10) ||
+         |    regexp_replace(text, ' table ', chr(10), 'g') || chr(10) ||
+         |    'copyright footer ' || (doc_id % 7) AS t
+         |  FROM (SELECT doc_id, text FROM documents
+         |        UNION ALL SELECT doc_id + 1000000, text FROM documents)),
+         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d),
+         |l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM
+         |  (SELECT doc_id, unnest(list_transform(range(0, len(a)),
+         |     i -> {'pos': i, 'line': a[i+1]})) AS u FROM ls)),
+         |k AS (SELECT doc_id, pos, line,
+         |  regexp_replace(trim(lower(line)), '\\s+', ' ', 'g') AS lkey FROM l),
+         |kept AS (SELECT doc_id, pos, line FROM
+         |  (SELECT k.*, row_number() OVER (PARTITION BY lkey ORDER BY doc_id, pos) AS rn FROM k)
+         |  WHERE rn = 1),
+         |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+         |      FROM kept GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(string_split(t, chr(10)))::BIGINT AS n_lines FROM d)
+         |SELECT n.doc_id, n.n_lines,
+         |  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+         |  (n.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM n LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // incremental near-dup verdict: exact all-pairs batch×prior 3-gram
+    // jaccard (same shingle construction as dd_minhash) with the TOTAL
+    // left-join verdict — LSH recall AND the keep flags are load-bearing
+    "dd_incr_near" ->
+      s"""WITH b AS (SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 5 = 0),
+         |p AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 <> 0 OR doc_id % 10 = 0),
+         |wb AS (SELECT id, $normE AS norm, string_split($normE, ' ') AS ws FROM b),
+         |wp AS (SELECT id, $normE AS norm, string_split($normE, ' ') AS ws FROM p),
+         |sb AS (SELECT id, ${shingleListE(3)} AS sh FROM wb),
+         |sp AS (SELECT id, ${shingleListE(3)} AS sh FROM wp),
+         |pr AS (SELECT sb.id AS id_b, sp.id AS id_p FROM sb JOIN sp ON
+         |  CAST(floor(100.0 * len(list_intersect(sb.sh, sp.sh)) / len(list_distinct(list_concat(sb.sh, sp.sh)))) AS BIGINT) >= 60),
+         |m AS (SELECT id_b, min(id_p) AS dup_prior_id, count(*)::BIGINT AS n_prior_dups
+         |      FROM pr GROUP BY id_b)
+         |SELECT b.id AS doc_id, m.dup_prior_id,
+         |  coalesce(m.n_prior_dups, 0)::BIGINT AS n_prior_dups,
+         |  m.dup_prior_id IS NULL AS keep
+         |FROM b LEFT JOIN m ON b.id = m.id_b ORDER BY doc_id""".stripMargin,
 
     // CCNet-style bigram-LM scoring: ordered bigrams WITH multiplicity
     // (range(0, len-1) is empty for <2-word docs), add-one smoothing

@@ -32,8 +32,14 @@ object AnnScalingBench {
   private val Q = 2000
   private val PlantsPerQuery = 5
   private val K = 5
+  // 256 constant across levels (the dedup/tok protocol): lshTopK is the
+  // one shuffle/sort-heavy job in this suite, and 32 partitions at
+  // local[32] is a SINGLE task wave — wall time becomes max(task), not
+  // sum/cores, and the 8→32 efficiency collapses to the task-balance
+  // ratio (measured 0.44 at 32 partitions vs ≥0.8 at 256). Multi-wave
+  // scheduling is exactly what a real cluster relies on at 100 TB.
   private val ShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "256").toInt
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()

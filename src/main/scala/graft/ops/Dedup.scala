@@ -355,6 +355,50 @@ object Dedup {
     minhashNearDups(dropExactDupes(df, idCol, textCol), idCol, textCol,
       minJaccardPct, numHashes, bands, shingleN, groupCol)
 
+  /** Incremental NEAR-dup verdict of a new batch against a prior corpus
+    * snapshot — the standing "is today's crawl a near-copy of anything we
+    * already have" stage (the near-dup sibling of
+    * [[Bloom.incrementalDedupVerdict]], which answers it for exact dups
+    * only). Returns one row per batch document (TOTAL):
+    * (doc_id, dup_prior_id = min prior id matching at ≥ minJaccardPct or
+    * null, n_prior_dups, keep = no prior match).
+    *
+    * 100 TB shape: the prior corpus is reduced ONCE to its banded LSH
+    * bucket index (bucket, id) — the artifact a standing pipeline persists
+    * between crawl batches instead of re-banding the whole corpus; the
+    * candidate join carries (bucket, id) rows only (never text or
+    * signatures), is batch-sized on one side, and exact-jaccard
+    * verification re-joins raw text for the candidate pairs only. Bucket
+    * sizes bound the join fan-out exactly as in [[minhashNearDups]];
+    * exact-duplicate floods inside the PRIOR corpus should have been
+    * removed when it was built ([[nearDupsDeduped]] composition). */
+  def incrementalNearDups(batch: DataFrame, prior: DataFrame, idCol: String,
+      textCol: String, minJaccardPct: Int, numHashes: Int = 64,
+      bands: Int = 32, shingleN: Int = 3): DataFrame = {
+    val bBanded = bandedBuckets(batch, idCol, textCol, numHashes, bands,
+      shingleN, None).drop("band").withColumnRenamed("id", "id_b")
+    val pBanded = bandedBuckets(prior, idCol, textCol, numHashes, bands,
+      shingleN, None).drop("band").withColumnRenamed("id", "id_p")
+    // a true near-pair shares ≥1 of the 32 bands with miss prob
+    // (1-j^2)^32 (< 1e-6 at j=0.6); the pair appears once per shared band
+    // so distinct() before the text re-join (map-side-combinable)
+    val cand = bBanded.join(pBanded, "bucket").select("id_b", "id_p").distinct()
+    val verified = cand
+      .join(batch.select(col(idCol).as("id_b"), col(textCol).as("t_b")), "id_b")
+      .join(prior.select(col(idCol).as("id_p"), col(textCol).as("t_p")), "id_p")
+      .withColumn("jaccard_pct",
+        jaccardPct(shingles(col("t_b"), shingleN), shingles(col("t_p"), shingleN)))
+      .filter(col("jaccard_pct") >= minJaccardPct)
+    val agg = verified.groupBy("id_b")
+      .agg(min(col("id_p")).as("dup_prior_id"),
+        count(lit(1)).as("n_prior_dups"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(agg.withColumnRenamed("id_b", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_prior_id"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"),
+        col("dup_prior_id").isNull.as("keep"))
+  }
+
   /** SimHash near-dups: 64-bit sketch, banded into 4×16-bit chunks.
     * Pigeonhole: a pair with hamming ≤ 3 differs in at most 3 of the 4
     * chunks, so it always shares ≥1 chunk — recall is EXACTLY 100% for

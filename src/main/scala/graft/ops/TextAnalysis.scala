@@ -119,6 +119,53 @@ object TextAnalysis {
       case (c, (_, re, tag)) => regexp_replace(c, re, tag)
     }
 
+  /** CCNet-style line/paragraph dedup (Wenzek et al. 2020 §3.1: drop every
+    * repeated paragraph, keeping the first occurrence corpus-wide): split
+    * each document into lines, key each line by its normalized form, keep
+    * an occurrence iff it is the globally FIRST (min (id, pos)) occurrence
+    * of that key, and reassemble the surviving lines in original order.
+    * Output is TOTAL — one row per input document with
+    * (n_lines, n_kept, n_removed, text_clean), text_clean = "" when every
+    * line was seen earlier.
+    *
+    * 100 TB shape: boilerplate lines ("subscribe to our newsletter")
+    * appear in a large fraction of ALL documents, so anything that
+    * partitions occurrences by line key is skewed by construction. The
+    * first-occurrence set is therefore computed as min(struct(id, pos))
+    * — a map-side-combinable aggregate that reduces a billion-copy hot
+    * line to one row per input partition before its shuffle — and the
+    * keep decision rejoins on the uniformly distributed (id, pos) key,
+    * never on the line key; the per-document reassembly groups on id
+    * (bounded by document size). No window function over the corpus.
+    */
+  def lineDedup(df: DataFrame, idCol: String, text: Column): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(text, "\n")).as(Seq("pos", "line")))
+    val keyed = lines.withColumn("lkey", unhex(md5(normalized(col("line")))))
+    val firsts = keyed
+      .groupBy("lkey")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+      .select(col(s"first.$idCol").as(idCol), col("first.pos").as("pos"))
+    val kept = lines.join(firsts, Seq(idCol, "pos"), "left_semi")
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text_clean"))
+    df.select(col(idCol), size(split(text, "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Integer-valued quality counters (ratios are left to the consumer so
     * the oracle comparison stays float-free). */
   def qualityCounters(df: DataFrame, text: Column): DataFrame =

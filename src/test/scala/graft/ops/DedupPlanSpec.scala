@@ -18,8 +18,10 @@ class DedupPlanSpec extends AnyFunSuite {
     // shard: ≤`shards` bloom-index rows (broadcast); _k: md5(text) joined
     // against a DISTINCT candidate/confirmed key set — fan-out ≤ 1 on the
     // broadcast side regardless of how many docs share a text
+    // id_p: the prior-side doc id in dd_incr_near's verification re-join —
+    // unique per prior doc (fan-out 1), same class as id_a/id_b
     val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
-      "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k")
+      "id_p", "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k")
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan

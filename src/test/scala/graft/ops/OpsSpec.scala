@@ -569,4 +569,48 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(cids.size == 1)
   }
+
+  // ---- incrementalNearDups (batch vs prior snapshot) ----------------------
+
+  test("incrementalNearDups: exact copy, near copy, and novel doc verdicts") {
+    val prior = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // prior-internal dup
+      (4L, "completely different text about spark pipelines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact copy
+      (101L, "the quick brown fox jumps over the lazy cat"), // near copy
+      (102L, "nothing like anything in the prior corpus at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch, prior, "doc_id", "text",
+        minJaccardPct = 60)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+    assert(out.size == 3) // TOTAL over the batch
+    assert(out(100L) == ((0L, 2L, false))) // min prior id; both copies counted
+    assert(out(101L)._3 == false)          // near copy dropped
+    assert(out(101L)._1 == 0L)
+    assert(out(102L) == ((-1L, 0L, true))) // novel: kept, null match
+  }
+
+  test("incrementalNearDups: empty prior keeps the whole batch") {
+    val prior = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch, prior, "doc_id", "text", 60)
+      .collect()
+    assert(out.length == 2 && out.forall(_.getBoolean(3)))
+  }
+
+  test("incrementalNearDups plan: no cartesian product") {
+    val prior = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val batch = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Dedup.incrementalNearDups(batch, prior, "doc_id", "text", 60)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -292,4 +292,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Sort "), s"scoring chain must be sort-free:\n$plan")
   }
+
+  // ---- TextAnalysis.lineDedup (CCNet paragraph dedup) ---------------------
+
+  test("lineDedup: first global occurrence survives, output total") {
+    val df = Seq(
+      (1L, "H\nalpha\nbeta\nF"),
+      (2L, "H\n  ALPHA \ngamma\nF"),
+      (3L, "H\nbeta\nbeta\nF")).toDF("doc_id", "text").repartition(3)
+    val out = TextAnalysis.lineDedup(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out.size == 3) // total: every document reports
+    assert(out(1L) == ((4L, 4L, 0L, "H\nalpha\nbeta\nF")))
+    // "  ALPHA " dedups against doc 1's "alpha" up to normalization
+    assert(out(2L) == ((4L, 1L, 3L, "gamma")))
+    // every line of doc 3 was seen earlier (incl. its own within-doc repeat)
+    assert(out(3L) == ((4L, 0L, 4L, "")))
+  }
+
+  test("lineDedup: within-doc repeated line keeps only the first") {
+    val r = TextAnalysis.lineDedup(
+        Seq((7L, "x\ny\nx")).toDF("doc_id", "text"), "doc_id", col("text"))
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ==
+      ((3L, 2L, 1L, "x\ny")))
+  }
+
+  test("lineDedup: result independent of partition count") {
+    val df = (0L until 40L).map(i => (i, s"head\nbody ${i % 5}\ntail ${i % 3}"))
+      .toDF("doc_id", "text")
+    def run(p: Int) =
+      TextAnalysis.lineDedup(df.repartition(p), "doc_id", col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+        .sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+  }
+
+  test("lineDedup plan: no window function over the corpus") {
+    // the first-occurrence set must come from a map-side-combinable
+    // min(struct) aggregate, never a row_number window partitioned by the
+    // (boilerplate-skewed) line key
+    val plan = TextAnalysis.lineDedup(
+        Seq((1L, "a\nb")).toDF("doc_id", "text"), "doc_id", col("text"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"no window expected:\n$plan")
+  }
 }

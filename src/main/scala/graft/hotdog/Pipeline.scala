@@ -55,8 +55,17 @@ object Pipeline {
     *         kafka.producer.sent timer slot — reference src/kafka.rs:176-183
     *         keeps the LAST send duration; we keep the last batch's). */
   def writeFanOut(routed: DataFrame, outDir: String, batchId: Long,
-      saltBuckets: Int = 32,
+      saltBuckets: Int = 0,
       columns: Seq[String] = Seq("doc_id", "source", "output")): Long = {
+    // saltBuckets <= 0 ⇒ track spark.sql.shuffle.partitions: the write
+    // stage's task count IS the repartition's partition count, and a salt
+    // space smaller than it leaves reducers empty while a fixed 32 pins
+    // the stage to ONE wave at 32 cores (straggler-bound, measured
+    // util 0.53 in the streaming bench; (topic, salt) cells are atomic,
+    // so more+finer cells = the balance)
+    val salts =
+      if (saltBuckets > 0) saltBuckets
+      else routed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Kafka-parity payload is (topic, output); doc_id/source are lineage.
     // `tokens` is intentionally NOT shipped by default — the equality
     // invariant is checked on the routed frame (cheap, pre-shuffle), and
@@ -72,7 +81,7 @@ object Pipeline {
     try {
       emitted
         .repartition(col("batch_id"), col("topic"),
-          pmod(xxhash64(col("doc_id")), lit(saltBuckets)))
+          pmod(xxhash64(col("doc_id")), lit(salts)))
         .write
         .partitionBy("batch_id", "topic")
         .mode(SaveMode.Overwrite)
@@ -121,10 +130,17 @@ object Pipeline {
     * shuffle (measured as 30-50% utilization valleys and ±30% trial noise
     * at 24M-row batches). Executor-local disk (NVMe on a real cluster) is
     * the right home for a pass-through intermediate of this shape.
+    *
+    * The cache is ON by default (spark.graft.writeBatch.cache=false to
+    * opt out): the instrumented 192M-row streaming bench showed the
+    * audit pass otherwise re-running the full cascade per batch —
+    * 171 CPU-seconds per 48M-row batch at 32 cores, ~60% of the route
+    * stage itself — exactly the double evaluation this method exists to
+    * prevent.
     * @return sink write micros (the kafka.producer.sent timer slot). */
   def writeBatch(routed: DataFrame, outDir: String, auditDir: String,
-      batchId: Long, saltBuckets: Int = 32): Long = {
-    if (routed.sparkSession.conf.get("spark.graft.writeBatch.cache", "false").toBoolean) {
+      batchId: Long, saltBuckets: Int = 0): Long = {
+    if (routed.sparkSession.conf.get("spark.graft.writeBatch.cache", "true").toBoolean) {
       val slim = routed.select(col("doc_id"), col("source"), col("topic"),
           col("output"), col("parse_ok"), col("err_merge_invalid_json"),
           col("err_merge_target_not_json"),

@@ -21,8 +21,12 @@ import java.nio.file.{Files, Paths}
   */
 object StreamingScalingBench {
 
+  // 256 constant across levels (the dedup/tok protocol): at 32 the
+  // salt-exchange write stage is ONE wave whose slowest (topic, salt)
+  // cell bounds the batch (measured util 0.53 and eff 0.648); at 256
+  // the same stage is 8 amortizing waves at local[32], 32 at local[8]
   private val ShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "32").toInt
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SHUFFLE", "256").toInt
   /** corpus file count / trigger size → 4 micro-batches per run.
     *
     * THE trigger-sizing lesson this bench exists to encode: a file-source

@@ -100,6 +100,20 @@ object SparkEntry {
        |  ELSE $msgE
        |END""".stripMargin
 
+  /** DuckDB replica of OpsKernels.planeMatrix's weight bit: murmur3 fmix32
+    * of (p·65537 + i + 1), bit 13. Expanded inline (DuckDB lambdas cannot
+    * bind intermediates); all arithmetic mod 2^32 in UBIGINT — the largest
+    * intermediate, 0xffffffff·0xc2b2ae35 ≈ 1.47e19, fits UBIGINT. */
+  private val planeBitSql: String = {
+    val k0 = "((p*65537 + i + 1)::UBIGINT)"
+    val a  = s"xor($k0, $k0 >> 16)"
+    val b  = s"((($a) * 2246822507::UBIGINT) % 4294967296::UBIGINT)"
+    val c  = s"xor($b, $b >> 13)"
+    val d  = s"((($c) * 3266489909::UBIGINT) % 4294967296::UBIGINT)"
+    val e  = s"xor($d, $d >> 16)"
+    s"((($e) >> 13) & 1)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hd_decode_roundtrip" ->
       "SELECT doc_id, text AS line FROM documents ORDER BY doc_id",
@@ -338,16 +352,16 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // full replication of the hyperplane-LSH pipeline in SQL: identical
-    // ±1 plane weights (integer Knuth mix), identical packed signature,
-    // identical (band, chunk) bucketing, exact cosine verify — byte-equal
-    // with the Spark plan by construction
+    // ±1 plane weights (fmix32 finalizer — see planeBitSql), identical
+    // packed signature, identical (band, chunk) bucketing, exact cosine
+    // verify — byte-equal with the Spark plan by construction
     "dd_embed_neardup" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    len(embedding) AS n FROM embeddings),
         |sig AS (SELECT vec_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), p ->
         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, n::INT),
-        |        i -> v[i+1] * (CASE WHEN (((p*65537 + i + 1) * 2654435761) % 4294967296 >> 13) & 1 = 1
+        |        i -> v[i+1] * (CASE WHEN $planeBitSql = 1
         |                       THEN 1.0 ELSE -1.0 END))),
         |        (a, b) -> a + b) >= 0.0
         |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, b) -> a | b) AS s
@@ -433,12 +447,12 @@ object SparkEntry {
     // identical hyperplane bucketing + exact cosine re-rank, replicated in
     // SQL — equality with the Spark LSH plan is by construction
     "sim_topk_lsh" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |    len(embedding) AS n FROM embeddings),
         |sig AS (SELECT vec_id,
         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), p ->
         |    CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(0, n::INT),
-        |        i -> v[i+1] * (CASE WHEN (((p*65537 + i + 1) * 2654435761) % 4294967296 >> 13) & 1 = 1
+        |        i -> v[i+1] * (CASE WHEN $planeBitSql = 1
         |                       THEN 1.0 ELSE -1.0 END))),
         |        (a, b) -> a + b) >= 0.0
         |    THEN (1::BIGINT << p) ELSE 0::BIGINT END)), (a, b) -> a | b) AS s

@@ -268,11 +268,24 @@ class OpsSpec extends AnyFunSuite {
     // weight derivation pinned to the oracle formula
     (0 until 16).foreach { p =>
       v.indices.foreach { i =>
-        val h = ((p.toLong * 65537L + i + 1L) * 2654435761L) % 4294967296L
+        val h = OpsKernels.fmix32(p.toLong * 65537L + i + 1L)
         val want = if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
         assert(m(p)(i) == want)
       }
     }
+  }
+
+  test("planeMatrix: rows are decorrelated (no identical/negated planes)") {
+    // the pre-fmix32 linear mix produced 29 identical + 18 negated pairs of
+    // 96 planes at dim 64 (mean |corr| 0.50) — mega-bucket LSH collapse
+    val m = OpsKernels.planeMatrix(96, 64)
+    var sumAbs = 0.0; var n = 0
+    for (a <- 0 until 96; b <- (a + 1) until 96) {
+      val dot = (0 until 64).map(i => m(a)(i) * m(b)(i)).sum / 64.0
+      assert(math.abs(dot) < 1.0, s"planes $a,$b identical or negated")
+      sumAbs += math.abs(dot); n += 1
+    }
+    assert(sumAbs / n < 0.2, f"mean |corr| ${sumAbs / n}%.3f too high")
   }
 
   test("minhashBands: equal band slices bucket together, different ones apart") {

@@ -762,4 +762,39 @@ object Queries {
       buckets = 4096, k = 200, seed = "dsir1")
       .orderBy("doc_id")
   }
+
+  /** Character-diversity quality signal: per-doc Shannon entropy (nats)
+    * of the normalized text's codepoint distribution + total/distinct
+    * codepoint counts, via the one-pass [[graft.ops.CharEntropy]] kernel.
+    * The oracle recomputes the histogram by exploding every character,
+    * so the kernel's counting AND the ln arithmetic are load-bearing. */
+  def txtEntropy(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropyStats(
+      table(spark, dir, "documents").select("doc_id", "text"), col("text"))
+      .select("doc_id", "n_cp", "n_distinct_cp", "h_char")
+      .orderBy("doc_id")
+
+  /** Per-source distribution-drift monitor: KL divergence of each
+    * source's hashed-unigram distribution (512 buckets, add-one
+    * smoothing) from the whole-corpus distribution. The oracle replays
+    * the bucket hash, both smoothed multinomials and the closed-form
+    * zero-bucket term, so the whole estimator is load-bearing. */
+  def txtSrcdiv(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.sourceDivergence(
+      table(spark, dir, "documents"), "text", "source", buckets = 512)
+      .orderBy("source")
+
+  /** Serpentine length-balanced packing: rank docs by (n_tok desc, id),
+    * deal ranks to 32 bins boustrophedon, report each doc's rank/bin and
+    * the bin's token total. The oracle IS the naive global row_number
+    * window + the same arithmetic, so equality proves the distributed
+    * rank scan exact under a payload-correlated, heavily-tied sort key. */
+  def pipePackFold(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    graft.ops.Packing.foldPackBins(docs, "doc_id", "n_tok", nbins = 32)
+      .select("doc_id", "n_tok", "rnk", "bin", "bin_tokens")
+      .orderBy("doc_id")
+  }
 }

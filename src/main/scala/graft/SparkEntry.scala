@@ -77,7 +77,10 @@ object SparkEntry {
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
-    "pipe_dsir" -> (Queries.pipeDsir _))
+    "pipe_dsir" -> (Queries.pipeDsir _),
+    "txt_entropy" -> (Queries.txtEntropy _),
+    "txt_srcdiv" -> (Queries.txtSrcdiv _),
+    "pipe_pack_fold" -> (Queries.pipePackFold _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -897,7 +900,71 @@ object SparkEntry {
          |  (SELECT sel_key FROM fin ORDER BY sel_key DESC LIMIT 200))
          |SELECT f.doc_id, f.n_feat, f.logw, f.sel_key,
          |  f.sel_key >= t.th AS selected
-         |FROM fin f, th t ORDER BY f.doc_id""".stripMargin)
+         |FROM fin f, th t ORDER BY f.doc_id""".stripMargin,
+
+    // explode every character of the normalized text, histogram per doc,
+    // H = ln(n) − Σ k·ln(k)/n — the kernel's counting and arithmetic are
+    // both load-bearing; empty-norm docs coalesce to (0, 0, 0.0)
+    "txt_entropy" ->
+      s"""WITH nm AS (SELECT doc_id, $normE AS t FROM documents),
+         |cs AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, length(t) + 1), i -> t[i::INT])) AS ch
+         |  FROM nm),
+         |f AS (SELECT doc_id, ch, count(*)::DOUBLE AS k FROM cs GROUP BY 1, 2),
+         |e AS (SELECT doc_id, sum(k)::BIGINT AS n_cp,
+         |    count(*)::BIGINT AS n_distinct_cp,
+         |    ln(sum(k)) - sum(k * ln(k)) / sum(k) AS h_char
+         |  FROM f GROUP BY doc_id)
+         |SELECT nm.doc_id, coalesce(e.n_cp, 0)::BIGINT AS n_cp,
+         |  coalesce(e.n_distinct_cp, 0)::BIGINT AS n_distinct_cp,
+         |  coalesce(e.h_char, 0.0)::DOUBLE AS h_char
+         |FROM nm LEFT JOIN e USING (doc_id) ORDER BY nm.doc_id""".stripMargin,
+
+    // per-source hashed-unigram KL vs the corpus: same 32-bit-md5 bucket
+    // hash, add-one smoothing over 512 buckets, observed buckets summed
+    // over the source×global-bucket grid + the closed-form term for the
+    // buckets nothing hits
+    "txt_srcdiv" ->
+      s"""WITH w AS (SELECT source,
+         |    unnest(string_split($normE, ' ')) AS word FROM documents),
+         |sb AS (SELECT source,
+         |    ('0x' || substr(md5(word), 1, 8))::BIGINT % 512 AS b,
+         |    count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+         |gb AS (SELECT b, sum(c)::BIGINT AS cb FROM sb GROUP BY b),
+         |ns AS (SELECT source, sum(c)::BIGINT AS n_words,
+         |    count(*)::BIGINT AS n_buckets FROM sb GROUP BY source),
+         |tot AS (SELECT sum(cb)::DOUBLE AS n, count(*)::BIGINT AS g FROM gb),
+         |grid AS (SELECT ns.source, ns.n_words, gb.cb,
+         |    coalesce(sb.c, 0)::BIGINT AS csb
+         |  FROM ns CROSS JOIN gb
+         |  LEFT JOIN sb ON sb.source = ns.source AND sb.b = gb.b),
+         |obs AS (SELECT source,
+         |    sum(((csb + 1.0) / (n_words + 512))
+         |        * ln(((csb + 1.0) / (n_words + 512))
+         |             / ((cb + 1.0) / (t.n + 512)))) AS kl_obs
+         |  FROM grid, tot t GROUP BY source)
+         |SELECT ns.source, ns.n_words, ns.n_buckets,
+         |  obs.kl_obs + (512 - t.g) * (1.0 / (ns.n_words + 512))
+         |    * ln((1.0 / (ns.n_words + 512)) / (1.0 / (t.n + 512))) AS kl
+         |FROM ns JOIN obs USING (source), tot t
+         |ORDER BY ns.source""".stripMargin,
+
+    // the naive global row_number window over (n_tok desc, doc_id) — the
+    // Spark side computes the same rank with the distributed two-level
+    // scan, so hash equality proves that scan exact under a heavily-tied,
+    // payload-correlated sort key; bin totals replayed from the same rank
+    "pipe_pack_fold" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    len(string_split($normE, ' '))::BIGINT AS n_tok FROM documents),
+         |r AS (SELECT doc_id, n_tok,
+         |    (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)::BIGINT AS rnk
+         |  FROM t),
+         |b AS (SELECT doc_id, n_tok, rnk,
+         |    (CASE WHEN (rnk // 32) % 2 = 0 THEN rnk % 32
+         |          ELSE 31 - (rnk % 32) END)::BIGINT AS bin FROM r),
+         |s AS (SELECT bin, sum(n_tok)::BIGINT AS bin_tokens FROM b GROUP BY bin)
+         |SELECT b.doc_id, b.n_tok, b.rnk, b.bin, s.bin_tokens
+         |FROM b JOIN s USING (bin) ORDER BY b.doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

@@ -50,5 +50,7 @@ object Functions {
     // word_ngrams_multi(text, n) — in-order word n-grams with multiplicity
     reg("word_ngrams_multi")(a =>
       graft.ops.WordNgramsMulti(a(0), intLit(a(1))))
+    // char_entropy(text) — Shannon entropy (nats) of the codepoint histogram
+    reg("char_entropy")(a => graft.ops.CharEntropy(a.head))
   }
 }

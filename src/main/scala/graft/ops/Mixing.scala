@@ -129,6 +129,62 @@ object Mixing {
     scored.withColumn("selected", col("sel_key") >= lit(th))
   }
 
+  /** Per-source distribution-drift monitor: KL divergence (nats) of each
+    * source's hashed-unigram word distribution from the whole-corpus
+    * distribution — the standing "which source changed / which mixture
+    * component is off" check a multi-source training pipeline runs per
+    * crawl. Both multinomials are add-one-smoothed over `buckets` hashed
+    * word buckets (the [[dsirSelect]] feature space), so KL is finite and
+    * a source identical to the corpus scores exactly 0.
+    *
+    * Output: one row per source — (source, n_words, n_buckets, kl) where
+    * n_buckets counts the buckets the source itself hits.
+    *
+    * 100 TB shape: ONE corpus pass — a map-side-combined wordcount on the
+    * (source, bucket) key, bounded at #sources×buckets rows per partition
+    * regardless of corpus size. That model-sized table is collected once
+    * (the ≤#topics stats-collect class; leaving it as a DataFrame would
+    * re-plan the corpus scan under each of the three downstream
+    * aggregates — the measured DSIR re-planning trap) and the KL
+    * arithmetic folds locally in deterministic ascending-bucket order.
+    * The global distribution is derived from the same counts (q(b) =
+    * Σ_s c_sb), not a second scan. */
+  def sourceDivergence(df: DataFrame, textCol: String, srcCol: String,
+      buckets: Int = 512): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts: Array[(String, Long, Long)] = df
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.words(col(textCol))).as("word"))
+      .select(col("source"), bucketOf(col("word"), buckets).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // global bucket counts q(b) = Σ_s c_sb — no second corpus pass
+    val gb: Seq[(Long, Long)] = counts.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+    val n = gb.map(_._2).sum.toDouble
+    val g = gb.size // buckets with nonzero global count
+    val out = counts.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, rows) =>
+        val ns = rows.map(_._3).sum.toDouble
+        val cByB = rows.map(r => r._2 -> r._3).toMap
+        var kl = 0.0
+        // buckets the corpus hits (c_sb may be 0 there — smoothing covers)
+        gb.foreach { case (b, cb) =>
+          val p = (cByB.getOrElse(b, 0L) + 1.0) / (ns + buckets)
+          val q = (cb + 1.0) / (n + buckets)
+          kl += p * math.log(p / q)
+        }
+        // the (buckets − g) buckets no source hits: constant contribution
+        val p0 = 1.0 / (ns + buckets)
+        val q0 = 1.0 / (n + buckets)
+        kl += (buckets - g) * p0 * math.log(p0 / q0)
+        (src, ns.toLong, cByB.size.toLong, kl)
+    }
+    out.toDF(srcCol, "n_words", "n_buckets", "kl")
+  }
+
   /** Global word-frequency vocabulary: top-k words by corpus count with
     * per-word document frequency. Deterministic total order (count desc,
     * word asc) so the top-k boundary is unambiguous.

@@ -74,6 +74,61 @@ object Packing {
       .drop("_pid", "_off")
   }
 
+  /** Serpentine length-balanced packing ("folded" length-aware batching):
+    * rank every document under the total order (n_tok DESC, id ASC) and
+    * deal ranks to `nbins` bins boustrophedon — block b = rnk DIV nbins;
+    * even blocks assign left→right, odd blocks right→left — so every bin
+    * receives exactly one document per block and consecutive blocks pair
+    * each bin's longer pick with a shorter one. This is the deterministic,
+    * fully-parallel alternative to greedy first-fit-decreasing packing
+    * (whose running bin state is inherently sequential): bin token totals
+    * differ by at most one block's spread, which shrinks as lengths sort.
+    *
+    * Output per document (TOTAL): idCol, nTokCol, rnk, bin, bin_tokens
+    * (the assigned bin's total tokens — the padding/imbalance diagnostic).
+    *
+    * 100 TB shape: the rank is the same two-level distributed scan as
+    * [[globalShuffleOrder]] (narrow (id, n_tok) rows range-shuffled on the
+    * sort key; the only single-partition window runs over #partitions
+    * rows) — never a global window over data rows. The ranked frame is
+    * re-evaluated once more for the nbins-row bin-totals aggregate (a
+    * second pass over the two narrow columns); callers looping over
+    * epochs should cache/checkpoint the input projection.
+    */
+  def foldPackBins(df: DataFrame, idCol: String, nTokCol: String,
+      nbins: Int, numParts: Int = 0): DataFrame = {
+    require(nbins > 0, s"nbins must be positive, got $nbins")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .select(col(idCol), col(nTokCol).cast("long").as(nTokCol))
+      .repartitionByRange(parts, col(nTokCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val offW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("_pid")
+      .agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    val intraW = Window.partitionBy("_pid")
+      .orderBy(col(nTokCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = keyed
+      .join(broadcast(offsets), "_pid")
+      .withColumn("rnk", col("_off") + count(lit(1)).over(intraW))
+      .withColumn("bin",
+        when(expr(s"(rnk DIV ${nbins}L) % 2") === 0, col("rnk") % nbins)
+          .otherwise(lit(nbins.toLong - 1L) - col("rnk") % nbins))
+      .drop("_pid", "_off")
+    val binTotals = ranked.groupBy("bin")
+      .agg(sum(col(nTokCol)).as("bin_tokens"))
+    ranked.join(broadcast(binTotals), "bin")
+      .select(col(idCol), col(nTokCol), col("rnk"), col("bin"),
+        col("bin_tokens"))
+  }
+
   /** Deterministic global shuffle for training order: every row's position
     * 0..N-1 under the pseudo-random total order (md5(id || seed), id).
     * Changing `seed` gives an independent permutation per epoch; keeping

@@ -166,6 +166,24 @@ object TextAnalysis {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Character-diversity quality signal: per-document Shannon entropy
+    * (nats) of the normalized text's codepoint distribution, plus total
+    * and distinct codepoint counts. Near-zero entropy flags repeated-char
+    * padding/spam; entropy far above a language's typical band flags
+    * binary-garbage "text" — the cheap, codec-free stand-in for the
+    * compression-ratio filter used by quality pipelines. One narrow
+    * zero-shuffle projection: the entropy is a single codegen'd kernel
+    * call per row ([[OpsKernels.charEntropy]] — the builtin route would
+    * explode every character of the corpus through two shuffles).
+    * Output adds: n_cp, n_distinct_cp, h_char. */
+  def charEntropyStats(df: DataFrame, text: Column): DataFrame = {
+    val norm = normalized(text)
+    val cps = graft.hotdog.exprs.stringToCodepoints(norm)
+    df.withColumn("n_cp", size(cps).cast("long"))
+      .withColumn("n_distinct_cp", size(array_distinct(cps)).cast("long"))
+      .withColumn("h_char", opscol.charEntropy(norm))
+  }
+
   /** Integer-valued quality counters (ratios are left to the consumer so
     * the oracle comparison stays float-free). */
   def qualityCounters(df: DataFrame, text: Column): DataFrame =

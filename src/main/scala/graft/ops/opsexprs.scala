@@ -477,6 +477,45 @@ object OpsKernels {
     math.floor(100.0 * in2 / union).toLong
   }
 
+  /** Shannon entropy (nats) of the codepoint distribution of `s` — the
+    * character-diversity quality signal (near-zero ⇒ padding/repeated-char
+    * spam; the cheap stand-in for the compression-ratio filter, which
+    * needs a codec). Computed as H = ln(n) − (Σ_c k_c·ln k_c)/n via a
+    * sort + run-length count of the doc's codepoints: no hash map, and
+    * the summation order (ascending codepoint) is deterministic — any
+    * cross-engine fp difference is the ~1e-16·terms associativity noise,
+    * far inside the oracle compare's 1e-6 grain. Empty string ⇒ 0.0.
+    * One pass over the chars + an O(n log n) sort of one document's
+    * codepoints — narrow, zero-shuffle at any corpus size. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return 0.0
+    val cps = new Array[Int](len) // ≥ #codepoints; surrogates shrink j
+    var i = 0
+    var j = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    val n = j
+    java.util.Arrays.sort(cps, 0, n)
+    var sumKlnK = 0.0
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || cps(i) != cps(runStart)) {
+        val k = (i - runStart).toDouble
+        sumKlnK += k * math.log(k)
+        runStart = i
+      }
+      i += 1
+    }
+    math.log(n.toDouble) - sumKlnK / n
+  }
+
   /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once
     * per JVM, shared by every partition. Weight(p,i) = bit 13 of the murmur3
     * fmix32 finalizer applied to (p·65537 + i + 1) — pure 32-bit integer
@@ -665,6 +704,21 @@ case class WordNgramsMulti(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_ngrams_multi"
 }
 
+/** `CharEntropy(text) -> double`: Shannon entropy (nats) of the string's
+  * codepoint distribution in one codegen'd kernel call — the explode →
+  * groupBy(doc, char) → groupBy(doc) Column form costs two shuffles over
+  * every character of the corpus; this is a narrow projection. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+  override def prettyName: String = "char_entropy"
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -762,4 +816,6 @@ object opscol {
 
   def wordNgramsMulti(c: Column, n: Int): Column =
     graftshim.column(WordNgramsMulti(graftshim.expression(c), n))
+  def charEntropy(c: Column): Column =
+    graftshim.column(CharEntropy(graftshim.expression(c)))
 }

@@ -338,4 +338,167 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Window"), s"no window expected:\n$plan")
   }
+
+  // ---- charEntropy ---------------------------------------------------------
+
+  test("charEntropy: known values and the naive-histogram differential") {
+    def naive(s: String): Double = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        cps.groupBy(identity).values
+          .map(g => -(g.length / n) * math.log(g.length / n)).sum
+      }
+    }
+    assert(OpsKernels.charEntropy(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aaaa")) == 0.0)
+    assert(OpsKernels.charEntropy(
+      org.apache.spark.unsafe.types.UTF8String.fromString("")) == 0.0)
+    val cases = Seq("ab", "aabb", "abcd", "hello world",
+      "ü über straße", "日本語テキスト", "mix 😀😀 emoji 😀", "x" * 500,
+      (0 until 97).map(i => ('a' + i % 26).toChar).mkString)
+    cases.foreach { s =>
+      val got = OpsKernels.charEntropy(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(math.abs(got - naive(s)) < 1e-12, s"entropy($s): $got")
+    }
+    // ln 2 for a perfectly 2-symbol-balanced string
+    assert(math.abs(OpsKernels.charEntropy(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abab")) -
+      math.log(2.0)) < 1e-15)
+  }
+
+  test("charEntropyStats: total output, null text, counts") {
+    val df = Seq((1L, "aa bb"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropyStats(df, col("text"))
+      .select("doc_id", "n_cp", "n_distinct_cp", "h_char")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3) // total: every doc keeps a row
+    // "aa bb" normalized: 5 cps, 3 distinct {a, b, ' '}
+    assert(out(1L).getLong(1) == 5 && out(1L).getLong(2) == 3)
+    val h = out(1L).getDouble(3)
+    val exp = -(0.4 * math.log(0.4)) * 2 - 0.2 * math.log(0.2)
+    assert(math.abs(h - exp) < 1e-12)
+    assert(out(2L).getLong(1) == 0 && out(2L).getDouble(3) == 0.0)
+    assert(out(3L).isNullAt(3)) // null text propagates null (nullIntolerant)
+  }
+
+  // ---- sourceDivergence ----------------------------------------------------
+
+  /** independent replication of the md5-bucket hash used by the operator */
+  private def bucketOfStr(w: String, buckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  test("sourceDivergence: single source scores exactly zero KL") {
+    val df = (0L until 30L).map(i => (i, s"word$i and some more", "solo"))
+      .toDF("doc_id", "text", "source")
+    val out = Mixing.sourceDivergence(df, "text", "source", buckets = 64)
+      .collect()
+    assert(out.length == 1)
+    // p_s ≡ q when the source IS the corpus: every term is p·ln(1) = 0
+    assert(out(0).getDouble(3) == 0.0)
+  }
+
+  test("sourceDivergence: hand-replicated counts and KL on a tiny corpus") {
+    val B = 16
+    val df = Seq(
+      (1L, "a a b", "A"), (2L, "a b", "A"), // A: words a,a,b,a,b
+      (3L, "c c c c", "B")                  // B: words c,c,c,c
+    ).toDF("doc_id", "text", "source")
+    val out = Mixing.sourceDivergence(df, "text", "source", buckets = B)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // independent replication: bucket counts from scratch
+    val words = Map("A" -> Seq("a", "a", "b", "a", "b"),
+                    "B" -> Seq("c", "c", "c", "c"))
+    val sb = words.map { case (s, ws) =>
+      s -> ws.groupBy(w => bucketOfStr(w, B)).view.mapValues(_.size.toLong).toMap
+    }
+    val gb = sb.values.flatten.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n = gb.values.sum.toDouble
+    words.foreach { case (s, ws) =>
+      val (nWords, nBuckets, kl) = out(s)
+      assert(nWords == ws.size)
+      assert(nBuckets == sb(s).size)
+      val ns = ws.size.toDouble
+      var exp = 0.0
+      gb.foreach { case (b, cb) =>
+        val p = (sb(s).getOrElse(b, 0L) + 1.0) / (ns + B)
+        val q = (cb + 1.0) / (n + B)
+        exp += p * math.log(p / q)
+      }
+      val p0 = 1.0 / (ns + B); val q0 = 1.0 / (n + B)
+      exp += (B - gb.size) * p0 * math.log(p0 / q0)
+      assert(math.abs(kl - exp) < 1e-12, s"source $s: kl=$kl expected=$exp")
+      assert(kl > 0.0, s"distinct distributions must diverge ($s)")
+    }
+  }
+
+  test("sourceDivergence: a drifted source diverges more than a matching one") {
+    // "match" draws from the same vocabulary as the corpus bulk; "drift"
+    // is a disjoint vocabulary — its KL must be clearly larger
+    val bulk = (0L until 40L).map(i => (i, s"tok${i % 10} tok${(i + 1) % 10}", "match"))
+    val drift = (100L until 110L).map(i => (i, s"zzz$i yyy$i", "drift"))
+    val out = Mixing.sourceDivergence((bulk ++ drift).toDF("doc_id", "text", "source"),
+        "text", "source", buckets = 128)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("drift") > out("match") * 2,
+      s"drifted source must stand out: $out")
+  }
+
+  // ---- foldPackBins --------------------------------------------------------
+
+  test("foldPackBins: exact serpentine assignment vs the naive sort") {
+    val nbins = 8
+    val n = 203 // not a multiple of nbins: last block is partial
+    val rows = (0L until n).map(i => (i, 1L + (i * 13) % 7)) // heavy ties
+    val df = rows.toDF("doc_id", "n_tok").repartition(9) // scrambled input
+    val out = Packing.foldPackBins(df, "doc_id", "n_tok", nbins, numParts = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == n) // total
+    val expRank = rows.sortBy { case (id, nt) => (-nt, id) }
+      .zipWithIndex.map { case ((id, _), r) => id -> r.toLong }.toMap
+    def expBin(r: Long): Long =
+      if ((r / nbins) % 2 == 0) r % nbins else nbins - 1 - r % nbins
+    val expTotals = rows.groupBy { case (id, _) => expBin(expRank(id)) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (id, nt) =>
+      val (gotNt, rnk, bin, binTok) = out(id)
+      assert(gotNt == nt)
+      assert(rnk == expRank(id), s"doc $id rank $rnk != ${expRank(id)}")
+      assert(bin == expBin(rnk), s"doc $id bin")
+      assert(binTok == expTotals(bin), s"doc $id bin_tokens")
+    }
+  }
+
+  test("foldPackBins: result independent of partition count; equal lengths balance exactly") {
+    val df = (0L until 96L).map(i => (i, 5L)).toDF("doc_id", "n_tok")
+    def run(p: Int) =
+      Packing.foldPackBins(df, "doc_id", "n_tok", nbins = 16, numParts = p)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(run(1) == run(8))
+    // 96 equal-length docs over 16 bins: every bin holds 6 docs = 30 tokens
+    val totals = Packing.foldPackBins(df, "doc_id", "n_tok", 16, numParts = 4)
+      .select("bin", "bin_tokens").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals.size == 16 && totals.values.forall(_ == 30L))
+  }
+
+  test("foldPackBins: no global single-partition window over the data") {
+    val df = (0L until 32L).map(i => (i, 3L)).toDF("doc_id", "n_tok")
+    val plan = Packing.foldPackBins(df, "doc_id", "n_tok", 4, numParts = 4)
+      .queryExecution.optimizedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    assert(unpartitioned.forall(_.contains("_pn")),
+      s"global window over data rows:\n$plan")
+  }
 }

@@ -37,7 +37,9 @@ object Bench {
       "dd_wordset_jaccard", "pipe_clean", "dd_neardup_dedup", "dd_minhash",
       "dd_incr_near", "dd_lines", "dd_components", "dd_simhash",
       "dd_embed_neardup", "dd_exact",
-      "sim_topk_lsh", "sim_topk_ivf", "sim_topk").zipWithIndex.toMap
+      "sim_topk_lsh", "sim_topk_ivf", "sim_topk",
+      "tok_contam", "tok_ngrams", "pipe_dsir", "pipe_shuffle",
+      "sim_kmeans").zipWithIndex.toMap
     val streamingLast = Set("hd_window", "hd_state_totals", "dd_stream_dedup")
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (if (streamingLast(n)) 2 else if (priority.contains(n)) 0 else 1,

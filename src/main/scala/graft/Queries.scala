@@ -763,6 +763,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Token-distribution diversity directly over the sequences table's
+    * `tokens: array<int32>` column (the BASELINE input_hint payload):
+    * per-sequence token-id entropy + total/distinct token counts via the
+    * one-pass [[graft.ops.TokenEntropy]] kernel. The oracle rebuilds the
+    * histogram by exploding every codepoint token in DuckDB. */
+  def tokEntropy(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.tokenEntropyStats(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens")
+      .select("doc_id", "n_tok_total", "n_distinct_tok", "h_tok")
+      .orderBy("doc_id")
+
   /** Character-diversity quality signal: per-doc Shannon entropy (nats)
     * of the normalized text's codepoint distribution + total/distinct
     * codepoint counts, via the one-pass [[graft.ops.CharEntropy]] kernel.

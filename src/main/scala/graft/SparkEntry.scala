@@ -79,6 +79,7 @@ object SparkEntry {
     "txt_classify" -> (Queries.txtClassify _),
     "pipe_dsir" -> (Queries.pipeDsir _),
     "txt_entropy" -> (Queries.txtEntropy _),
+    "tok_entropy" -> (Queries.tokEntropy _),
     "txt_srcdiv" -> (Queries.txtSrcdiv _),
     "pipe_pack_fold" -> (Queries.pipePackFold _))
 
@@ -919,6 +920,23 @@ object SparkEntry {
          |  coalesce(e.n_distinct_cp, 0)::BIGINT AS n_distinct_cp,
          |  coalesce(e.h_char, 0.0)::DOUBLE AS h_char
          |FROM nm LEFT JOIN e USING (doc_id) ORDER BY nm.doc_id""".stripMargin,
+
+    // token-axis entropy: explode every codepoint token of the line,
+    // histogram per sequence, same ln arithmetic as txt_entropy
+    "tok_entropy" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |tk AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, length(line) + 1),
+         |      i -> unicode(line[i::INT]))) AS t FROM s),
+         |f AS (SELECT doc_id, t, count(*)::DOUBLE AS k FROM tk GROUP BY 1, 2),
+         |e AS (SELECT doc_id, sum(k)::BIGINT AS n_tok_total,
+         |    count(*)::BIGINT AS n_distinct_tok,
+         |    ln(sum(k)) - sum(k * ln(k)) / sum(k) AS h_tok
+         |  FROM f GROUP BY doc_id)
+         |SELECT s.doc_id, coalesce(e.n_tok_total, 0)::BIGINT AS n_tok_total,
+         |  coalesce(e.n_distinct_tok, 0)::BIGINT AS n_distinct_tok,
+         |  coalesce(e.h_tok, 0.0)::DOUBLE AS h_tok
+         |FROM s LEFT JOIN e USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     // per-source hashed-unigram KL vs the corpus: same 32-bit-md5 bucket
     // hash, add-one smoothing over 512 buckets, observed buckets summed

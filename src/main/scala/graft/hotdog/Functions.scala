@@ -52,5 +52,7 @@ object Functions {
       graft.ops.WordNgramsMulti(a(0), intLit(a(1))))
     // char_entropy(text) — Shannon entropy (nats) of the codepoint histogram
     reg("char_entropy")(a => graft.ops.CharEntropy(a.head))
+    // token_entropy(tokens) — Shannon entropy (nats) of the token-id histogram
+    reg("token_entropy")(a => graft.ops.TokenEntropy(a.head))
   }
 }

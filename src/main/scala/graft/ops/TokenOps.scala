@@ -180,4 +180,19 @@ object TokenOps {
       evalSet.select(
         opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
       idCol, "_sh")
+
+  /** Token-distribution diversity per sequence: Shannon entropy (nats)
+    * of the token-id histogram + total/distinct token counts — the
+    * token-axis sibling of [[TextAnalysis.charEntropyStats]] (low
+    * entropy ⇒ degenerate repeated-token sequences, the padding/spam
+    * signal available on a pre-tokenized corpus without detokenizing).
+    * Narrow zero-shuffle projection; the entropy is one codegen'd kernel
+    * call per row ([[OpsKernels.intArrayEntropy]]). Output adds:
+    * n_tok_total, n_distinct_tok, h_tok. */
+  def tokenEntropyStats(df: DataFrame, idCol: String,
+      tokensCol: String): DataFrame =
+    df.withColumn("n_tok_total", size(col(tokensCol)).cast("long"))
+      .withColumn("n_distinct_tok",
+        size(array_distinct(col(tokensCol))).cast("long"))
+      .withColumn("h_tok", opscol.tokenEntropy(col(tokensCol)))
 }

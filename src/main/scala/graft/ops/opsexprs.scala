@@ -516,6 +516,39 @@ object OpsKernels {
     math.log(n.toDouble) - sumKlnK / n
   }
 
+  /** [[charEntropy]] over an int token array — the token-axis variant
+    * (entropy of the sequence's token-id distribution; low ⇒ degenerate
+    * repeated-token sequences, the padding/spam signal on pre-tokenized
+    * corpora). Same sort + run-length scheme, null elements counted as
+    * one extra symbol (array_distinct's null semantics). Empty ⇒ 0.0. */
+  def intArrayEntropy(a: ArrayData): Double = {
+    val n0 = a.numElements()
+    if (n0 == 0) return 0.0
+    val vals = new Array[Int](n0)
+    var nNull = 0
+    var j = 0
+    var i = 0
+    while (i < n0) {
+      if (a.isNullAt(i)) nNull += 1
+      else { vals(j) = a.getInt(i); j += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(vals, 0, j)
+    var sumKlnK = 0.0
+    var runStart = 0
+    i = 1
+    while (i <= j) {
+      if (i == j || vals(i) != vals(runStart)) {
+        val k = (i - runStart).toDouble
+        sumKlnK += k * math.log(k)
+        runStart = i
+      }
+      i += 1
+    }
+    if (nNull > 0) sumKlnK += nNull.toDouble * math.log(nNull.toDouble)
+    math.log(n0.toDouble) - sumKlnK / n0
+  }
+
   /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once
     * per JVM, shared by every partition. Weight(p,i) = bit 13 of the murmur3
     * fmix32 finalizer applied to (p·65537 + i + 1) — pure 32-bit integer
@@ -719,6 +752,20 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy"
 }
 
+/** `TokenEntropy(tokens array<int>) -> double`: Shannon entropy (nats) of
+  * the sequence's token-id distribution — [[CharEntropy]]'s token-axis
+  * sibling, one codegen'd kernel call per row. */
+case class TokenEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.intArrayEntropy(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.intArrayEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): TokenEntropy = copy(child = c)
+  override def prettyName: String = "token_entropy"
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -818,4 +865,6 @@ object opscol {
     graftshim.column(WordNgramsMulti(graftshim.expression(c), n))
   def charEntropy(c: Column): Column =
     graftshim.column(CharEntropy(graftshim.expression(c)))
+  def tokenEntropy(c: Column): Column =
+    graftshim.column(TokenEntropy(graftshim.expression(c)))
 }

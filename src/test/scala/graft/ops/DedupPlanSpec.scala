@@ -116,8 +116,31 @@ class DedupPlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(phys.contains("BroadcastNestedLoopJoin"), phys)
     assert(!phys.contains("CartesianProduct"), phys)
-    // and the window that picks the nearest cell is per-vector, not global
+    // the nearest cell is an argmax AGGREGATE with a map-side partial
+    // (the partial collapses the nlist-exploded corpus back to one row
+    // per vector BEFORE its shuffle) — never a window over exploded rows
+    assert(!phys.contains("Window"), phys)
+    assert(phys.contains("partial_max") || phys.contains("partial max"),
+      s"expected a map-side partial argmax:\n$phys")
+  }
+
+  test("ivfTopK: corpus never shuffles with vectors after assignment; query side broadcast") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Queries.table(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") % 20 === 0)
+    val phys = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // corpus cell assignment: argmax aggregate, no window over N·nlist rows
+    assert(phys.contains("partial_max") || phys.contains("partial max"),
+      s"expected a map-side partial argmax:\n$phys")
+    // candidate join: the query side ships, the corpus streams
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$phys")
+    // exactly one Window remains on the corpus path (the final per-query
+    // top-k over narrow rows) plus the per-query probe window — both
+    // partitioned by query_id, never global
     val windows = phys.linesIterator.filter(_.contains("Window ")).toList
-    assert(windows.nonEmpty && windows.forall(_.contains("id")), phys)
+    assert(windows.nonEmpty && windows.forall(_.contains("query_id")), phys)
   }
 }

@@ -113,9 +113,15 @@ object AnnScalingBench {
     s.stop()
   }
 
+  // planes overridable for larger-N runs: LSH's scale contract is
+  // "buckets grow with N so per-bucket occupancy stays bounded"
+  // (Similarity scaladoc) — at 4×N use +2 bits/chunk (96 → 112 planes
+  // at 8 bands) to hold candidate work ~linear instead of ~quadratic
+  private val LshPlanes =
+    sys.env.getOrElse("SPARK_GRAFT_ANN_PLANES", "96").toInt
   private def lsh(corpus: DataFrame, queries: DataFrame): DataFrame =
     Similarity.lshTopK(corpus, queries, "vec_id", "embedding", K,
-      planes = 96, bands = 8)
+      planes = LshPlanes, bands = 8)
 
   private def ivf(corpus: DataFrame, queries: DataFrame): DataFrame =
     Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", K,
@@ -175,8 +181,12 @@ object AnnScalingBench {
       AlgoResult(walls.min, sorted(sorted.length / 2), walls.toSeq,
         warmups.toSeq, recall, checksum, returned)
     }
-    val lshR = algo(lsh)
-    val ivfR = algo(ivf)
+    // SPARK_GRAFT_ANN_ALGOS=lsh → skip IVF (zeroed slot) for cheap
+    // larger-N LSH-only level runs; default runs both
+    val algos = sys.env.getOrElse("SPARK_GRAFT_ANN_ALGOS", "lsh,ivf")
+    val zero = AlgoResult(0.0, 0.0, Seq(0.0), Seq(0.0), 0.0, 0L, 0L)
+    val lshR = if (algos.contains("lsh")) algo(lsh) else zero
+    val ivfR = if (algos.contains("ivf")) algo(ivf) else zero
     s.stop()
     RunResult(cores, n, lshR, ivfR)
   }

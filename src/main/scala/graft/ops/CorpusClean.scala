@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-cleaning composition every production
@@ -34,11 +33,12 @@ import org.apache.spark.sql.functions._
   *  - verdict assembly: id-keyed joins carrying only (id, flag) columns;
   *    the text never shuffles after the exact stage.
   *
-  * At production scale the `deduped` frame (quality+lang survivors with
-  * their exact-dedup row number) is worth persisting — it feeds both the
-  * near-dup input and the verdict join; Catalyst will otherwise recompute
-  * the filter+window for each consumer. Left un-persisted here so the
-  * operator stays a pure plan (the driver's Verify/Bench contract).
+  * At production scale the `flagged` frame (quality+lang survivors with
+  * their exact-dedup representative flag) is worth persisting — it feeds
+  * both the near-dup input and the verdict join; Catalyst will otherwise
+  * recompute the filter+aggregate+join for each consumer. Left
+  * un-persisted here so the operator stays a pure plan (the driver's
+  * Verify/Bench contract).
   */
 object CorpusClean {
 
@@ -52,25 +52,33 @@ object CorpusClean {
     val staged = df.select(col(idCol).as("id"), t.as("text"),
       (TextAnalysis.tokenCountWs(t) >= minWords).as("q_ok"),
       (TextAnalysis.langId(t) === lang).as("l_ok"))
-    // exact dedup among filter survivors: rank within identical
-    // normalized text, min id first (same shuffle as Dedup.dropExactDupes)
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col("text")))
-      .orderBy(col("id"))
-    val deduped = staged.filter(col("q_ok") && col("l_ok"))
-      .withColumn("_rn", row_number().over(w))
+    // exact dedup among filter survivors — the flood-proof dd_lines idiom
+    // (same as Dedup.dropExactDupes): keeper ids via a map-side-combinable
+    // min(id) aggregate on the fingerprint, rep flag re-joined on the
+    // UNIFORM id key; a row_number window here sorted every copy of a
+    // flooded boilerplate text inside one partition
+    val survivors = staged.filter(col("q_ok") && col("l_ok"))
+    val keepers = survivors
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("_fp"))
+      .agg(min(col("id")).as("_keep_id"))
+      .select(col("_keep_id"), lit(true).as("_is_rep"))
+    val flagged = survivors
+      .join(keepers, survivors("id") === keepers("_keep_id"), "left")
+      .select(col("id"), col("text"),
+        coalesce(col("_is_rep"), lit(false)).as("_is_rep"))
     // near-dup pairs among exact representatives; components → keep flag
-    val reps = deduped.filter(col("_rn") === 1).select("id", "text")
+    val reps = flagged.filter(col("_is_rep")).select("id", "text")
     val pairs = Dedup.minhashNearDups(reps, "id", "text", minJaccardPct,
       numHashes, bands, shingleN)
     val verdict = Components.dedupVerdict(pairs, "id_a", "id_b")
       .select(col("id"), col("keep").as("_nd_keep"))
     staged.select("id", "q_ok", "l_ok")
-      .join(deduped.select("id", "_rn"), Seq("id"), "left")
+      .join(flagged.select("id", "_is_rep"), Seq("id"), "left")
       .join(verdict, Seq("id"), "left")
       .select(col("id"),
         when(!col("q_ok"), lit("drop_quality"))
           .when(!col("l_ok"), lit("drop_lang"))
-          .when(col("_rn") > 1, lit("drop_exact"))
+          .when(!col("_is_rep"), lit("drop_exact"))
           .when(col("_nd_keep") === false, lit("drop_neardup"))
           .otherwise(lit("kept")).as("status"))
   }

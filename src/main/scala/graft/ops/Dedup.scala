@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, graftshim}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.types._
@@ -33,12 +32,23 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** drop duplicates, keeping one row per normalized text (scale path:
-    * shuffle on the 128-bit hash, not the full text). */
+  /** drop duplicates, keeping the min-id row per normalized text.
+    *
+    * Flood-proof shape (the dd_lines idiom): the keeper set is a
+    * `min(id)` AGGREGATE over the 128-bit fingerprint — map-side combine
+    * collapses a billion-copy boilerplate flood to one row per input
+    * partition BEFORE the shuffle — and the keep decision is a semi-join
+    * on the uniformly distributed id key, never on the (skewed) text
+    * fingerprint. The previous `row_number().over(partitionBy(fp))`
+    * window sorted all m copies of a flooded text in ONE partition.
+    * Contract: `idCol` is unique per row (a duplicated id could keep
+    * extra rows through the semi-join). */
   def dropExactDupes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val keep = df
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .agg(min(col(idCol)).as("_keep_id"))
+      .select(col("_keep_id"))
+    df.join(keep, col(idCol) === col("_keep_id"), "left_semi")
   }
 
   /** exact jaccard over shingle sets between two docs (verification). */

@@ -809,4 +809,41 @@ object Queries {
       .select("doc_id", "n_tok", "rnk", "bin", "bin_tokens")
       .orderBy("doc_id")
   }
+
+  /** Chunk→doc manifest over the token sequences (resume-at-token
+    * lineage): one row per (chunk, doc) fragment with the chunk-side and
+    * doc-side offsets and the fragment length. The oracle rebuilds the
+    * same fragments from the naive global running-sum window, so the
+    * distributed scan AND the boundary-split arithmetic (including docs
+    * crossing a chunk boundary) are load-bearing. */
+  def pipePackManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packChunkManifest(
+      eventSequences(spark, dir)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok")),
+      "doc_id", "n_tok", budget = 2048L)
+      .orderBy("chunk_id", "doc_id")
+
+  /** Materialized packed training chunks over the token sequences —
+    * (chunk_id, n_tok, tokens array<int>): the rows a trainer reads. The
+    * DuckDB oracle rebuilds every chunk by exploding ALL corpus tokens to
+    * their global stream index and re-grouping by index div budget, so
+    * the emitted token ARRAYS themselves are hash-compared — boundary-
+    * crossing docs, fragment order within a chunk, and the short final
+    * chunk are all load-bearing. */
+  def pipePackEmit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packedSequences(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", budget = 2048L)
+      .orderBy("chunk_id")
+
+  /** The ExactSubstr scrub OUTPUT itself (tok_scrub covers the coverage
+    * stats): per sequence, the token array with every position covered by
+    * a duplicated 16-gram window removed. The oracle replays the mask
+    * with list filtering in DuckDB, so `tokens_clean` is hash-compared
+    * element by element. */
+  def tokScrubClean(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.scrubTokens(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", n = 16)
+      .orderBy("doc_id")
 }

@@ -81,7 +81,10 @@ object SparkEntry {
     "txt_entropy" -> (Queries.txtEntropy _),
     "tok_entropy" -> (Queries.tokEntropy _),
     "txt_srcdiv" -> (Queries.txtSrcdiv _),
-    "pipe_pack_fold" -> (Queries.pipePackFold _))
+    "pipe_pack_fold" -> (Queries.pipePackFold _),
+    "pipe_pack_manifest" -> (Queries.pipePackManifest _),
+    "pipe_pack_emit" -> (Queries.pipePackEmit _),
+    "tok_scrub_clean" -> (Queries.tokScrubClean _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -982,7 +985,63 @@ object SparkEntry {
          |          ELSE 31 - (rnk % 32) END)::BIGINT AS bin FROM r),
          |s AS (SELECT bin, sum(n_tok)::BIGINT AS bin_tokens FROM b GROUP BY bin)
          |SELECT b.doc_id, b.n_tok, b.rnk, b.bin, s.bin_tokens
-         |FROM b JOIN s USING (bin) ORDER BY b.doc_id""".stripMargin)
+         |FROM b JOIN s USING (bin) ORDER BY b.doc_id""".stripMargin,
+
+    // chunk→doc fragment manifest rebuilt from the naive global window:
+    // running-sum offsets, the doc's chunk range, and the boundary-split
+    // slice arithmetic all replayed in SQL (zero-token docs excluded on
+    // both sides)
+    "pipe_pack_manifest" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |c AS (SELECT doc_id, length(line)::BIGINT AS n_tok,
+         |    coalesce(sum(length(line)::BIGINT) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+         |  FROM s),
+         |f AS (SELECT doc_id, n_tok, start_off,
+         |    unnest(range(start_off // 2048, (start_off + n_tok - 1) // 2048 + 1)) AS chunk_id
+         |  FROM c WHERE n_tok > 0)
+         |SELECT chunk_id::BIGINT AS chunk_id, doc_id,
+         |  (start_off + greatest(0, chunk_id*2048 - start_off) - chunk_id*2048)::BIGINT AS chunk_off,
+         |  greatest(0, chunk_id*2048 - start_off)::BIGINT AS doc_off,
+         |  (least(n_tok, (chunk_id+1)*2048 - start_off)
+         |   - greatest(0, chunk_id*2048 - start_off))::BIGINT AS tok_len
+         |FROM f ORDER BY chunk_id, doc_id""".stripMargin,
+
+    // materialized packed chunks rebuilt the brute-force way: EVERY corpus
+    // token exploded to its global stream index (running-sum offset +
+    // within-doc position), regrouped by index div budget, array order =
+    // the global index — so the emitted token arrays are compared
+    // element-by-element, boundary-crossing docs included
+    "pipe_pack_emit" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |c AS (SELECT doc_id, line,
+         |    coalesce(sum(length(line)::BIGINT) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+         |  FROM s),
+         |u AS (SELECT start_off, unnest(list_transform(range(0, length(line)),
+         |    i -> {'i': i, 't': unicode(line[(i+1)::INT])})) AS tk FROM c),
+         |g AS (SELECT (start_off + tk.i)::BIGINT AS gidx, tk.t AS tok FROM u)
+         |SELECT (gidx // 2048)::BIGINT AS chunk_id, count(*)::BIGINT AS n_tok,
+         |  list(tok ORDER BY gidx) AS tokens
+         |FROM g GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+
+    // the scrub OUTPUT: same duplicated-start derivation as tok_scrub,
+    // then the mask replayed with list filtering — tokens_clean itself is
+    // hash-compared (sequences with no duplicated window pass through)
+    "tok_scrub_clean" ->
+      s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
+         |pg AS (SELECT doc_id, unnest(${tokGramPosListE(16)}) AS u FROM s),
+         |g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM pg),
+         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |st AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+         |sa AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM st GROUP BY doc_id)
+         |SELECT s.doc_id,
+         |  list_transform(
+         |    list_filter(range(0, length(line)),
+         |      i -> sa.starts IS NULL
+         |           OR len(list_filter(sa.starts, x -> i >= x AND i < x + 16)) = 0),
+         |    i -> unicode(line[(i+1)::INT])) AS tokens_clean
+         |FROM s LEFT JOIN sa USING (doc_id) ORDER BY doc_id""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

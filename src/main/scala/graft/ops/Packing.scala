@@ -74,6 +74,73 @@ object Packing {
       .drop("_pid", "_off")
   }
 
+  /** Chunk→doc composition manifest — the resume-at-token-granularity
+    * lineage a trainer needs next to the packed chunks: one row per
+    * (chunk, doc) fragment, saying which slice of which document lands
+    * where in which training chunk.
+    *
+    * Output: (chunk_id, idCol, chunk_off, doc_off, tok_len) —
+    * chunk `chunk_id`'s tokens [chunk_off, chunk_off+tok_len) are document
+    * `idCol`'s tokens [doc_off, doc_off+tok_len). Σ tok_len over a chunk =
+    * `budget` (except the final chunk); fragments within a chunk are
+    * contiguous and non-overlapping by construction.
+    *
+    * 100 TB shape: [[packChunks]]'s two-level scan plus one narrow
+    * per-row explode of each doc's [bin_first, bin_last] range — total
+    * output rows = chunks + docs - 1 ≤ 2·docs for budget ≥ max doc
+    * length, and the fragment arithmetic is integer-exact per row with
+    * no further shuffle. Zero-token docs occupy no chunk and emit no
+    * manifest row (they'd also flip `sequence` into descending order —
+    * filtered before the explode). */
+  def packChunkManifest(df: DataFrame, idCol: String, nTokCol: String,
+      budget: Long, numParts: Int = 0): DataFrame =
+    packChunks(df, idCol, nTokCol, budget, numParts)
+      .filter(col(nTokCol) > 0)
+      .select(col(idCol), col(nTokCol), col("start_off"),
+        explode(sequence(col("bin_first"), col("bin_last"))).as("chunk_id"))
+      .withColumn("doc_off",
+        greatest(lit(0L), col("chunk_id") * budget - col("start_off")))
+      .withColumn("tok_len",
+        least(col(nTokCol), (col("chunk_id") + 1L) * budget - col("start_off"))
+          - col("doc_off"))
+      .withColumn("chunk_off",
+        col("start_off") + col("doc_off") - col("chunk_id") * budget)
+      .select(col("chunk_id"), col(idCol), col("chunk_off"), col("doc_off"),
+        col("tok_len"))
+
+  /** Materialized packed training chunks — the rows a trainer actually
+    * reads: cut the concatenated corpus token stream (order = idCol) every
+    * `budget` tokens and emit `(chunk_id, n_tok, tokens)`, with documents
+    * crossing a chunk boundary split by the [[packChunkManifest]]
+    * arithmetic. Every chunk holds exactly `budget` tokens except the
+    * last (= total mod budget, when nonzero).
+    *
+    * 100 TB shape: the offsets ride the narrow manifest; token arrays
+    * join the manifest once on the UNIFORM doc id key (fan-out = chunks
+    * the doc spans, ≤ 2 for budget ≥ max doc length), are sliced to
+    * fragments map-side, and assemble with ONE shuffle keyed by chunk_id.
+    * Per-group state is bounded by the budget itself (≤ budget fragments
+    * totalling ≤ budget tokens — ~4·budget bytes), so the sort-based
+    * aggregation fallback on the ~all-unique chunk keys spills safely. */
+  def packedSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, numParts: Int = 0): DataFrame = {
+    val counted = df.select(col(idCol), col(tokensCol),
+      size(col(tokensCol)).cast("long").as("_n_tok"))
+    val manifest = packChunkManifest(
+      counted.select(col(idCol), col("_n_tok")), idCol, "_n_tok", budget,
+      numParts)
+    counted.join(manifest, idCol)
+      .select(col("chunk_id"), col("chunk_off"),
+        slice(col(tokensCol), col("doc_off").cast("int") + 1,
+          col("tok_len").cast("int")).as("_frag"))
+      .groupBy("chunk_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("chunk_off"), col("_frag")))),
+        s => s.getField("_frag"))).as("tokens"))
+      .select(col("chunk_id"), size(col("tokens")).cast("long").as("n_tok"),
+        col("tokens"))
+  }
+
   /** Serpentine length-balanced packing ("folded" length-aware batching):
     * rank every document under the total order (n_tok DESC, id ASC) and
     * deal ranks to `nbins` bins boustrophedon — block b = rnk DIV nbins;

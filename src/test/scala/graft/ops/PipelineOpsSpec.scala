@@ -64,6 +64,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packChunkManifest: fragments tile every chunk; totals = budget except last") {
+    val rows = (0L until 200L).map(i => (i, 1L + (i * 37) % 113))
+    val df = rows.toDF("doc_id", "n_tok").repartition(7)
+    val man = Packing.packChunkManifest(df, "doc_id", "n_tok", budget = 100L,
+        numParts = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))) // chunk_id, doc_id, chunk_off, doc_off, tok_len
+    val total = rows.map(_._2).sum
+    val lastChunk = (total - 1) / 100
+    val byChunk = man.groupBy(_._1)
+    assert(byChunk.keySet == (0L to lastChunk).toSet)
+    for ((c, frs) <- byChunk) {
+      val expect = if (c == lastChunk && total % 100 != 0) total % 100 else 100L
+      assert(frs.map(_._5).sum == expect, s"chunk $c tok_len sum")
+      // fragments are contiguous and non-overlapping from chunk_off 0
+      var pos = 0L
+      frs.sortBy(_._3).foreach { f =>
+        assert(f._3 == pos, s"chunk $c gap at ${f._3} (expected $pos)")
+        pos += f._5
+      }
+    }
+    // doc-side slices tile each document exactly once too
+    for ((d, frs) <- man.groupBy(_._2)) {
+      val nt = rows(d.toInt)._2
+      var pos = 0L
+      frs.sortBy(_._4).foreach { f =>
+        assert(f._4 == pos, s"doc $d gap"); pos += f._5
+      }
+      assert(pos == nt, s"doc $d covered $pos of $nt tokens")
+    }
+  }
+
+  test("packedSequences: chunk arrays equal the naive global concat") {
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 150L).map(i =>
+      (i, Array.fill(1 + rng.nextInt(40))(rng.nextInt(1000)))) :+
+      (150L, Array.empty[Int]) // zero-token doc: occupies no chunk
+    val df = rows.toDF("doc_id", "tokens").repartition(7)
+    val out = Packing.packedSequences(df, "doc_id", "tokens", budget = 64L,
+        numParts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._1)
+    val stream = rows.sortBy(_._1).flatMap(_._2)
+    val expected = stream.grouped(64).toSeq
+    assert(out.length == expected.length)
+    out.zip(expected).zipWithIndex.foreach {
+      case (((cid, nt, toks), etoks), i) =>
+        assert(cid == i.toLong)
+        assert(nt == etoks.length.toLong)
+        assert(toks == etoks, s"chunk $i tokens differ")
+    }
+  }
+
   // ---- Mixing ------------------------------------------------------------
 
   test("hashPct is deterministic and in [0, 100)") {

@@ -374,6 +374,24 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup with its REAL quantizer (the paper's configuration): k=16
+    * spherical-k-means centroids trained for 2 Lloyd rounds on the same
+    * augmented corpus feed semanticDedup's `centroids` parameter. The
+    * oracle replays BOTH training rounds AND the trained-centroid cell
+    * assignment AND the within-cell drop verdict end-to-end in SQL, so
+    * the quantizer training and the dedup are jointly load-bearing. */
+  def ddSemanticKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val all = emb.unionAll(copies)
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      all, "vec_id", "embedding", k = 16, iters = 2)
+    graft.ops.Similarity.semanticDedup(all, "vec_id", "embedding",
+        minSimE6 = 400000L, centroids = Some(cents))
+      .orderBy("vec_id")
+  }
+
   /** Materialize the event-time-carrying sequences stream input (pure
     * function of the sf tables — once per JVM, so repeat bench trials time
     * the streaming job itself). 8 files so a maxFilesPerTrigger=4 reader

@@ -49,6 +49,7 @@ object SparkEntry {
     "dd_components" -> (Queries.ddComponents _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "dd_semantic" -> (Queries.ddSemantic _),
+    "dd_semantic_kmeans" -> (Queries.ddSemanticKmeans _),
     "sim_topk" -> (Queries.simTopk _),
     "sim_topk_lsh" -> (Queries.simTopkLsh _),
     "sim_topk_ivf" -> (Queries.simTopkIvf _),
@@ -411,6 +412,31 @@ object SparkEntry {
         |SELECT v.vec_id, (d.vec_id IS NULL) AS keep
         |FROM v LEFT JOIN drops d ON d.vec_id = v.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+
+    // SemDeDup under the TRAINED quantizer: both Lloyd rounds replayed on
+    // the augmented corpus (first-16 init, the sim_kmeans recipe), the
+    // final trained-centroid assignment, then the same within-cell
+    // lower-id drop rule — training + assignment + verdict end-to-end
+    "dd_semantic_kmeans" ->
+      s"""WITH allv AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 100),
+         |v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM allv),
+         |c0 AS (SELECT id AS cid, v AS cv FROM v WHERE id < 16),
+         |${kmeansRoundE("s1", "a1", "v", "c0")},
+         |${kmeansMeansE("a1", "m1", "c1")},
+         |${kmeansRoundE("s2", "a2", "v", "c1")},
+         |${kmeansMeansE("a2", "m2", "c2")},
+         |${kmeansRoundE("s3", "a3", "v", "c2")},
+         |drops AS (SELECT DISTINCT greatest(a.id, b.id) AS id
+         |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.id < b.id
+         |  JOIN v va ON va.id = a.id JOIN v vb ON vb.id = b.id
+         |  WHERE floor(list_dot_product(va.v, vb.v) /
+         |      (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))
+         |      * 1000000.0) >= 400000)
+         |SELECT v.id AS vec_id, (d.id IS NULL) AS keep
+         |FROM v LEFT JOIN drops d ON d.id = v.id
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

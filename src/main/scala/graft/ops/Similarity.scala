@@ -104,16 +104,33 @@ object Similarity {
     * rows of the final per-query top-k. For a corpus-sized query set,
     * swap the candidate broadcast for a cent_id-keyed shuffle join. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    requireNumericId(corpus, idCol, "ivfTopK id column")
+    // quantizer: a TRAINED centroid table ((cid, cv array<double>) — e.g.
+    // [[kmeansCentroids]], SemDeDup/IVF's real configuration) when given;
+    // the deterministic first-nlist stand-in otherwise. Trained centroids
+    // are double-typed, so their similarity runs on double-cast vectors.
+    val cents = centroids match {
+      case Some(c) =>
+        val cc = c.select(col(c.columns(0)).as("cent_id"),
+          col(c.columns(1)).cast("array<double>").as("cent_v"))
+        requireNumericId(cc, "cent_id", "ivfTopK centroid id")
+        cc
+      case None => corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    }
+    def centSim(v: Column): Column = centroids match {
+      case Some(_) => opscol.cosineSimD(v.cast("array<double>"), col("cent_v"))
+      case None    => opscol.cosineSimF(v, col("cent_v"))
+    }
     // top-1 cell per corpus vector, argmax-as-aggregate (ties → lowest
     // cent_id, matching the window orderBy it replaces); the vector rides
     // the group (all rows identical per id — first() is deterministic)
     val corpusCells = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(cents))
-      .withColumn("cent_sim", opscol.cosineSimF(col("cv"), col("cent_v")))
+      .withColumn("cent_sim", centSim(col("cv")))
       .groupBy("neighbor_id")
       .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nc"))).as("m"),
         first(col("cv")).as("cv"))
@@ -124,7 +141,7 @@ object Similarity {
     val queryCells = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn("cent_sim", opscol.cosineSimF(col("qv"), col("cent_v")))
+      .withColumn("cent_sim", centSim(col("qv")))
       .withColumn("_rn", row_number().over(w0))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("cent_id"), col("qv"))
@@ -167,6 +184,7 @@ object Similarity {
     * broadcast cross (exposed for the plan-shape spec: the centroid table
     * must SHIP, never shuffle). */
   private[ops] def assignCells(vecs: DataFrame, nlist: Int): DataFrame = {
+    requireNumericId(vecs, "id", "assignCells id")
     val cents = vecs.orderBy(col("id")).limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
     // argmax as a map-side-combinable AGGREGATE (ties → lowest cent_id):
@@ -180,10 +198,40 @@ object Similarity {
       .select(col("id"), (-col("m.nc")).as("cent_id"))
   }
 
+  /** [[assignCells]] against an EXTERNAL trained centroid table (first
+    * column = numeric cell id, second = array<double> centroid — e.g.
+    * [[kmeansCentroids]] output). Same broadcast-cross + argmax-aggregate
+    * plan; similarities run in double to match the trained centroids'
+    * arithmetic. */
+  private[ops] def assignCellsWith(vecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(
+      col(centroids.columns(0)).as("cent_id"),
+      col(centroids.columns(1)).cast("array<double>").as("cent_v"))
+    requireNumericId(cents, "cent_id", "assignCellsWith centroid id")
+    vecs.select(col("id"), col("v").cast("array<double>").as("vd"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", opscol.cosineSimD(col("vd"), col("cent_v")))
+      .groupBy("id")
+      .agg(max(struct(col("cent_sim"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("id"), (-col("m.nc")).as("cent_id"))
+  }
+
+  /** @param centroids trained quantizer (cid, cv) — SemDeDup's real
+    *   configuration feeds [[kmeansCentroids]] here; None = the
+    *   deterministic first-`nlist` stand-in. CONTRACT: within-cell pair
+    *   work is O(cell²) — the quantizer's cell count (nlist / the trained
+    *   k) must scale with the corpus so cells stay bounded (the paper
+    *   runs k=50k on 600M docs, ~12k per cell). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      minSimE6: Long, nlist: Int = 16): DataFrame = {
+      minSimE6: Long, nlist: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nlist > 0, s"nlist must be positive, got $nlist")
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val cells = assignCells(vecs, nlist)
+    val cells = centroids match {
+      case Some(c) => assignCellsWith(vecs, c)
+      case None    => assignCells(vecs, nlist)
+    }
     val dropped = Dedup.withinBucketPairs(cells, Seq("cent_id"), Seq("id"))
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
@@ -257,25 +305,33 @@ object Similarity {
     * Ties (equidistant centroids) break to the smaller cid — the same
     * deterministic rule as [[assignCells]], engine-replicable.
     */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+  // all fields of a group row are identical per id ⇒ first() is
+  // deterministic here; it just dodges an O(d) array comparison
+  private def assignKm(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("sim", opscol.cosineSimD(col("v"), col("cv")))
+      .groupBy("id")
+      .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("id"), (-col("m.nc")).as("cid"), col("v"),
+        col("m.sim").as("sim"))
+
+  /** The TRAINED centroid table itself — (cid, cv array<double>) after
+    * `iters` Lloyd rounds from the deterministic first-k init: the
+    * quantizer artifact [[semanticDedup]] / [[ivfTopK]] accept via their
+    * `centroids` parameter (SemDeDup's real configuration — Abbas et al.
+    * 2023 §3 train k-means and dedup within its cells). Same per-round
+    * shape as documented on [[kmeansAssign]]. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    requireNumericId(df, idCol, "kmeansCentroids id")
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    // all fields of a group row are identical per id ⇒ first() is
-    // deterministic here; it just dodges an O(d) array comparison
-    def assign(cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("sim", opscol.cosineSimD(col("v"), col("cv")))
-        .groupBy("id")
-        .agg(max(struct(col("sim"), (-col("cid")).as("nc"))).as("m"),
-          first(col("v")).as("v"))
-        .select(col("id"), (-col("m.nc")).as("cid"), col("v"),
-          col("m.sim").as("sim"))
     var cents = vecs.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
     for (_ <- 1 to iters) {
-      cents = assign(cents)
+      cents = assignKm(vecs, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
         .groupBy("cid")
@@ -284,8 +340,25 @@ object Similarity {
           transform(col("pv"), p => p.getField("m")).as("cv"))
         .localCheckpoint()
     }
-    assign(cents)
+    cents
+  }
+
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    assignKm(vecs, kmeansCentroids(df, idCol, vecCol, k, iters))
       .select(col("id").as(idCol), col("cid"),
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
+
+  /** The deterministic lowest-id argmax tie-break used throughout this
+    * file negates the id (`max(struct(sim, -id))`) — sound ONLY for
+    * numeric ids (negating a string yields null and the tie-break
+    * silently disappears); enforced here rather than documented away. */
+  private def requireNumericId(df: DataFrame, c: String, what: String): Unit =
+    require(df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$what column '$c' must be numeric (got ${df.schema(c).dataType}): " +
+        "the deterministic lowest-id argmax tie-break negates it")
 }

@@ -79,6 +79,45 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs(0).getLong(2) >= 60L)
   }
 
+  test("ivfTopK with trained kmeans centroids + full probe = brute force") {
+    // probing every trained cell makes IVF exhaustive, so it must equal
+    // the exact baseline bit-for-bit (same tie-break, same 1e-6 floor) —
+    // pins the external-quantizer wiring end to end
+    val rng = new scala.util.Random(3)
+    val emb = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 5)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    assert(cents.count() == 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "sim_e6").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val ivf = rows(Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k = 5,
+      nprobe = 4, centroids = Some(cents)))
+    val bf = rows(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+    assert(ivf == bf)
+  }
+
+  test("argmax tie-break: string ids are rejected (numeric-id contract)") {
+    // the lowest-id tie-break negates the id — for a string id the
+    // negation is null and determinism silently vanishes; the contract is
+    // enforced, not documented away (ADVICE r4)
+    val df = Seq(("a", Array(1.0f, 0f)), ("b", Array(0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(df, "vec_id", "embedding", 1, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(df, "vec_id", "embedding", 900000L, nlist = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(df, df, "vec_id", "embedding", 1)
+    }
+  }
+
   test("lshTopK multiProbe: Hamming-1 query probes recover planted near-neighbors") {
     // recall is only recoverable by 1-bit probes for NEAR vectors (small
     // angle ⇒ few differing sign bits) — so plant perturbed copies of each

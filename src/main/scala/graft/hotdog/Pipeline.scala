@@ -172,7 +172,15 @@ object Pipeline {
           case Some(slots) => writeAuditRows(spark,
             slots.asInstanceOf[scala.collection.Map[String, scala.collection.Seq[Long]]],
             auditDir, batchId)
-          case None => writeAudit(routed, auditDir, batchId)
+          case None =>
+            // the exact-recompute fallback re-runs the FULL cascade — the
+            // double evaluation observe mode exists to eliminate. Never
+            // silent (ADVICE r4): in a streaming bench this would
+            // invisibly double every batch's cost.
+            System.err.println(s"[graft-hotdog] WARN batch $batchId: " +
+              "observed lineage metrics not delivered within 10s; " +
+              "falling back to a full audit recompute (cascade runs twice)")
+            writeAudit(routed, auditDir, batchId)
         }
         micros
       case "cache" =>
@@ -341,8 +349,23 @@ private[hotdog] object LineageAgg
   }
   override def merge(a: scala.collection.mutable.HashMap[String, Array[Long]],
       b: scala.collection.mutable.HashMap[String, Array[Long]]): scala.collection.mutable.HashMap[String, Array[Long]] = {
-    // disjoint keys across tasks; equal values for a re-executed pid
-    b.foreach { case (k, v) => if (!a.contains(k)) a.update(k, v) }
+    // keys are disjoint across tasks (pid-prefixed); a duplicate key can
+    // only be a re-executed task's slot, byte-identical because partition
+    // input is deterministic. ASSERT that instead of assuming it: if any
+    // upstream op ever turns non-deterministic (sample, round-robin
+    // repartition), the audit must fail loudly, not silently diverge from
+    // the sink (ADVICE r4).
+    b.foreach { case (k, v) =>
+      a.get(k) match {
+        case None => a.update(k, v)
+        case Some(prev) =>
+          require(java.util.Arrays.equals(prev, v),
+            s"lineage slot collision with differing counts for key " +
+              s"${k.replace(Sep, "|").replace(NullTopic, "<null>")}: " +
+              s"${prev.mkString(",")} vs ${v.mkString(",")} — an upstream " +
+              "op is non-deterministic; audit counts would diverge from the sink")
+      }
+    }
     a
   }
   override def finish(b: scala.collection.mutable.HashMap[String, Array[Long]]): Map[String, Seq[Long]] =

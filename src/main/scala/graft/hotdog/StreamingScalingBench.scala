@@ -39,11 +39,20 @@ object StreamingScalingBench {
   private val CorpusFiles = 256
   private val FilesPerTrigger = 64
 
+  // r4 residual (BENCH/STREAMING.md): AQE coalesced the @32 fan-out write
+  // to ~36 tasks — ~1.1 waves, util 0.65-0.72, the slowest (topic, salt)
+  // cell bounding the stage. A smaller advisory size keeps ~4 amortizing
+  // waves at 32 cores (and costs nothing at 8).
+  private val AdvisoryPartitionBytes =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ADVISORY", "16m")
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-stream-scaling-$cores")
       .config("spark.sql.shuffle.partitions", ShufflePartitions.toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        AdvisoryPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

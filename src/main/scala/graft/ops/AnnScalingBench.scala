@@ -131,7 +131,11 @@ object AnnScalingBench {
       trials: Seq[Double], warmups: Seq[Double], recallAt5: Double,
       checksum: Long, rowsReturned: Long)
 
-  final case class RunResult(cores: Int, n: Long, lshR: AlgoResult, ivfR: AlgoResult)
+  /** a skipped algorithm (SPARK_GRAFT_ANN_ALGOS) is None — never a zeroed
+    * AlgoResult, which would divide to NaN/Infinity in combine's report
+    * with no 'skipped' marker (ADVICE r4) */
+  final case class RunResult(cores: Int, n: Long,
+      lshR: Option[AlgoResult], ivfR: Option[AlgoResult])
 
   /** recall@5 vs the PLANTED ground truth + an order-insensitive checksum
     * for cross-level equality. */
@@ -181,19 +185,27 @@ object AnnScalingBench {
       AlgoResult(walls.min, sorted(sorted.length / 2), walls.toSeq,
         warmups.toSeq, recall, checksum, returned)
     }
-    // SPARK_GRAFT_ANN_ALGOS=lsh → skip IVF (zeroed slot) for cheap
-    // larger-N LSH-only level runs; default runs both
-    val algos = sys.env.getOrElse("SPARK_GRAFT_ANN_ALGOS", "lsh,ivf")
-    val zero = AlgoResult(0.0, 0.0, Seq(0.0), Seq(0.0), 0.0, 0L, 0L)
-    val lshR = if (algos.contains("lsh")) algo(lsh) else zero
-    val ivfR = if (algos.contains("ivf")) algo(ivf) else zero
+    // SPARK_GRAFT_ANN_ALGOS=lsh → skip IVF for cheap larger-N LSH-only
+    // level runs; default runs both. Exact token matching (a substring
+    // test would accept typos like "lshx") and an explicit None for a
+    // skipped algo so downstream reports mark it instead of rendering
+    // NaN rows (ADVICE r4).
+    val algoSet = sys.env.getOrElse("SPARK_GRAFT_ANN_ALGOS", "lsh,ivf")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    require(algoSet.subsetOf(Set("lsh", "ivf")) && algoSet.nonEmpty,
+      s"SPARK_GRAFT_ANN_ALGOS must be a comma list of lsh|ivf, got $algoSet")
+    val lshR = if (algoSet("lsh")) Some(algo(lsh)) else None
+    val ivfR = if (algoSet("ivf")) Some(algo(ivf)) else None
     s.stop()
     RunResult(cores, n, lshR, ivfR)
   }
 
   private def arr(ts: Seq[Double]) = ts.map(t => f"$t%.4f").mkString("[", ",", "]")
-  private def algoJson(a: AlgoResult): String =
-    s"""{"wallSec":${a.wallSec},"medianSec":${a.medianSec},"trials":${arr(a.trials)},"warmups":${arr(a.warmups)},"recallAt5":${a.recallAt5},"checksum":${a.checksum},"rowsReturned":${a.rowsReturned}}"""
+  private def algoJson(a: Option[AlgoResult]): String = a match {
+    case None => "null" // skipped — never a zeroed slot
+    case Some(a) =>
+      s"""{"wallSec":${a.wallSec},"medianSec":${a.medianSec},"trials":${arr(a.trials)},"warmups":${arr(a.warmups)},"recallAt5":${a.recallAt5},"checksum":${a.checksum},"rowsReturned":${a.rowsReturned}}"""
+  }
   private def fragmentJson(r: RunResult): String =
     s"""{"cores":${r.cores},"n":${r.n},"lsh":${algoJson(r.lshR)},"ivf":${algoJson(r.ivfR)}}"""
 
@@ -203,10 +215,11 @@ object AnnScalingBench {
     def darr(n: com.fasterxml.jackson.databind.JsonNode, f: String): Seq[Double] = {
       val a = n.get(f); (0 until a.size()).map(a.get(_).doubleValue())
     }
-    def algo(n: com.fasterxml.jackson.databind.JsonNode): AlgoResult =
-      AlgoResult(n.get("wallSec").doubleValue(), n.get("medianSec").doubleValue(),
+    def algo(n: com.fasterxml.jackson.databind.JsonNode): Option[AlgoResult] =
+      if (n == null || n.isNull) None
+      else Some(AlgoResult(n.get("wallSec").doubleValue(), n.get("medianSec").doubleValue(),
         darr(n, "trials"), darr(n, "warmups"), n.get("recallAt5").doubleValue(),
-        n.get("checksum").longValue(), n.get("rowsReturned").longValue())
+        n.get("checksum").longValue(), n.get("rowsReturned").longValue()))
     RunResult(root.get("cores").intValue(), root.get("n").longValue(),
       algo(root.get("lsh")), algo(root.get("ivf")))
   }
@@ -232,11 +245,23 @@ object AnnScalingBench {
     val s = session(32)
     val plantsOk = validatePlants(s, n, sample = 128)
     s.stop()
-    val sameLsh = r8.lshR.checksum == r32.lshR.checksum
-    val sameIvf = r8.ivfR.checksum == r32.ivfR.checksum
+    // cross-level checksum equality, or "skipped" when either level
+    // skipped the algo (never NaN/zero rows — ADVICE r4)
+    def same(a8: Option[AlgoResult], a32: Option[AlgoResult]): String =
+      (a8, a32) match {
+        case (Some(x), Some(y)) => (x.checksum == y.checksum).toString
+        case _                  => "skipped"
+      }
+    val sameLsh = same(r8.lshR, r32.lshR)
+    val sameIvf = same(r8.ivfR, r32.ivfR)
 
-    def row(name: String, a8: AlgoResult, a32: AlgoResult): String =
-      f"""|| $name | ${a8.wallSec}%.1f | ${a32.wallSec}%.1f | ${n / a8.wallSec}%.0f | ${n / a32.wallSec}%.0f | ${eff(a8, a32)}%.3f | ${effMed(a8, a32)}%.3f | ${a32.recallAt5}%.4f |"""
+    def row(name: String, a8o: Option[AlgoResult], a32o: Option[AlgoResult]): String =
+      (a8o, a32o) match {
+        case (Some(a8), Some(a32)) =>
+          f"""|| $name | ${a8.wallSec}%.1f | ${a32.wallSec}%.1f | ${n / a8.wallSec}%.0f | ${n / a32.wallSec}%.0f | ${eff(a8, a32)}%.3f | ${effMed(a8, a32)}%.3f | ${a32.recallAt5}%.4f |"""
+        case _ =>
+          s"""|| $name | skipped (SPARK_GRAFT_ANN_ALGOS) | — | — | — | — | — | — |"""
+      }
 
     val md =
       f"""# BENCH/ANN — ANN scale rehearsal with measured recall
@@ -261,25 +286,36 @@ object AnnScalingBench {
          |Scaling efficiency = wall@8 / (4 × wall@32), target ≥ 0.8;
          |recall@5 target ≥ 0.95. Cross-level result equality (order-
          |insensitive checksum over (query, neighbor, rank)): LSH $sameLsh,
-         |IVF $sameIvf. Rows returned (of ${Q * K}%d): LSH ${r32.lshR.rowsReturned}%d,
-         |IVF ${r32.ivfR.rowsReturned}%d (a sparse-bucket query may return
+         |IVF $sameIvf. Rows returned (of ${Q * K}%d): LSH ${rret(r32.lshR)}%s,
+         |IVF ${rret(r32.ivfR)}%s (a sparse-bucket query may return
          |fewer than k — `multiProbe` in Similarity.lshTopK probes the
          |Hamming-1 buckets on the query side if recall needs a boost).
          |
-         |trials (s) — LSH@8: ${r8.lshR.trials.map(t => f"$t%.1f").mkString(", ")};
-         |LSH@32: ${r32.lshR.trials.map(t => f"$t%.1f").mkString(", ")};
-         |IVF@8: ${r8.ivfR.trials.map(t => f"$t%.1f").mkString(", ")};
-         |IVF@32: ${r32.ivfR.trials.map(t => f"$t%.1f").mkString(", ")}.
-         |warmups (s) — LSH@8: ${r8.lshR.warmups.map(t => f"$t%.1f").mkString(", ")};
-         |LSH@32: ${r32.lshR.warmups.map(t => f"$t%.1f").mkString(", ")};
-         |IVF@8: ${r8.ivfR.warmups.map(t => f"$t%.1f").mkString(", ")};
-         |IVF@32: ${r32.ivfR.warmups.map(t => f"$t%.1f").mkString(", ")}.
+         |trials (s) — LSH@8: ${ts(r8.lshR)}%s;
+         |LSH@32: ${ts(r32.lshR)}%s;
+         |IVF@8: ${ts(r8.ivfR)}%s;
+         |IVF@32: ${ts(r32.ivfR)}%s.
+         |warmups (s) — LSH@8: ${ws(r8.lshR)}%s;
+         |LSH@32: ${ws(r32.lshR)}%s;
+         |IVF@8: ${ws(r8.ivfR)}%s;
+         |IVF@32: ${ws(r32.ivfR)}%s.
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)
     println(md)
-    println(s"""{"metric":"ann_corpus_vec_per_sec_local32","lsh_eff":${eff(r8.lshR, r32.lshR)},"ivf_eff":${eff(r8.ivfR, r32.ivfR)},"lsh_recall5":${r32.lshR.recallAt5},"ivf_recall5":${r32.ivfR.recallAt5},"n":$n,"plants_validated":$plantsOk,"cross_level_equal":${sameLsh && sameIvf}}""")
+    def jEff(a8: Option[AlgoResult], a32: Option[AlgoResult]): String =
+      (for (x <- a8; y <- a32) yield eff(x, y).toString).getOrElse("null")
+    def jRec(a: Option[AlgoResult]): String =
+      a.map(_.recallAt5.toString).getOrElse("null")
+    println(s"""{"metric":"ann_corpus_vec_per_sec_local32","lsh_eff":${jEff(r8.lshR, r32.lshR)},"ivf_eff":${jEff(r8.ivfR, r32.ivfR)},"lsh_recall5":${jRec(r32.lshR)},"ivf_recall5":${jRec(r32.ivfR)},"n":$n,"plants_validated":$plantsOk,"cross_level_equal":"${Seq(sameLsh, sameIvf).mkString(",")}"}""")
   }
+
+  private def rret(o: Option[AlgoResult]): String =
+    o.map(_.rowsReturned.toString).getOrElse("skipped")
+  private def ts(o: Option[AlgoResult]): String =
+    o.map(_.trials.map(t => f"$t%.1f").mkString(", ")).getOrElse("skipped")
+  private def ws(o: Option[AlgoResult]): String =
+    o.map(_.warmups.map(t => f"$t%.1f").mkString(", ")).getOrElse("skipped")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1).toLong)

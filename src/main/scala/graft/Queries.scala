@@ -864,4 +864,64 @@ object Queries {
       eventSequences(spark, dir).select("doc_id", "tokens"),
       "doc_id", "tokens", n = 16)
       .orderBy("doc_id")
+
+  /** Stop-word list fitted to the synthetic corpus vocabulary so the
+    * stop_words rule discriminates (Gopher's published list would fail
+    * every synthetic doc — the corpus contains only 'the'). */
+  private[graft] val GopherStops = Seq("the", "a", "data", "table", "value")
+
+  /** Gopher quality-rule verdict over an AUGMENTED corpus: the raw
+    * synthetic documents are single-line, symbol-free word soup, so every
+    * line/symbol rule would be trivially green on them — the query unions
+    * in a deterministic per-class transform of each doc (doc_id % 7 picks
+    * the corruption: bullet flood, ellipsis line ends, '#' flood, letters
+    * → digits, stop-word removal, truncate/repeat, +12-char words) so
+    * EVERY fail_reason bucket is non-trivially populated, the
+    * txt_redact/dd_neardup_dedup idiom. The DuckDB oracle replays the
+    * augmentation AND all seven integer-arithmetic rules. */
+  def txtGopher(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "text")
+    val cls = col("doc_id") % 7
+    val t = col("text")
+    val ws = TextAnalysis.words(t)
+    val corrupted =
+      when(cls === 0, concat(lit("- "), replace(t, lit(" "), lit("\n- "))))
+        .when(cls === 1, replace(t, lit(" "), lit("...\n")))
+        .when(cls === 2, replace(t, lit(" "), lit(" # ")))
+        .when(cls === 3, regexp_replace(t, "[a-z]", "9"))
+        .when(cls === 4, array_join(transform(ws, w =>
+          when(w.isin(GopherStops: _*), lit("zz")).otherwise(w)), " "))
+        .when(cls === 5,
+          when(col("doc_id") % 2 === 0, array_join(slice(ws, 1, 3), " "))
+            .otherwise(repeat(concat(t, lit(" ")), 12)))
+        .otherwise(replace(t, lit(" "), lit("xxxxxxxxxxxx ")))
+    val aug = docs.union(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"), corrupted.as("text")))
+    TextAnalysis.gopherVerdict(aug, "doc_id", "text",
+      minWords = 8, maxWords = 600, stopList = GopherStops,
+      minStopHits = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Exact per-source doc-length quantiles (p25/50/75/90/99 of n_chars)
+    * via the histogram-cumsum order statistic — the corpus never sorts
+    * and never shuffles beyond one map-side-combinable (source, length)
+    * count. Oracle replays the identical ceil-rank selection in SQL. */
+  def txtLenq(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactQuantiles(table(spark, dir, "documents"),
+      "source", "n_chars", Seq(25, 50, 75, 90, 99))
+      .orderBy("source", "q_pct")
+
+  /** BM25 keyword retrieval: top-10 docs for three fixed keyword queries
+    * over the documents table. The oracle replays tokenization, tf/df/N/
+    * avgdl and the Okapi scoring formula token-for-token (ln precedent:
+    * txt_lm_ppl), comparing floor(score·1e6) — ranking ties break on
+    * doc_id, so the whole ranked list is hash-compared. */
+  def txtBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.bm25TopK(table(spark, dir, "documents"),
+      "doc_id", "text",
+      queries = Seq((1, "spark join"), (2, "window agg stream"),
+        (3, "customer value")),
+      k = 10)
+      .orderBy("query_id", "rank")
 }

@@ -85,7 +85,10 @@ object SparkEntry {
     "pipe_pack_fold" -> (Queries.pipePackFold _),
     "pipe_pack_manifest" -> (Queries.pipePackManifest _),
     "pipe_pack_emit" -> (Queries.pipePackEmit _),
-    "tok_scrub_clean" -> (Queries.tokScrubClean _))
+    "tok_scrub_clean" -> (Queries.tokScrubClean _),
+    "txt_gopher" -> (Queries.txtGopher _),
+    "txt_lenq" -> (Queries.txtLenq _),
+    "txt_bm25" -> (Queries.txtBm25 _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -1067,7 +1070,107 @@ object SparkEntry {
          |      i -> sa.starts IS NULL
          |           OR len(list_filter(sa.starts, x -> i >= x AND i < x + 16)) = 0),
          |    i -> unicode(line[(i+1)::INT])) AS tokens_clean
-         |FROM s LEFT JOIN sa USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |FROM s LEFT JOIN sa USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Gopher quality-rule verdict: the oracle replays the per-class
+    // corpus augmentation AND all seven integer-arithmetic rules
+    // (first-failing reason) — see Queries.txtGopher / TextAnalysis
+    // .gopherVerdict for the rule order contract
+    "txt_gopher" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    CASE doc_id % 7
+         |      WHEN 0 THEN '- ' || replace(text, ' ', chr(10) || '- ')
+         |      WHEN 1 THEN replace(text, ' ', '...' || chr(10))
+         |      WHEN 2 THEN replace(text, ' ', ' # ')
+         |      WHEN 3 THEN regexp_replace(text, '[a-z]', '9', 'g')
+         |      WHEN 4 THEN array_to_string(list_transform(string_split($normE, ' '),
+         |        w -> CASE WHEN w IN ('the','a','data','table','value') THEN 'zz' ELSE w END), ' ')
+         |      WHEN 5 THEN CASE WHEN doc_id % 2 = 0
+         |        THEN array_to_string(list_slice(string_split($normE, ' '), 1, 3), ' ')
+         |        ELSE repeat(text || ' ', 12) END
+         |      ELSE replace(text, ' ', 'xxxxxxxxxxxx ') END
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS ws,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM aug),
+         |k AS (SELECT doc_id,
+         |  coalesce(len(ws), 0)::INT AS n_words,
+         |  coalesce(len(lines), 0)::INT AS n_lines,
+         |  coalesce(len(list_filter(lines, l -> starts_with(l, '- ')
+         |    OR starts_with(l, '* ') OR starts_with(l, '•'))), 0)::INT AS n_bullet_lines,
+         |  coalesce(len(list_filter(lines, l -> ends_with(l, '...')
+         |    OR ends_with(l, '…'))), 0)::INT AS n_ellipsis_lines,
+         |  coalesce((length(text) - length(replace(text, '#', '')))
+         |    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT), 0)::INT AS n_symbols,
+         |  coalesce(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))), 0)::INT AS n_alpha_words,
+         |  coalesce(list_sum(list_transform(ws, w -> length(w)::BIGINT)), 0)::BIGINT AS sum_word_chars,
+         |  coalesce(len(list_distinct(list_filter(ws,
+         |    w -> w IN ('the','a','data','table','value')))), 0)::INT AS n_stop_distinct
+         | FROM c)
+         |SELECT doc_id, n_words, n_lines, n_bullet_lines, n_ellipsis_lines,
+         |  n_symbols, n_alpha_words, sum_word_chars, n_stop_distinct,
+         |  CASE WHEN n_words < 8 OR n_words > 600 THEN 'word_count'
+         |       WHEN n_bullet_lines * 10 > n_lines THEN 'bullet_lines'
+         |       WHEN n_ellipsis_lines * 10 > n_lines * 3 THEN 'ellipsis_lines'
+         |       WHEN n_symbols * 10 > n_words THEN 'symbol_ratio'
+         |       WHEN n_alpha_words * 5 < n_words * 4 THEN 'alpha_words'
+         |       WHEN sum_word_chars < n_words * 3 OR sum_word_chars > n_words * 10 THEN 'mean_word_len'
+         |       WHEN n_stop_distinct < 2 THEN 'stop_words'
+         |       ELSE 'pass' END AS fail_reason
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // exact per-source length quantiles: the oracle replays the identical
+    // histogram-cumsum ceil-rank order statistic (percentile_disc
+    // semantics), integer-only
+    "txt_lenq" ->
+      s"""WITH h AS (SELECT source AS grp, n_chars AS v, count(*)::BIGINT AS c
+         |  FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT grp, v, c,
+         |  sum(c) OVER (PARTITION BY grp ORDER BY v)::BIGINT AS cum,
+         |  sum(c) OVER (PARTITION BY grp)::BIGINT AS n FROM h),
+         |x AS (SELECT grp, v, cum, n, unnest([25, 50, 75, 90, 99]) AS q_pct FROM cum)
+         |SELECT grp AS source, q_pct::INT AS q_pct, min(v)::BIGINT AS value,
+         |  min(n)::BIGINT AS n_rows
+         |FROM x WHERE cum * 100 >= q_pct * n
+         |GROUP BY 1, 2 ORDER BY source, q_pct""".stripMargin,
+
+    // BM25 top-k: tokenization, tf/df/N/avgdl and the Okapi formula
+    // replayed token-for-token with Retrieval.bm25TopK's operand order
+    // (ln precedent: txt_lm_ppl); per-(query,doc) term scores fold in
+    // ascending-term order on both sides so the double addition order is
+    // pinned; floor(score·1e6) compared
+    "txt_bm25" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    string_split($normE, ' ') AS ws,
+         |    coalesce(len(string_split($normE, ' ')), 0)::INT AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl::BIGINT)::BIGINT AS sum_dl FROM base),
+         |q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'),
+         |  (2, 'agg'), (2, 'stream'), (3, 'customer'), (3, 'value')),
+         |m AS (SELECT doc_id, dl, unnest(list_filter(ws, w -> w IN
+         |    ('spark','join','window','agg','stream','customer','value'))) AS term
+         |  FROM base),
+         |tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM m GROUP BY 1, 2, 3),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |pt AS (SELECT q.query_id, tf.doc_id, tf.term,
+         |    ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl / (stats.sum_dl / stats.n_docs))) AS score_t
+         |  FROM tf JOIN dfq USING (term) JOIN q ON q.term = tf.term CROSS JOIN stats),
+         |s AS (SELECT query_id, doc_id,
+         |    list_reduce(list(score_t ORDER BY term), (a, b) -> a + b) AS score,
+         |    count(*)::BIGINT AS n_terms_hit
+         |  FROM pt GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score, n_terms_hit,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM s)
+         |SELECT query_id, doc_id, rank::INT AS rank,
+         |  CAST(floor(score * 1000000.0) AS BIGINT) AS score_e6, n_terms_hit
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

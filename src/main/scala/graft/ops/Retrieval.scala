@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus: BM25 scoring + top-k (the public
+  * Okapi BM25 formulation Lucene/Elasticsearch/Trino use). Complements
+  * the embedding-space ANN operators in [[Similarity]] — a training-data
+  * pipeline uses exactly this shape for "find documents about X" audits,
+  * targeted decontamination and retrieval-based data selection.
+  *
+  * 100 TB shape, stage by stage:
+  *  - the query-term vocabulary is a PLAN-TIME literal set (queries are
+  *    human-sized); the corpus is touched in ONE narrow pass producing
+  *    (doc_id, dl, term) match rows filtered to query terms BEFORE any
+  *    shuffle — every downstream frame is bounded by
+  *    (docs containing ≥1 query term) × (query terms), not the corpus.
+  *  - corpus statistics (N, Σdl) are ONE map-side-combinable aggregate
+  *    whose single row rides a broadcast cross-join (no driver collect,
+  *    pure plan).
+  *  - tf rows are localCheckpoint'd once: df(term), the per-(query,doc)
+  *    score sum and the final ranking all read the materialized narrow
+  *    frame instead of re-deriving the corpus scan per consumer (the
+  *    dsirSelect lesson, measured there as scans 4 → 3).
+  *  - ranking: row_number over (query_id) on the match-bounded scored
+  *    frame — same idiom as [[Similarity.bruteForceTopK]]; k is small
+  *    and the frame is already reduced to one row per (query, doc).
+  *
+  * Determinism across engines: tf/dl/df/N are exact integers; the float
+  * math (idf's ln, the length norm) happens once per (query,doc) with a
+  * fixed operand order the DuckDB oracle mirrors token-for-token, and the
+  * emitted score is floor(score·1e6) (the sim_topk idiom; ln precedent:
+  * LangModel's perplexity oracle). Ties break on ascending doc id.
+  */
+object Retrieval {
+
+  /** (query_id, doc_id, rank, score_e6, n_terms_hit) — top `k` docs per
+    * query under BM25(k1, b). `queries` are (query_id, whitespace query
+    * text); query text is normalized with the same [[TextAnalysis.words]]
+    * tokenization as the corpus. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && k > 0, "need queries and k > 0")
+    val spark = docs.sparkSession
+    val qTermPairs: Seq[(Int, String)] = queries.flatMap { case (qid, qt) =>
+      qt.trim.toLowerCase.split("\\s+").toSeq.distinct.map(t => (qid, t))
+    }
+    val allTerms: Seq[String] = qTermPairs.map(_._2).distinct
+
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+      .select(col("doc_id"), coalesce(size(col("ws")), lit(0)).as("dl"),
+        col("ws"))
+    // one corpus-sized aggregate: N and Σdl (avgdl = sumdl / n, computed
+    // as a double ONCE with fixed operand order)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    // the only corpus-sized shuffle: (doc_id, term) pre-filtered to the
+    // literal query vocabulary, aggregated to tf with map-side combine
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("ws"), w => w.isin(allTerms: _*))).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdf = spark.createDataFrame(qTermPairs).toDF("query_id", "term")
+
+    val perTerm = tf
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / (col("sum_dl") / col("n_docs")))))
+    // fold the per-term scores in ASCENDING TERM ORDER on both sides
+    // (oracle: list_reduce(list(score_t ORDER BY term))) — double
+    // addition is not associative, and an engine-chosen sum order could
+    // flip floor(score·1e6) at a ulp boundary. ≤ a handful of terms per
+    // (query, doc), so the collect_list group state is query-sized.
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("term"), col("score_t")))),
+          lit(0.0), (acc, x) => acc + x.getField("score_t")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6"),
+        col("n_terms_hit"))
+  }
+}

@@ -80,6 +80,113 @@ object TextAnalysis {
       .withColumn("n_tri_dup", total - distinctTri)
   }
 
+  /** Gopher-style quality-rule VERDICT (Rae et al. 2021 "Scaling Language
+    * Models", table A1's document-quality heuristics — the filter set
+    * RefinedWeb/Dolma/FineWeb all re-use), re-expressed as ONE narrow
+    * codegen'd projection that emits every rule counter plus the
+    * FIRST-failing-rule reason. Total like [[CorpusClean.cleanVerdict]]:
+    * every row gets exactly one `fail_reason` ('pass' when clean) — drop
+    * reasons are the observability signal a production pipeline sweeps
+    * thresholds against.
+    *
+    * All threshold comparisons are integer cross-multiplications (never a
+    * float ratio), so the DuckDB oracle is bit-exact. Word rules use the
+    * normalized whitespace tokens ([[words]]); line rules use the RAW
+    * text split on '\n' (normalization collapses newlines).
+    *
+    * Rule order (first failure wins — cheap cardinality rules first, the
+    * published thresholds as defaults):
+    *  1. word_count:    minWords ≤ n_words ≤ maxWords          [50, 100000]
+    *  2. bullet_lines:  lines starting '- '/'* '/'•' ≤ 10%   (10n ≤ lines)
+    *  3. ellipsis_lines: lines ending '...'/'…' ≤ 30%     (10n ≤ 3·lines)
+    *  4. symbol_ratio:  ('#' + '...') occurrences ≤ 10% of words
+    *  5. alpha_words:   words containing a letter ≥ 80%   (5n ≥ 4·words)
+    *  6. mean_word_len: 3 ≤ Σ|w|/n_words ≤ 10        (3w ≤ Σ ≤ 10w)
+    *  7. stop_words:    ≥ minStopHits DISTINCT words from stopList
+    *
+    * 100 TB shape: zero shuffle — a pure per-row projection the scan's
+    * batch reader pipelines; every counter is one pass over the row's
+    * own words/lines arrays. */
+  def gopherVerdict(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopList: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minStopHits: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val ws = words(text)
+    val lines = split(text, "\n")
+    val nWords = coalesce(size(ws), lit(0))
+    val nLines = coalesce(size(lines), lit(0))
+    val nBullet = coalesce(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))),
+      lit(0))
+    val nEllipsis = coalesce(size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))), lit(0))
+    // literal (non-regex) occurrence counts, greedy left-to-right — the
+    // same non-overlapping semantics replace() has in every engine. The
+    // ellipsis length-delta is always a multiple of 3, so the /3 double
+    // is integer-valued and the int cast is exact in both engines.
+    val nSymbols = coalesce(
+      (length(text) - length(replace(text, lit("#"), lit("")))) +
+        ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+          .cast("int"),
+      lit(0))
+    val nAlphaWords = coalesce(size(filter(ws, w => w.rlike("[a-z]"))), lit(0))
+    val sumWordChars = coalesce(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)), lit(0L))
+    val nStopDistinct = coalesce(
+      size(array_distinct(filter(ws, w => w.isin(stopList: _*)))), lit(0))
+    df.select(col(idCol),
+        nWords.as("n_words"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nSymbols.as("n_symbols"), nAlphaWords.as("n_alpha_words"),
+        sumWordChars.as("sum_word_chars"), nStopDistinct.as("n_stop_distinct"))
+      .withColumn("fail_reason",
+        when(col("n_words") < minWords || col("n_words") > maxWords,
+          lit("word_count"))
+          .when(col("n_bullet_lines") * 10 > col("n_lines"),
+            lit("bullet_lines"))
+          .when(col("n_ellipsis_lines") * 10 > col("n_lines") * 3,
+            lit("ellipsis_lines"))
+          .when(col("n_symbols") * 10 > col("n_words"), lit("symbol_ratio"))
+          .when(col("n_alpha_words") * 5 < col("n_words") * 4,
+            lit("alpha_words"))
+          .when(col("sum_word_chars") < col("n_words") * 3L ||
+            col("sum_word_chars") > col("n_words") * 10L,
+            lit("mean_word_len"))
+          .when(col("n_stop_distinct") < minStopHits, lit("stop_words"))
+          .otherwise(lit("pass")))
+  }
+
+  /** EXACT per-group quantiles at 100 TB scale: shuffle the HISTOGRAM,
+    * not the rows. groupBy(group, value).count (map-side combinable — the
+    * only row-count-sized operation) → cumulative sum over the per-group
+    * histogram → the q-th percentile is the least value whose cumulative
+    * count reaches ceil(q·n/100), i.e. SQL's ordered-set
+    * percentile_disc. The Windows here run over |group|×|distinct value|
+    * histogram rows, never the corpus — for doc-length profiles that is
+    * thousands of rows from 10^12 inputs. Integer order statistics, no
+    * interpolation: the DuckDB oracle replays the identical cumsum
+    * selection, float-free. The ceil comparison is the integer
+    * cross-multiplication 100·cum ≥ q·n. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qPcts: Seq[Int]): DataFrame = {
+    require(qPcts.nonEmpty && qPcts.forall(q => q > 0 && q <= 100),
+      "quantile percents must be in (0, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum",
+        sum("c").over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    cum.select(col("grp"), col("v"), col("cum"), col("n"),
+        explode(array(qPcts.map(lit): _*)).as("q_pct"))
+      .filter(col("cum") * 100 >= col("q_pct") * col("n"))
+      .groupBy(col("grp").as(groupCol), col("q_pct"))
+      .agg(min(col("v")).as("value"), min(col("n")).as("n_rows"))
+  }
+
   // PII patterns: the regex subset shared by Java and RE2 (no
   // backreferences/lookaround), so the DuckDB oracle replays them
   // verbatim. Ordered: emails first (an email must not first lose its

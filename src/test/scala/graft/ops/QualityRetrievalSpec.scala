@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.hotdog.SparkSpec
+
+/** Gopher quality-rule verdict, exact histogram quantiles, BM25 top-k. */
+class QualityRetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // thresholds scaled down (minWords=3, maxWords=50) so each rule is
+  // exercised by a hand-sized doc; stop rule: ≥1 of {the, of}
+  private def verdict(docs: Seq[(Long, String)]): Map[Long, String] = {
+    val df = docs.toDF("doc_id", "text")
+    val out = TextAnalysis.gopherVerdict(df, "doc_id", "text",
+      minWords = 3, maxWords = 50, stopList = Seq("the", "of"),
+      minStopHits = 1)
+    out.collect().map(r => r.getLong(0) -> r.getString(9)).toMap
+  }
+
+  test("gopherVerdict: every rule fires on its construction, first failure wins") {
+    val m = verdict(Seq(
+      1L -> "the quick brown foxes jump",                         // clean
+      2L -> "hi",                                                 // 1 word
+      3L -> "- the aaaa bbbb\n- cccc dddd eeee",                  // all lines bullets
+      4L -> "the aaaa bbbb...\nthe cccc dddd...\nthe missing one", // 2/3 lines end ...
+      5L -> "the #### big #### words ####",                       // 12 hashes vs 6 words
+      6L -> "the 123 456 789 000",                                // 1/5 words alphabetic
+      7L -> "the aaaaaaaaaaaaaaa bbbbbbbbbbbbbbb ccccccccccccccc", // mean len 12
+      8L -> "nothing here matches stoplist"))                     // no the/of
+    assert(m(1L) == "pass")
+    assert(m(2L) == "word_count")
+    assert(m(3L) == "bullet_lines")
+    assert(m(4L) == "ellipsis_lines")
+    assert(m(5L) == "symbol_ratio")
+    assert(m(6L) == "alpha_words")
+    assert(m(7L) == "mean_word_len")
+    assert(m(8L) == "stop_words")
+  }
+
+  test("gopherVerdict counters: symbols count hashes + non-overlapping ellipses") {
+    val df = Seq((1L, "a# b...... c")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherVerdict(df, "doc_id", "text").collect().head
+    // 1 '#', '......' = two non-overlapping '...'
+    assert(r.getAs[Int]("n_symbols") == 3)
+    assert(r.getAs[Int]("n_lines") == 1)
+  }
+
+  test("gopherVerdict is a pure projection: zero exchanges") {
+    val df = Seq((1L, "some text")).toDF("doc_id", "text")
+    val phys = TextAnalysis.gopherVerdict(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"gopherVerdict shuffles:\n$phys")
+  }
+
+  test("exactQuantiles: percentile_disc order statistics, duplicates included") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 2L))).toDF("src", "len")
+    val out = TextAnalysis.exactQuantiles(df, "src", "len",
+      Seq(25, 50, 75, 90, 99))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // group a: 10 distinct values, rank = ceil(q/10)
+    assert(out(("a", 25)) == 3L && out(("a", 50)) == 5L)
+    assert(out(("a", 75)) == 8L && out(("a", 90)) == 9L)
+    assert(out(("a", 99)) == 10L)
+    // group b: [1,1,1,2] — p75 still inside the run of 1s, p99 hits 2
+    assert(out(("b", 75)) == 1L && out(("b", 99)) == 2L)
+  }
+
+  test("exactQuantiles windows run over the HISTOGRAM, not the corpus") {
+    val df = (1 to 1000).map(v => ("s", (v % 7).toLong)).toDF("src", "len")
+    val out = TextAnalysis.exactQuantiles(df, "src", "len", Seq(50))
+    val plan = out.queryExecution.executedPlan
+    // the aggregate that collapses rows to the histogram must sit BELOW
+    // every window in the plan tree
+    val winSubtrees = plan.toString.split("\n").filter(_.contains("Window"))
+    assert(winSubtrees.nonEmpty)
+    val optim = out.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    optim.foreach {
+      case w: LWindow =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"Window has no Aggregate beneath it:\n$optim")
+      case _ => ()
+    }
+  }
+
+  test("bm25TopK: scores match the Okapi formula, ties break on doc id") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana banana banana"), (4L, "durian fruit"),
+      (5L, "durian fruit")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries = Seq((1, "apple banana"), (2, "durian")), k = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(2)) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+
+    // replicate the exact double math (N=5, sumdl=12)
+    val n = 5L; val sumdl = 12L
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tscore(tf: Long, dl: Int, df: Long) =
+      idf(df) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sumdl.toDouble / n)))
+    val d1 = (0.0 + tscore(2, 3, 2)) + tscore(1, 3, 2) // apple then banana
+    val d3 = 0.0 + tscore(3, 3, 2)
+    assert(out((1, 1)) == ((1L, math.floor(d1 * 1e6).toLong, 2L)))
+    assert(out((1, 2)) == ((3L, math.floor(d3 * 1e6).toLong, 1L)))
+    // identical docs 4 and 5 tie on score — ascending id breaks it
+    assert(out((2, 1))._1 == 4L && out((2, 2))._1 == 5L)
+    assert(out((2, 1))._2 == out((2, 2))._2)
+  }
+
+  test("bm25TopK plan: corpus joins only broadcast frames, tf is checkpointed") {
+    val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries = Seq((1, "apple")), k = 1)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("SortMergeJoin"), s"bm25 shuffles a join:\n$phys")
+    // the scoring chain reads the materialized tf checkpoint, not the scan
+    assert(phys.contains("Scan ExistingRDD") || phys.contains("LogicalRDD")
+      || phys.contains("ExistingRDD"), s"tf not checkpointed:\n$phys")
+  }
+}

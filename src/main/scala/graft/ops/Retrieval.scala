@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   *    score sum and the final ranking all read the materialized narrow
   *    frame instead of re-deriving the corpus scan per consumer (the
   *    dsirSelect lesson, measured there as scans 4 → 3).
-  *  - ranking: row_number over (query_id) on the match-bounded scored
-  *    frame — same idiom as [[Similarity.bruteForceTopK]]; k is small
-  *    and the frame is already reduced to one row per (query, doc).
+  *  - ranking: a salted two-phase top-k — phase 1 ranks inside
+  *    (query_id, salt) partitions and keeps k per salt, phase 2 ranks
+  *    the ≤ salts·k survivors per query. A plain row_number over
+  *    (query_id) would sort EVERY doc matching a query in ONE
+  *    partition — the same single-partition flood class as the exact-
+  *    dedup window the round-4 rework removed; a common query term at
+  *    corpus scale wedges it. Both phases sort bounded sets.
   *
   * Determinism across engines: tf/dl/df/N are exact integers; the float
   * math (idf's ln, the length norm) happens once per (query,doc) with a
@@ -89,12 +93,31 @@ object Retrieval {
           array_sort(collect_list(struct(col("term"), col("score_t")))),
           lit(0.0), (acc, x) => acc + x.getField("score_t")).as("score"),
         count(lit(1)).as("n_terms_hit"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerGroup(scored, k)
       .select(col("query_id"), col("doc_id"), col("rank"),
         floor(col("score") * 1e6).cast("long").as("score_e6"),
         col("n_terms_hit"))
+  }
+
+  /** Exact top-`k` rows per query_id under (score desc, doc_id asc),
+    * without ever sorting a query's full candidate set in one partition:
+    * phase 1 ranks within (query_id, salt = doc_id mod `salts`) — each
+    * salt cell sorts matches/salts rows in parallel and keeps k — phase 2
+    * ranks the ≤ salts·k survivors per query. Identical output to the
+    * single window (every global top-k row is top-k within its salt
+    * cell); the salt is derived from doc_id so the result is
+    * deterministic under any partitioning. */
+  private[ops] def topKPerGroup(scored: DataFrame, k: Int,
+      salts: Int = 64): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val global = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("_lrank", row_number().over(local))
+      .filter(col("_lrank") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("_lrank")
   }
 }

@@ -112,6 +112,28 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(out((2, 1))._2 == out((2, 2))._2)
   }
 
+  test("salted topKPerGroup ≡ single-window top-k (ties, sparse salts, k > matches)") {
+    import org.apache.spark.sql.expressions.Window
+    // 500 candidates over 3 queries with heavy score ties (score = id%7)
+    // so the doc_id tie-break crosses salt-cell boundaries
+    val scored = (1L to 500L).flatMap(id => Seq(
+      (1, id, (id % 7).toDouble, 1L),
+      (2, id * 3, (id % 5).toDouble, 2L))) ++ Seq((3, 42L, 9.9, 1L))
+    val df = scored.toDF("query_id", "doc_id", "score", "n_terms_hit")
+    val naive = df.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("query_id", "doc_id", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = Retrieval.topKPerGroup(df, 10)
+      .select("query_id", "doc_id", "rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == naive)
+    // query 3 has ONE match < k: still emitted, rank 1
+    assert(salted.contains((3, 42L, 1)))
+  }
+
   test("bm25TopK plan: corpus joins only broadcast frames, tf is checkpointed") {
     val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
     val out = Retrieval.bm25TopK(docs, "doc_id", "text",

@@ -99,25 +99,10 @@ object Retrieval {
         col("n_terms_hit"))
   }
 
-  /** Exact top-`k` rows per query_id under (score desc, doc_id asc),
-    * without ever sorting a query's full candidate set in one partition:
-    * phase 1 ranks within (query_id, salt = doc_id mod `salts`) — each
-    * salt cell sorts matches/salts rows in parallel and keeps k — phase 2
-    * ranks the ≤ salts·k survivors per query. Identical output to the
-    * single window (every global top-k row is top-k within its salt
-    * cell); the salt is derived from doc_id so the result is
-    * deterministic under any partitioning. */
-  private[ops] def topKPerGroup(scored: DataFrame, k: Int,
-      salts: Int = 64): DataFrame = {
-    val local = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(salts)))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val global = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    scored
-      .withColumn("_lrank", row_number().over(local))
-      .filter(col("_lrank") <= k)
-      .withColumn("rank", row_number().over(global))
-      .filter(col("rank") <= k)
-      .drop("_lrank")
-  }
+  /** Exact top-`k` rows per query_id under (score desc, doc_id asc) via
+    * the shared salted two-phase rank ([[Ranks.topKPerGroup]]) — never a
+    * single-partition sort of a query's full candidate set. */
+  private[ops] def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
+    Ranks.topKPerGroup(scored, col("query_id"), col("doc_id"),
+      Seq(col("score").desc, col("doc_id").asc), k, "rank")
 }

@@ -28,10 +28,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      // narrow BEFORE the ranking shuffles: vectors stay in the map stage
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // per-query group = the WHOLE corpus here — the salted two-phase
+    // rank is what keeps the exact baseline runnable at corpus scale
+    Ranks.topKPerGroup(scored, col("query_id"), col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
@@ -74,12 +76,13 @@ object Similarity {
       .select("query_id", "neighbor_id").distinct()
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.join(qv, "query_id").join(cv, "neighbor_id")
+    val scored = cand.join(qv, "query_id").join(cv, "neighbor_id")
       .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    // candidate volume is bucket-bounded but data-dependent (a hot
+    // bucket floods a query's group) — salted rank bounds the sort
+    Ranks.topKPerGroup(scored, col("query_id"), col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
@@ -145,16 +148,16 @@ object Similarity {
       .withColumn("_rn", row_number().over(w0))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("cent_id"), col("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    corpusCells.join(broadcast(queryCells), "cent_id")
+    val scored = corpusCells.join(broadcast(queryCells), "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
-      // narrow projection BEFORE the top-k window's shuffle: vectors
+      // narrow projection BEFORE the top-k ranking's shuffles: vectors
       // stay in the map stage, only (query, neighbor, sim) rows move
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // a query's group = its probed cells — nprobe-bounded but a hot
+    // cell (skewed quantizer) floods it; salted rank bounds the sort
+    Ranks.topKPerGroup(scored, col("query_id"), col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }

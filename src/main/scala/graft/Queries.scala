@@ -912,6 +912,15 @@ object Queries {
       "source", "n_chars", Seq(25, 50, 75, 90, 99))
       .orderBy("source", "q_pct")
 
+  /** Sliding-window chunking for embedding pipelines: every doc becomes
+    * overlapping 12-word chunks every 8 words (overlap 4). The oracle
+    * replays the stride grid, the slice arithmetic and the tail-chunk
+    * boundary in SQL, so chunk_text itself is hash-compared. */
+  def txtChunks(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkWords(table(spark, dir, "documents")
+      .select("doc_id", "text"), "doc_id", "text", window = 12, stride = 8)
+      .orderBy("doc_id", "chunk_ix")
+
   /** BM25 keyword retrieval: top-10 docs for three fixed keyword queries
     * over the documents table. The oracle replays tokenization, tf/df/N/
     * avgdl and the Okapi scoring formula token-for-token (ln precedent:

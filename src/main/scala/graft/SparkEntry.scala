@@ -88,7 +88,8 @@ object SparkEntry {
     "tok_scrub_clean" -> (Queries.tokScrubClean _),
     "txt_gopher" -> (Queries.txtGopher _),
     "txt_lenq" -> (Queries.txtLenq _),
-    "txt_bm25" -> (Queries.txtBm25 _))
+    "txt_bm25" -> (Queries.txtBm25 _),
+    "txt_chunks" -> (Queries.txtChunks _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -1170,7 +1171,25 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, doc_id, rank::INT AS rank,
          |  CAST(floor(score * 1000000.0) AS BIGINT) AS score_e6, n_terms_hit
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // sliding-window chunking: the oracle replays the stride grid
+    // (every stride-aligned start below the word count, one chunk for an
+    // empty doc), the slice arithmetic and the short tail chunk — DuckDB
+    // range() excludes its upper bound and list_slice is inclusive-end,
+    // hence the +1 / +11 offsets mirroring Spark's sequence/slice
+    "txt_chunks" ->
+      s"""WITH c AS (SELECT doc_id, string_split($normE, ' ') AS ws
+         |  FROM documents),
+         |s AS (SELECT doc_id, ws,
+         |    unnest(range(0, greatest(len(ws) - 1, 0) + 1, 8)) AS tok_start
+         |  FROM c)
+         |SELECT doc_id, (tok_start // 8)::INT AS chunk_ix,
+         |  tok_start::INT AS tok_start,
+         |  len(list_slice(ws, tok_start + 1, tok_start + 12))::INT AS n_tok,
+         |  array_to_string(list_slice(ws, tok_start + 1, tok_start + 12), ' ')
+         |    AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_ix""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

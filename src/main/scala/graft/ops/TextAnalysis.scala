@@ -187,6 +187,37 @@ object TextAnalysis {
       .agg(min(col("v")).as("value"), min(col("n")).as("n_rows"))
   }
 
+  /** Sliding-window document chunking — the embedding/RAG preprocessing
+    * shape: each doc becomes overlapping word-window chunks of `window`
+    * tokens every `stride` tokens (overlap = window − stride). Emits
+    * (id, chunk_ix, tok_start, n_tok, chunk_text).
+    *
+    * Chunk starts are every stride-aligned offset below the word count
+    * (one empty chunk for an empty doc, so the operator is TOTAL per
+    * doc — no document silently vanishes between pipeline stages). The
+    * tail chunk is shorter than `window`; emitting it (rather than
+    * padding or dropping) is the lossless contract an embedding pipeline
+    * wants — every token is covered by ≥1 chunk.
+    *
+    * 100 TB shape: a pure per-row explode — zero shuffle, output
+    * bounded by len/stride rows per doc, pipelined by the scan. */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    df.select(col(idCol), words(col(textCol)).as("_ws"))
+      .select(col(idCol), col("_ws"),
+        explode(sequence(lit(0), greatest(size(col("_ws")) - 1, lit(0)),
+          lit(stride))).as("tok_start"))
+      .select(col(idCol),
+        (col("tok_start") / stride).cast("int").as("chunk_ix"),
+        col("tok_start"),
+        slice(col("_ws"), col("tok_start") + 1, lit(window)).as("_chunk"))
+      .select(col(idCol), col("chunk_ix"), col("tok_start"),
+        size(col("_chunk")).as("n_tok"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   // PII patterns: the regex subset shared by Java and RE2 (no
   // backreferences/lookaround), so the DuckDB oracle replays them
   // verbatim. Ordered: emails first (an email must not first lose its

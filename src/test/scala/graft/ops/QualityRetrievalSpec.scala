@@ -112,6 +112,36 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(out((2, 1))._2 == out((2, 2))._2)
   }
 
+  test("chunkWords: stride grid, tail chunk, short/empty docs, overlap coverage") {
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 words: starts 0,8,16
+      (2L, "a b c"),                                  // 3 words < window: 1 chunk
+      (3L, ""),                                       // split("") = [""]: 1 chunk
+      (4L, (1 to 8).map(i => s"x$i").mkString(" ")),  // len == stride: start 0 only
+      (5L, (1 to 9).map(i => s"x$i").mkString(" ")))  // len = stride+1: starts 0,8
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(docs, "doc_id", "text", 12, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out((1L, 0)) == ((0, 12, (1 to 12).map(i => s"w$i").mkString(" "))))
+    assert(out((1L, 1))._1 == 8 && out((1L, 1))._2 == 12)
+    assert(out((1L, 2)) == ((16, 4, (17 to 20).map(i => s"w$i").mkString(" "))))
+    assert(out((2L, 0)) == ((0, 3, "a b c")))
+    assert(out((3L, 0))._2 == 1 && out((3L, 0))._3 == "")
+    assert(!out.contains((4L, 1)) && out((4L, 0))._2 == 8)
+    assert(out((5L, 1)) == ((8, 1, "x9")))
+    // every token covered: union of [start, start+n_tok) tiles each doc
+    val cov1 = out.collect { case ((1L, _), (s, n, _)) => (s, s + n) }
+    assert(cov1.flatMap(r => r._1 until r._2).toSet == (0 until 20).toSet)
+  }
+
+  test("chunkWords is explode-only: zero exchanges") {
+    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val phys = TextAnalysis.chunkWords(df, "doc_id", "text", 12, 8)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"chunkWords shuffles:\n$phys")
+  }
+
   test("salted topKPerGroup ≡ single-window top-k (ties, sparse salts, k > matches)") {
     import org.apache.spark.sql.expressions.Window
     // 500 candidates over 3 queries with heavy score ties (score = id%7)

@@ -912,6 +912,25 @@ object Queries {
       "source", "n_chars", Seq(25, 50, 75, 90, 99))
       .orderBy("source", "q_pct")
 
+  /** Deterministic 80/10/10 train/val/test split — membership a pure
+    * function of (doc_id, seed); oracle replays the md5 band arithmetic. */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.splitByHash(
+      table(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", seed = "r5",
+      splits = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .orderBy("doc_id")
+
+  /** Exactly-10-docs-per-source deterministic sample (smallest
+    * md5(id ‖ seed) wins) via the salted two-phase rank; the oracle IS
+    * the naive per-source window, so rank equality proves the salted
+    * form exact. */
+  def pipeStratified(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.stratifiedSample(
+      table(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source", n = 10, seed = "r5")
+      .orderBy("source", "sample_rank")
+
   /** Sliding-window chunking for embedding pipelines: every doc becomes
     * overlapping 12-word chunks every 8 words (overlap 4). The oracle
     * replays the stride grid, the slice arithmetic and the tail-chunk

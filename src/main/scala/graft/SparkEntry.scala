@@ -89,7 +89,9 @@ object SparkEntry {
     "txt_gopher" -> (Queries.txtGopher _),
     "txt_lenq" -> (Queries.txtLenq _),
     "txt_bm25" -> (Queries.txtBm25 _),
-    "txt_chunks" -> (Queries.txtChunks _))
+    "txt_chunks" -> (Queries.txtChunks _),
+    "pipe_split" -> (Queries.pipeSplit _),
+    "pipe_stratified" -> (Queries.pipeStratified _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -1189,7 +1191,31 @@ object SparkEntry {
          |  len(list_slice(ws, tok_start + 1, tok_start + 12))::INT AS n_tok,
          |  array_to_string(list_slice(ws, tok_start + 1, tok_start + 12), ' ')
          |    AS chunk_text
-         |FROM s ORDER BY doc_id, chunk_ix""".stripMargin)
+         |FROM s ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    // deterministic split: the oracle replays the md5 hash-band
+    // arithmetic (first 32 bits of md5(id || seed) mod 100) and the
+    // cumulative 80/90 band edges
+    "pipe_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || 'r5'), 1, 8))::BIGINT % 100 AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // stratified fixed-size sample: the oracle IS the naive per-source
+    // window over md5(id || seed) - equality proves the salted two-phase
+    // rank exact
+    "pipe_stratified" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || 'r5') ASC, doc_id ASC) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank::INT AS sample_rank
+        |FROM r WHERE sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin)
 
   /** DuckDB replica of the [[graft.ops.OpsKernels.wordShingles]] contract:
     * distinct word n-grams of the normalized text; fewer than n words ⇒

@@ -29,6 +29,41 @@ object Mixing {
     df.join(broadcast(rates), srcCol)
       .filter(hashPct(col(idCol)) < col("rate_pct"))
 
+  /** Deterministic train/val/test split: every row labeled by which
+    * cumulative hashPct band its md5(id ‖ seed) falls in. `splits` maps
+    * label → percent and must sum to 100, so the split is TOTAL and the
+    * three corpora are disjoint by construction. Membership is a pure
+    * function of (id, seed) — the property that keeps a held-out set
+    * held out across reruns, repartitionings, cluster sizes and
+    * incremental corpus growth (a doc never migrates between splits
+    * when OTHER docs are added, which a rank/ntile split cannot
+    * promise). Zero shuffle: a narrow projection the scan pipelines. */
+  def splitByHash(df: DataFrame, idCol: String, seed: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      splits.map(_._2).sum == 100, "split percents must be > 0 and sum to 100")
+    val h = hashPct(concat(col(idCol).cast("string"), lit(seed)))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cum).foldRight(lit(null).cast("string")) {
+      case (((name, _), hi), els) => when(h < hi, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Fixed-size deterministic sample per stratum: exactly min(n, |group|)
+    * rows per `srcCol` value, chosen by the smallest md5(id ‖ seed) —
+    * an exact, rerun-stable stand-in for per-stratum reservoir sampling
+    * (eval-set carving, per-source inspection samples). Ranking uses the
+    * salted two-phase top-k ([[Ranks.topKPerGroup]]), so a billion-doc
+    * stratum never sorts in one partition. */
+  def stratifiedSample(df: DataFrame, idCol: String, srcCol: String,
+      n: Int, seed: String): DataFrame =
+    Ranks.topKPerGroup(
+      df.withColumn("_skey", md5(concat(col(idCol).cast("string"), lit(seed)))),
+      col(srcCol), col(idCol),
+      Seq(col("_skey").asc, col(idCol).asc), n, "sample_rank")
+      .drop("_skey")
+
   /** Word bigrams WITH multiplicity ("w1 w2" strings) — the hashed
     * feature space DSIR estimates its distributions over. < 2 words ⇒
     * empty array; null text ⇒ null. One-pass codegen kernel (the

@@ -112,6 +112,54 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(out((2, 1))._2 == out((2, 2))._2)
   }
 
+  test("splitByHash: total, disjoint, seed-stable, growth-stable") {
+    val df = (1L to 2000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Mixing.splitByHash(df, "doc_id", "s1",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 2000)                      // total
+    assert(out("train") > 1500 && out("val") > 120 && out("test") > 120)
+    // membership is a pure function of (id, seed): a smaller corpus
+    // assigns the shared ids identically (no doc migrates on growth)
+    val small = Mixing.splitByHash(df.filter(col("doc_id") <= 100),
+      "doc_id", "s1", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = Mixing.splitByHash(df, "doc_id", "s1",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .filter(col("doc_id") <= 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(small == full)
+    // a different seed reshuffles membership
+    val other = Mixing.splitByHash(df, "doc_id", "s2",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(full.exists { case (id, s) => other(id) != s })
+    intercept[IllegalArgumentException] {
+      Mixing.splitByHash(df, "doc_id", "s1", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
+  test("stratifiedSample: exactly min(n, |group|) per stratum, rank contiguous") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      Seq((200L, "tiny"), (201L, "tiny"))).toDF("doc_id", "source")
+    val out = Mixing.stratifiedSample(df, "doc_id", "source", 10, "s1")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("big").length == 10)
+    assert(bySrc("tiny").length == 2)                 // below-n stratum kept whole
+    assert(bySrc("big").map(_._3).sorted.toSeq == (1 to 10))
+    // matches the naive single-window reservoir stand-in
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(
+          md5(concat(col("doc_id").cast("string"), lit("s1"))).asc,
+          col("doc_id").asc)))
+      .filter(col("r") <= 10)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2))).toSet
+    assert(out.toSet == naive)
+  }
+
   test("chunkWords: stride grid, tail chunk, short/empty docs, overlap coverage") {
     val docs = Seq(
       (1L, (1 to 20).map(i => s"w$i").mkString(" ")), // 20 words: starts 0,8,16

@@ -417,9 +417,17 @@ object Queries {
     }
 
   /** stream-input staging path: keyed by the SANITIZED full dir path (not
-    * its hashCode — different testdata dirs can never collide). */
+    * its hashCode — different testdata dirs can never collide). On tmpfs
+    * with the explicit checkpoint dirs below: the virtio /tmp disk
+    * sporadically degrades to ~1MB/s and bills multi-second listing/WAL
+    * stalls to whichever streaming query is running (the same reason the
+    * BENCH campaign scripts stage everything on /dev/shm). */
   private def streamInputPath(dir: String): String =
-    s"/tmp/graft-hdwindow-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
+    s"/dev/shm/graft-hdwindow-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
+
+  /** per-query tmpfs checkpoint dir (fresh per run — memory-sink queries
+    * otherwise checkpoint to a java.io.tmpdir temp on the virtio disk) */
+  private def ckptPath(sink: String): String = s"/dev/shm/graft-ckpt-$sink"
 
   /** The STREAMING path through the driver contract: sequences stream →
     * router → watermarked tumbling-window per-topic counts, run to
@@ -436,6 +444,7 @@ object Queries {
       stream, Configs.flagship, windowLen = "1 hour", lateness = "10 minutes")
     val sink = s"hd_window_sink_${System.nanoTime()}"
     val q = counts.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckptPath(sink))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -460,6 +469,7 @@ object Queries {
       .toDF("topic", "n")
     val sink = s"hd_state_sink_${System.nanoTime()}"
     val q = totals.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckptPath(sink))
       .outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -495,6 +505,7 @@ object Queries {
     val sink = s"dd_stream_dedup_sink_${System.nanoTime()}"
     val q = deduped.select("hostname", "appname")
       .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckptPath(sink))
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

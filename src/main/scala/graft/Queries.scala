@@ -318,6 +318,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware cluster survivor: same near-dup components as
+    * dd_components, but the kept member is the argmax of n_chars (id
+    * tie-break) — the MassiveText/RefinedWeb keep-the-best policy. The
+    * oracle extends the recursive-CTE closure with the same argmax. */
+  def ddComponentsBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      minJaccardPct = 60)
+    graft.ops.Components.bestRepVerdict(pairs, "id_a", "id_b",
+      docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+      .select(col("id").as("doc_id"), col("rep").as("rep_id"),
+        col("score").cast("long").as("n_chars"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash hamming ≤ 3 pairs — the bound 4×16-bit banding guarantees
     * 100% recall for, so the exact all-pairs DuckDB oracle (sketch
     * recomputed from the same FNV kernel in SQL) matches exactly.

@@ -47,6 +47,7 @@ object SparkEntry {
     "dd_simhash" -> (Queries.ddSimhash _),
     "dd_neardup_dedup" -> (Queries.ddNeardupDedup _),
     "dd_components" -> (Queries.ddComponents _),
+    "dd_components_best" -> (Queries.ddComponentsBest _),
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "dd_semantic" -> (Queries.ddSemantic _),
     "dd_semantic_kmeans" -> (Queries.ddSemanticKmeans _),
@@ -343,6 +344,32 @@ object SparkEntry {
          |SELECT id AS doc_id, least(id, min(r)) AS rep_id,
          |  least(id, min(r)) = id AS keep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // quality-aware survivor: the same recursive-CTE closure, but keep
+    // = argmax(n_chars, id asc) per component instead of min id
+    "dd_components_best" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |base AS (SELECT id, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [norm]
+         |         ELSE list_transform(range(0, len(ws) - 2),
+         |                i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) END) AS sh
+         |  FROM w),
+         |p AS (SELECT a.id AS u, b.id AS v
+         |  FROM base a JOIN base b ON a.id < b.id
+         |  WHERE CAST(floor(100.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) >= 60),
+         |edges AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+         |reach AS (
+         |  SELECT u AS id, v AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+         |comp AS (SELECT id, least(id, min(r)) AS rep_id FROM reach GROUP BY id),
+         |j AS (SELECT comp.id, comp.rep_id, d.n_chars::BIGINT AS n_chars
+         |  FROM comp JOIN documents d ON d.doc_id = comp.id),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY rep_id
+         |    ORDER BY n_chars DESC, id ASC) AS rn FROM j)
+         |SELECT id AS doc_id, rep_id, n_chars, rn = 1 AS keep
+         |FROM r2 ORDER BY doc_id""".stripMargin,
 
     // the 64-bit simhash sketch recomputed in SQL from the same FNV-1a
     // kernel (ASCII corpus: unicode(c) == utf8 byte), then EXACT all-pairs

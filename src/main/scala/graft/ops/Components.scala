@@ -88,4 +88,37 @@ object Components {
   def dedupVerdict(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     connectedComponents(pairs, aCol, bCol)
       .select(col("id"), col("rep"), (col("rep") === col("id")).as("keep"))
+
+  /** Quality-aware verdict — keep the BEST-scoring doc per duplicate
+    * cluster instead of the min-id one (the MassiveText/RefinedWeb
+    * policy: when near-dups collide, survive the longest/highest-quality
+    * copy, not an arbitrary one). `scores` is an (idCol, scoreCol)
+    * frame covering every doc that appears in `pairs` (higher = better).
+    * Output: (id, rep, score, keep) — `rep` stays the min-id component
+    * label (the stable cluster identity), `keep` marks the argmax
+    * member under (score desc, id asc).
+    *
+    * 100 TB shape: the argmax is a `min_by` over (−score, id) — a
+    * map-side-combinable aggregate, so a million-member boilerplate
+    * cluster reduces to one row per input partition BEFORE its shuffle
+    * (never a window over the skewed cluster key). Requires a numeric
+    * scoreCol (the negation is the tie-break contract — see
+    * Similarity.requireNumericId for the precedent). */
+  def bestRepVerdict(pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    require(scores.schema(scoreCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType],
+      s"bestRepVerdict score column '$scoreCol' must be numeric " +
+        "(its negation is the argmax ordering)")
+    val labels = connectedComponents(pairs, aCol, bCol)
+    val scored = labels.join(
+      scores.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("_score")), "id")
+    val best = scored.groupBy(col("rep").as("_brep"))
+      .agg(min_by(col("id"),
+        struct((-col("_score")).as("ns"), col("id"))).as("_best_id"))
+    scored.join(best, col("rep") === col("_brep"))
+      .select(col("id"), col("rep"), col("_score").as("score"),
+        (col("id") === col("_best_id")).as("keep"))
+  }
 }

@@ -178,6 +178,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 64 + 5 + 2)
   }
 
+  test("bestRepVerdict: argmax score survives, id breaks ties, rep label stable") {
+    // component {1,2,3}: 2 has the best score; component {10,11}: tied
+    // scores, lower id 10 wins; singleton edge {20,21}: 21 wins
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 1L), (21L, 2L)).toDF("doc_id", "n_chars")
+    val out = Components.bestRepVerdict(pairs, "id_a", "id_b",
+      scores, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(2L)._3 && !out(1L)._3 && !out(3L)._3) // best, not min id
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L)     // rep stays min-id label
+    assert(out(10L)._3 && !out(11L)._3)              // tie -> lower id
+    assert(out(21L)._3 && !out(20L)._3)
+    assert(out.values.count(_._3) == 3)
+    // non-numeric score must be rejected (the tie-break negation contract)
+    val bad = Seq((1L, "x")).toDF("doc_id", "s")
+    intercept[IllegalArgumentException] {
+      Components.bestRepVerdict(pairs, "id_a", "id_b", bad, "doc_id", "s")
+    }
+  }
+
   test("asofJoin: latest right row at-or-before, inclusive ties, left-outer") {
     val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 30L),
       (4L, "v", 5L), (5L, "w", 50L))

@@ -362,8 +362,13 @@ object Dedup {
   def nearDupsDeduped(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, groupCol: Option[String] = None): DataFrame =
-    minhashNearDups(dropExactDupes(df, idCol, textCol), idCol, textCol,
-      minJaccardPct, numHashes, bands, shingleN, groupCol)
+    // materialized once (the CorpusClean idiom): minhashNearDups consumes
+    // its input TWICE (the banding chain and the candidate-pair text
+    // re-join), and each pure-plan derivation re-runs the exact-dedup
+    // aggregate + semi-join over the corpus. The deduped corpus is also
+    // the artifact a production pipeline persists between stages.
+    minhashNearDups(dropExactDupes(df, idCol, textCol).localCheckpoint(true),
+      idCol, textCol, minJaccardPct, numHashes, bands, shingleN, groupCol)
 
   /** Incremental NEAR-dup verdict of a new batch against a prior corpus
     * snapshot — the standing "is today's crawl a near-copy of anything we

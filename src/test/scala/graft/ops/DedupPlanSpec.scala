@@ -20,8 +20,13 @@ class DedupPlanSpec extends AnyFunSuite {
     // broadcast side regardless of how many docs share a text
     // id_p: the prior-side doc id in dd_incr_near's verification re-join —
     // unique per prior doc (fan-out 1), same class as id_a/id_b
+    // _brep: dd_components_best's argmax re-join — the build side has
+    // EXACTLY one row per component (the min_by aggregate), so a flooded
+    // cluster streams m probe rows against a 1-row hash relation:
+    // fan-out 1, linear, AQE-skew-splittable
     val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
-      "id_p", "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k")
+      "id_p", "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k",
+      "_brep")
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   * Ties: a right row at exactly leftTime IS visible (inclusive), ordered
   * before the left row at equal time. Right rows must be unique per
   * (key, rightTime) for deterministic results — pre-aggregate otherwise.
+  *
+  * Skew note: the per-key window is the one place in this library where
+  * a hot KEY still serializes (a carry chain is inherently sequential in
+  * event time — the salting that fixes top-k rankings cannot apply). At
+  * 100 TB the mitigation is domain-side: split a pathological key by a
+  * coarse time bucket and stitch the per-bucket boundary carries — the
+  * two-pass form of the same window. Every engine with as-of semantics
+  * (kdb, Flink temporal join, DuckDB ASOF) shares this per-key order
+  * dependency.
   */
 object AsOf {
 

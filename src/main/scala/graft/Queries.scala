@@ -407,6 +407,17 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Quantizer health diagnostics over the trained k=16 k-means: per-cell
+    * population + cohesion (the IVF/SemDeDup monitoring table). The
+    * oracle replays training AND the per-cell stats. */
+  def simClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = graft.ops.Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 16, iters = 2)
+    graft.ops.Similarity.clusterStats(emb, "vec_id", "embedding", cents)
+      .orderBy("cent_id")
+  }
+
   /** Materialize the event-time-carrying sequences stream input (pure
     * function of the sf tables — once per JVM, so repeat bench trials time
     * the streaming job itself). 8 files so a maxFilesPerTrigger=4 reader

@@ -51,6 +51,7 @@ object SparkEntry {
     "dd_embed_neardup" -> (Queries.ddEmbedNearDup _),
     "dd_semantic" -> (Queries.ddSemantic _),
     "dd_semantic_kmeans" -> (Queries.ddSemanticKmeans _),
+    "sim_cluster_stats" -> (Queries.simClusterStats _),
     "sim_topk" -> (Queries.simTopk _),
     "sim_topk_lsh" -> (Queries.simTopkLsh _),
     "sim_topk_ivf" -> (Queries.simTopkIvf _),
@@ -470,6 +471,24 @@ object SparkEntry {
          |SELECT v.id AS vec_id, (d.id IS NULL) AS keep
          |FROM v LEFT JOIN drops d ON d.id = v.id
          |ORDER BY vec_id""".stripMargin,
+
+    // quantizer diagnostics: identical 2-round Lloyd training, then
+    // per-cell population + cohesion; TOTAL over the trained centroid
+    // table (empty cells surface as n_vecs 0, null sims)
+    "sim_cluster_stats" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT id AS cid, v AS cv FROM v WHERE id < 16),
+         |${kmeansRoundE("s1", "a1", "v", "c0")},
+         |${kmeansMeansE("a1", "m1", "c1")},
+         |${kmeansRoundE("s2", "a2", "v", "c1")},
+         |${kmeansMeansE("a2", "m2", "c2")},
+         |${kmeansRoundE("s3", "a3", "v", "c2")},
+         |st AS (SELECT cid, count(*)::BIGINT AS n_vecs, avg(sim) AS mean_sim,
+         |    min(sim) AS min_sim FROM a3 GROUP BY cid)
+         |SELECT c2.cid AS cent_id, coalesce(st.n_vecs, 0) AS n_vecs,
+         |  st.mean_sim, st.min_sim
+         |FROM c2 LEFT JOIN st ON st.cid = c2.cid
+         |ORDER BY cent_id""".stripMargin,
 
     "sim_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -206,6 +206,43 @@ object Similarity {
     * [[kmeansCentroids]] output). Same broadcast-cross + argmax-aggregate
     * plan; similarities run in double to match the trained centroids'
     * arithmetic. */
+  /** Quantizer health diagnostics — the monitoring table every IVF /
+    * SemDeDup deployment watches: per centroid cell, how many vectors
+    * land there (cell BALANCE — a hot cell floods ivfTopK's probe and
+    * semanticDedup's pair stage; an empty cell is a wasted list) and how
+    * tight they sit (mean/min cosine to the centroid — COHESION; a low
+    * mean says the quantizer needs retraining or more cells). TOTAL over
+    * the centroid table: empty cells appear with n_vecs = 0 and null
+    * sims rather than silently vanishing.
+    *
+    * 100 TB shape: same argmax-as-aggregate as [[assignCellsWith]] (the
+    * nlist-exploded corpus collapses map-side before any shuffle), then
+    * one nlist-bounded aggregate; the centroid table rides broadcast
+    * twice. Nothing corpus-sized ever shuffles except (cent_id, sim)
+    * pairs, and those combine map-side. */
+  def clusterStats(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    requireNumericId(corpus, idCol, "clusterStats id")
+    val cents = centroids.select(
+      col(centroids.columns(0)).as("cent_id"),
+      col(centroids.columns(1)).cast("array<double>").as("cent_v"))
+    requireNumericId(cents, "cent_id", "clusterStats centroid id")
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_sim", opscol.cosineSimD(col("vd"), col("cent_v")))
+      .groupBy("id")
+      .agg(max(struct(col("cent_sim").as("cent_sim"),
+        (-col("cent_id")).as("nc"))).as("m"))
+      .select((-col("m.nc")).as("cent_id"), col("m.cent_sim").as("sim"))
+    val stats = assigned.groupBy("cent_id").agg(
+      count(lit(1)).as("n_vecs"),
+      avg("sim").as("mean_sim"), min("sim").as("min_sim"))
+    cents.select("cent_id").join(stats, Seq("cent_id"), "left")
+      .select(col("cent_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        col("mean_sim"), col("min_sim"))
+  }
+
   private[ops] def assignCellsWith(vecs: DataFrame,
       centroids: DataFrame): DataFrame = {
     val cents = centroids.select(

@@ -644,6 +644,26 @@ class OpsSpec extends AnyFunSuite {
       s"planted clusters not separated: $out")
   }
 
+  test("clusterStats: population, cohesion, and empty cells surface as n_vecs 0") {
+    // centroid 10 = x-axis, 20 = y-axis, 30 = z-axis with NO members
+    val cents = Seq(
+      (10L, Array(1.0, 0.0, 0.0)), (20L, Array(0.0, 1.0, 0.0)),
+      (30L, Array(0.0, 0.0, 1.0))).toDF("cid", "cv")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // exactly on centroid 10: sim 1.0
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.1f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.clusterStats(corpus, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out.keySet == Set(10L, 20L, 30L))      // TOTAL over centroids
+    assert(out(10L)._1 == 2L && out(20L)._1 == 1L)
+    assert(out(30L) == ((0L, None, None)))        // empty cell, null sims
+    assert(out(10L)._3.get < out(10L)._2.get)     // min < mean (2 members)
+    assert(math.abs(out(10L)._2.get - (1.0 + 0.9 / math.sqrt(0.82)) / 2) < 1e-9)
+  }
+
   test("kmeansAssign: deterministic across partition counts, ties to smaller cid") {
     val vecs = (0L until 60L)
       .map(i => (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))

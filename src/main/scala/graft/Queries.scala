@@ -644,6 +644,16 @@ object Queries {
     graft.ops.Mixing.vocabulary(
       table(spark, dir, "documents"), "doc_id", "text", k = 20)
 
+  /** Per-source OOV rate against the built top-20 vocabulary — the
+    * tokenizer-coverage health table; exact integer counts so the
+    * compare is bit-stable. */
+  def txtOov(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val vocab = graft.ops.Mixing.vocabulary(docs, "doc_id", "text", k = 20)
+    graft.ops.Mixing.oovStats(docs, "source", "text", vocab)
+      .orderBy("source")
+  }
+
   /** Global top-k token trigrams over the sequences table's
     * `tokens: array<int32>` column itself (the BASELINE input_hint
     * payload) — corpus occurrence count + distinct-sequence frequency,

@@ -68,6 +68,7 @@ object SparkEntry {
     "dd_contam" -> (Queries.ddContam _),
     "dd_span" -> (Queries.ddSpan _),
     "txt_vocab" -> (Queries.txtVocab _),
+    "txt_oov" -> (Queries.txtOov _),
     "tok_ngrams" -> (Queries.tokNgrams _),
     "tok_span_dup" -> (Queries.tokSpanDup _),
     "tok_contam" -> (Queries.tokContam _),
@@ -732,6 +733,22 @@ object SparkEntry {
          |  count(DISTINCT doc_id)::BIGINT AS n_docs
          |FROM w GROUP BY word
          |ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+
+    // per-source OOV vs the identical top-20 vocab (same tie order);
+    // integer counts, so the compare is exact
+    "txt_oov" ->
+      s"""WITH w AS (SELECT source,
+         |    unnest(string_split($normE, ' ')) AS word FROM documents),
+         |wv AS (SELECT doc_id,
+         |    unnest(string_split($normE, ' ')) AS word FROM documents),
+         |vocab AS (SELECT word FROM (
+         |  SELECT word, count(*) AS n FROM wv GROUP BY word
+         |  ORDER BY n DESC, word ASC LIMIT 20)),
+         |j AS (SELECT w.source, vocab.word AS vw
+         |  FROM w LEFT JOIN vocab ON vocab.word = w.word)
+         |SELECT source, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // token-axis operators: tokens = codepoints of the constructed line
     // (stringToCodepoints parity), grams rendered comma-joined in both

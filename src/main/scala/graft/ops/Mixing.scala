@@ -255,4 +255,29 @@ object Mixing {
       .agg(count(lit(1)).as("n"), count_distinct(col(idCol)).as("n_docs"))
       .orderBy(col("n").desc, col("word").asc)
       .limit(k)
+
+  /** Tokenizer-coverage health per source: total word occurrences and the
+    * share OUTSIDE a vocabulary (the OOV rate every tokenizer-prep
+    * pipeline sweeps before committing a vocab size — a source whose OOV
+    * spikes is the one the tokenizer will shred into bytes). `vocab` is
+    * any frame whose FIRST column is the word (e.g. [[vocabulary]]'s
+    * top-k). Counts are exact integers so the cross-engine compare is
+    * bit-stable; the rate is n_oov / n_tokens downstream.
+    *
+    * 100 TB shape: the vocab rides BROADCAST (tokenizer vocabularies are
+    * model-sized by definition); the corpus pass is one explode whose
+    * per-source aggregate combines map-side — a hot source never floods
+    * a reducer, and nothing corpus-sized shuffles. */
+  def oovStats(df: DataFrame, srcCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab
+      .select(col(vocab.columns(0)).as("_w"), lit(true).as("_in"))
+      .distinct())
+    df.select(col(srcCol).as("source"),
+        explode(TextAnalysis.words(col(textCol))).as("_w"))
+      .join(v, Seq("_w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
 }

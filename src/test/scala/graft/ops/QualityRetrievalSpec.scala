@@ -112,6 +112,21 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(out((2, 1))._2 == out((2, 2))._2)
   }
 
+  test("oovStats: exact per-source counts, vocab broadcast, no corpus shuffle-join") {
+    val docs = Seq(
+      (1L, "a", "the cat sat"), (2L, "a", "the dog"),
+      (3L, "b", "zzz yyy the")).toDF("doc_id", "source", "text")
+    val vocab = Seq(("the", 3L), ("cat", 1L)).toDF("word", "n")
+    val out = Mixing.oovStats(docs, "source", "text", vocab)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == ((5L, 2L)))   // sat, dog OOV
+    assert(out("b") == ((3L, 2L)))   // zzz, yyy OOV
+    val phys = Mixing.oovStats(docs, "source", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$phys")
+    assert(!phys.contains("SortMergeJoin"), s"corpus shuffled for a join:\n$phys")
+  }
+
   test("splitByHash: total, disjoint, seed-stable, growth-stable") {
     val df = (1L to 2000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val out = Mixing.splitByHash(df, "doc_id", "s1",

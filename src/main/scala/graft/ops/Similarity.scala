@@ -109,6 +109,21 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
       centroids: Option[DataFrame] = None): DataFrame = {
+    val scored = ivfScored(corpus, queries, idCol, vecCol, nlist, nprobe,
+      centroids)
+    // a query's group = its probed cells — nprobe-bounded but a hot
+    // cell (skewed quantizer) floods it; salted rank bounds the sort
+    Ranks.topKPerGroup(scored, col("query_id"), col("neighbor_id"),
+      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        floor(col("sim") * 1e6).cast("long").as("sim_e6"))
+  }
+
+  /** the narrow (query_id, neighbor_id, sim) candidate frame [[ivfTopK]]
+    * ranks — exposed for the rank-idiom A/B bench (RankAbBench). */
+  private[ops] def ivfScored(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nlist: Int, nprobe: Int,
+      centroids: Option[DataFrame]): DataFrame = {
     requireNumericId(corpus, idCol, "ivfTopK id column")
     // quantizer: a TRAINED centroid table ((cid, cv array<double>) — e.g.
     // [[kmeansCentroids]], SemDeDup/IVF's real configuration) when given;
@@ -148,18 +163,12 @@ object Similarity {
       .withColumn("_rn", row_number().over(w0))
       .filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("cent_id"), col("qv"))
-    val scored = corpusCells.join(broadcast(queryCells), "cent_id")
+    corpusCells.join(broadcast(queryCells), "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", opscol.cosineSimF(col("qv"), col("cv")))
       // narrow projection BEFORE the top-k ranking's shuffles: vectors
       // stay in the map stage, only (query, neighbor, sim) rows move
       .select(col("query_id"), col("neighbor_id"), col("sim"))
-    // a query's group = its probed cells — nprobe-bounded but a hot
-    // cell (skewed quantizer) floods it; salted rank bounds the sort
-    Ranks.topKPerGroup(scored, col("query_id"), col("neighbor_id"),
-      Seq(col("sim").desc, col("neighbor_id").asc), k, "rank")
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        floor(col("sim") * 1e6).cast("long").as("sim_e6"))
   }
 
   /** SemDeDup-style SEMANTIC dedup verdict (Abbas et al. 2023): partition

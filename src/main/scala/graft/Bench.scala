@@ -40,7 +40,8 @@ object Bench {
       "sim_topk_lsh", "sim_topk_ivf", "sim_topk",
       "tok_contam", "tok_ngrams", "pipe_dsir", "pipe_shuffle",
       "sim_kmeans").zipWithIndex.toMap
-    val streamingLast = Set("hd_window", "hd_state_totals", "dd_stream_dedup")
+    val streamingLast = Set("hd_window", "hd_state_totals", "dd_stream_dedup",
+      "ev_sessions_stream")
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       (if (streamingLast(n)) 2 else if (priority.contains(n)) 0 else 1,
         priority.getOrElse(n, 0), n)

@@ -539,6 +539,71 @@ object Queries {
     spark.table(sink).orderBy("hostname", "appname")
   }
 
+  /** Gap sessionization over the events table (6 h gap): the canonical
+    * log-analytics operator downstream of a router. Exact integer value
+    * sums; per-session micros bounds. Oracle = the naive DuckDB window
+    * replay. */
+  def evSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.sessionStats(table(spark, dir, "events"),
+      "user_id", "ts", "event_id", gapSec = 21600L, valueCol = "value")
+      .orderBy("user_id", "session_seq")
+
+  /** staged ts-sliced copy of the events table for the streaming session
+    * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
+    * increasing file mtimes) so the file source replays event time in
+    * order across micro-batches — the in-order contract
+    * [[graft.ops.Sessionize.streamSessions]] documents. tmpfs for the
+    * same virtio-stall reason as [[streamInputPath]]. */
+  private def sessionStreamInput(spark: SparkSession, dir: String): String = {
+    val in = s"/dev/shm/graft-evsess-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
+    materializedStreamInputs.synchronized {
+      if (!materializedStreamInputs.contains(in)) {
+        if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+          val ev = table(spark, dir, "events")
+            .select(col("user_id"),
+              unix_micros(col("ts").cast("timestamp")).as("t_us"),
+              round(col("value") * 100).cast("long").as("value_c"))
+          val bounds = ev.agg(min("t_us"), max("t_us")).collect()(0)
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          val slices = 6
+          val step = (hi - lo) / slices + 1
+          // append writes stamp _SUCCESS after EVERY slice, so the
+          // crashed-partial-write guard above only holds if the final
+          // directory appears atomically: stage slices in a temp dir,
+          // rename when complete
+          val tmp = s"$in.tmp"
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+          (0 until slices).foreach { i =>
+            ev.filter(col("t_us") >= lo + i * step &&
+                col("t_us") < lo + (i + 1) * step)
+              .repartition(1)
+              .write.mode("append").parquet(tmp)
+          }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(in))
+          require(new java.io.File(tmp).renameTo(new java.io.File(in)),
+            s"rename $tmp -> $in failed")
+        }
+        materializedStreamInputs.add(in)
+      }
+    }
+    in
+  }
+
+  /** STREAMING gap sessionization (flatMapGroupsWithState + event-time
+    * timeout): sessions are emitted exactly once when provably closed —
+    * by the user's next event at gap > 6 h, or by the watermark passing
+    * `end + gap`. Each user's final session is withheld unless the FINAL
+    * watermark (max event time − 1 h lateness) passes its horizon — the
+    * same deliberately-withheld-tail contract as hd_window, which the
+    * DuckDB oracle replays exactly. */
+  def evSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    val in = sessionStreamInput(spark, dir)
+    val sink = s"ev_sessions_${System.nanoTime()}"
+    graft.ops.Sessionize.runStreamSessions(spark, in,
+      gapSec = 21600L, lateness = "1 hour", checkpoint = ckptPath(sink))
+      .orderBy("user_id", "t_start_us")
+  }
+
   def txtQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityCounters(table(spark, dir, "documents"), col("text"))
       .select("doc_id", "n_chars_norm", "n_words", "n_tokens_re", "n_punct",

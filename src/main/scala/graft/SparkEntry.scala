@@ -40,6 +40,8 @@ object SparkEntry {
     "q_asof" -> (Queries.qAsof _),
     "q_rollup" -> (Queries.qRollup _),
     "q_semi" -> (Queries.qSemi _),
+    "ev_sessions" -> (Queries.evSessions _),
+    "ev_sessions_stream" -> (Queries.evSessionsStream _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
@@ -266,6 +268,55 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS unfilled_c
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // gap sessionization (6 h = 21600000000 µs): the naive window replay
+    "ev_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 21600000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
+        |  FROM m)
+        |SELECT user_id, session_seq, count(*)::BIGINT AS n_events,
+        |  min(tus)::BIGINT AS t_start_us, max(tus)::BIGINT AS t_end_us,
+        |  (max(tus) - min(tus))::BIGINT AS dur_us, sum(vc)::BIGINT AS value_c
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    // streaming sessions: every DATA-closed session (a later event of the
+    // same user proves the > gap boundary) plus each user's final session
+    // iff the final watermark (max event time − 1 h, ms grain) passed its
+    // close horizon (end + gap) — the withheld-tail contract of
+    // Sessionize.streamSessions under Trigger.AvailableNow
+    "ev_sessions_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 21600000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, sess, min(tus) AS t_start_us, max(tus) AS t_end_us,
+        |    count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_c,
+        |    max(sess) OVER (PARTITION BY user_id) AS last_sess
+        |  FROM s GROUP BY user_id, sess),
+        |wm AS (SELECT max(tus) // 1000 - 3600000 AS w FROM e)
+        |SELECT user_id, t_start_us::BIGINT AS t_start_us,
+        |  t_end_us::BIGINT AS t_end_us, n_events, value_c
+        |FROM g, wm
+        |WHERE sess < last_sess OR (t_end_us // 1000) + 21600000 < w
+        |ORDER BY user_id, t_start_us""".stripMargin,
 
     "dd_exact" ->
       s"""SELECT md5($normE) AS text_hash, min(doc_id) AS keep_id,

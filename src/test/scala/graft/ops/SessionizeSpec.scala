@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.hotdog.SparkSpec
+import java.nio.file.Files
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val US = 1000000L
+
+  /** (user, t_sec, value) → events frame with micros timestamps */
+  private def ev(rows: (Long, Long, Double)*) =
+    rows.zipWithIndex.map { case ((u, t, v), i) =>
+      (i.toLong, u, new java.sql.Timestamp(t * 1000L), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+
+  test("gap boundary is STRICT: delta == gap stays in one session") {
+    // gaps: 100 (merge), exactly 3600 (merge — not >), 3601 (split)
+    val e = ev((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 3700L, 4.0),
+      (1L, 7301L, 8.0))
+    val out = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+      gapSec = 3600L, valueCol = "value")
+      .orderBy("session_seq").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 3L)
+    assert(out(0).getAs[Long]("value_c") == 700L)
+    assert(out(0).getAs[Long]("dur_us") == 3700L * US)
+    assert(out(1).getAs[Long]("n_events") == 1L)
+    assert(out(1).getAs[Long]("t_start_us") == 7301L * US)
+  }
+
+  test("single-event users produce singleton sessions; seq is per-user") {
+    val e = ev((1L, 0L, 1.0), (2L, 5L, 2.0), (1L, 90000L, 3.0))
+    val out = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+      gapSec = 3600L, valueCol = "value")
+      .orderBy("user_id", "session_seq").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_events")))
+    assert(out.toSeq == Seq((1L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("streaming sessions == batch sessions (closed set), across many micro-batches") {
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    // 3 users × 40 events, ~17 min apart per user with every 5th gap > 1 h
+    // → several multi-event sessions per user; final watermark withholds
+    // only sessions ending in the last (lateness + gap) horizon
+    val rows = for {
+      u <- 1L to 3L
+      i <- 0L until 40L
+    } yield (u, i * 1000L + u * 7L + (i / 5L) * 4000L, (u + i).toDouble)
+    val e = ev(rows: _*)
+    val staged = e.select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+      round(col("value") * 100).cast("long").as("value_c"))
+    // 5 sequential ts-sliced writes — in-order replay across micro-batches
+    val maxT = rows.map(_._2).max * US
+    (0 until 5).foreach { i =>
+      staged.filter(col("t_us") >= i * (maxT / 5 + 1) &&
+          col("t_us") < (i + 1) * (maxT / 5 + 1))
+        .repartition(1).write.mode("append").parquet(s"$tmp/in")
+    }
+    val gap = 3600L
+    val lateness = "600 seconds"
+    val streamed = Sessionize.runStreamSessions(spark, s"$tmp/in", gap,
+      lateness, s"$tmp/ckpt", maxFilesPerTrigger = 1)
+      .orderBy("user_id", "t_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    val batch = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+      gap, "value")
+    val wMs = rows.map(_._2).max * 1000L - 600L * 1000L // final watermark (ms)
+    val lastSeq = batch.groupBy("user_id")
+      .agg(max("session_seq").as("last_seq"))
+    val expected = batch.join(lastSeq, "user_id")
+      .filter((col("session_seq") < col("last_seq"))
+        .or((col("t_end_us") / 1000L).cast("long") + gap * 1000L < wMs))
+      .select("user_id", "t_start_us", "t_end_us", "n_events", "value_c")
+      .orderBy("user_id", "t_start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+
+    assert(streamed.nonEmpty, "stream emitted nothing")
+    assert(streamed.toSeq == expected.toSeq)
+    // and the withheld tail is real: batch has MORE sessions than emitted
+    assert(batch.count() > streamed.length)
+  }
+
+  test("batch sessionize plan: one exchange on the user key, no extra shuffles") {
+    val e = ev((1L, 0L, 1.0), (1L, 100L, 2.0), (2L, 50L, 3.0))
+    val plan = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+      3600L, "value").queryExecution.executedPlan.toString
+    // lag + running sum + groupBy(user, seq) all ride ONE hash exchange
+    // on user_id (the groupBy's (user, seq) key is a superset partition —
+    // Spark reuses the window's user_id partitioning for the partial agg)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}

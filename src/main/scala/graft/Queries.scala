@@ -548,6 +548,41 @@ object Queries {
       "user_id", "ts", "event_id", gapSec = 21600L, valueCol = "value")
       .orderBy("user_id", "session_seq")
 
+  /** Ordered-funnel conversion (view → click → purchase, each step
+    * strictly after the previous step's earliest completion): per-user
+    * furthest stage + per-step completion times. Every organic user
+    * completes the funnel at sf0.01, so the query augments four
+    * synthetic partial-funnel users (out-of-order steps, a same-micros
+    * tie, a no-view user) to make stages 0-2 and the strictness boundary
+    * load-bearing; the oracle replays the augmentation. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = Seq(
+      // click before any view → stage 1 (the view@20 is first step only)
+      (9000001L, 1000001L, "2024-01-01 00:00:10", "click"),
+      (9000002L, 1000001L, "2024-01-01 00:00:20", "view"),
+      // purchase BEFORE click → stage 2
+      (9000003L, 1000002L, "2024-01-01 00:00:10", "view"),
+      (9000004L, 1000002L, "2024-01-01 00:00:15", "purchase"),
+      (9000005L, 1000002L, "2024-01-01 00:00:20", "click"),
+      // never views → stage 0
+      (9000006L, 1000003L, "2024-01-01 00:00:10", "error"),
+      // click at the SAME micros as the view → strictly-after kills it
+      (9000007L, 1000004L, "2024-01-01 00:00:10", "view"),
+      (9000008L, 1000004L, "2024-01-01 00:00:10", "click"),
+      (9000009L, 1000004L, "2024-01-01 00:00:30", "purchase"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val evs = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .unionByName(aug.select("event_id", "user_id", "ts", "event_type"))
+    graft.ops.Funnel.funnelStages(evs,
+      "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
   /** staged ts-sliced copy of the events table for the streaming session
     * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
     * increasing file mtimes) so the file source replays event time in

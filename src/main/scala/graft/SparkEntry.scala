@@ -42,6 +42,7 @@ object SparkEntry {
     "q_semi" -> (Queries.qSemi _),
     "ev_sessions" -> (Queries.evSessions _),
     "ev_sessions_stream" -> (Queries.evSessionsStream _),
+    "ev_funnel" -> (Queries.evFunnel _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
@@ -268,6 +269,47 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS unfilled_c
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // ordered funnel view → click → purchase: step k strictly after the
+    // RUNNING earliest completion of step k-1 (evaluated at each row),
+    // then per-user earliest qualifying times
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events
+        |  UNION ALL
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM (VALUES
+        |    (9000001, 1000001, 'click',    TIMESTAMP '2024-01-01 00:00:10'),
+        |    (9000002, 1000001, 'view',     TIMESTAMP '2024-01-01 00:00:20'),
+        |    (9000003, 1000002, 'view',     TIMESTAMP '2024-01-01 00:00:10'),
+        |    (9000004, 1000002, 'purchase', TIMESTAMP '2024-01-01 00:00:15'),
+        |    (9000005, 1000002, 'click',    TIMESTAMP '2024-01-01 00:00:20'),
+        |    (9000006, 1000003, 'error',    TIMESTAMP '2024-01-01 00:00:10'),
+        |    (9000007, 1000004, 'view',     TIMESTAMP '2024-01-01 00:00:10'),
+        |    (9000008, 1000004, 'click',    TIMESTAMP '2024-01-01 00:00:10'),
+        |    (9000009, 1000004, 'purchase', TIMESTAMP '2024-01-01 00:00:30')
+        |  ) AS v(event_id, user_id, event_type, ts)),
+        |s1 AS (
+        |  SELECT *, CASE WHEN event_type = 'view' THEN tus END AS q0 FROM e),
+        |s2 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND min(q0) OVER w IS NOT NULL
+        |      AND tus > min(q0) OVER w THEN tus END AS q1
+        |  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND min(q1) OVER w IS NOT NULL
+        |      AND tus > min(q1) OVER w THEN tus END AS q2
+        |  FROM s2 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT user_id, min(q0)::BIGINT AS t1_us, min(q1)::BIGINT AS t2_us,
+        |    min(q2)::BIGINT AS t3_us
+        |  FROM s3 GROUP BY 1)
+        |SELECT user_id, t1_us, t2_us, t3_us,
+        |  (CASE WHEN t3_us IS NOT NULL THEN 3 WHEN t2_us IS NOT NULL THEN 2
+        |        WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // gap sessionization (6 h = 21600000000 µs): the naive window replay
     "ev_sessions" ->

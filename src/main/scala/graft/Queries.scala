@@ -583,6 +583,14 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: distinct users active k days after their
+    * first-seen day, per first-seen cohort. Oracle = the identical
+    * first-seen + datediff replay. */
+  def evRetention(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retention.cohortRetention(table(spark, dir, "events"),
+      "user_id", "ts")
+      .orderBy("cohort_day", "day_k")
+
   /** staged ts-sliced copy of the events table for the streaming session
     * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
     * increasing file mtimes) so the file source replays event time in

@@ -43,6 +43,7 @@ object SparkEntry {
     "ev_sessions" -> (Queries.evSessions _),
     "ev_sessions_stream" -> (Queries.evSessionsStream _),
     "ev_funnel" -> (Queries.evFunnel _),
+    "ev_retention" -> (Queries.evRetention _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
@@ -269,6 +270,21 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS unfilled_c
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // cohort retention: users cohorted by first-seen day; distinct users
+    // active k days after it
+    "ev_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (
+        |  SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT f.cohort, date_diff('day', f.cohort, e.d) AS day_k,
+        |    e.user_id
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+        |  day_k::BIGINT AS day_k, count(*)::BIGINT AS n_users
+        |FROM a GROUP BY cohort, day_k ORDER BY 1, 2""".stripMargin,
 
     // ordered funnel view → click → purchase: step k strictly after the
     // RUNNING earliest completion of step k-1 (evaluated at each row),

@@ -583,6 +583,14 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Per-doc top-5 tf-idf keywords (smoothed idf, integer-floored score
+    * as the ranking key so rank can't flip on a last-ulp ln difference).
+    * Oracle replays tokenization, tf, df and the scoring arithmetic. */
+  def txtTfidf(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.tfidfTopTerms(table(spark, dir, "documents"),
+      "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
   /** Cohort retention: distinct users active k days after their
     * first-seen day, per first-seen cohort. Oracle = the identical
     * first-seen + datediff replay. */

@@ -44,6 +44,7 @@ object SparkEntry {
     "ev_sessions_stream" -> (Queries.evSessionsStream _),
     "ev_funnel" -> (Queries.evFunnel _),
     "ev_retention" -> (Queries.evRetention _),
+    "txt_tfidf" -> (Queries.txtTfidf _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
     "dd_wordset_jaccard" -> (Queries.ddWordsetJaccard _),
@@ -270,6 +271,25 @@ object SparkEntry {
         |  sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS unfilled_c
         |FROM orders o
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+
+    // per-doc top-5 tf-idf keywords: smoothed idf, integer-floored score
+    // ranks with term tiebreak (k=5 < per-doc vocab — boundary load-bearing)
+    "txt_tfidf" ->
+      s"""WITH base AS (SELECT doc_id, string_split($normE, ' ') AS ws
+         |  FROM documents),
+         |stats AS (SELECT count(*)::BIGINT AS n_docs FROM base),
+         |m AS (SELECT doc_id, unnest(ws) AS term FROM base),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM m
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |    CAST(floor(tf.tf * (ln((stats.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+         |      * 1000000.0) AS BIGINT) AS score_e6
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_e6 DESC, term ASC) AS rank FROM s)
+         |SELECT doc_id, rank::INT AS rank, term, tf, df, score_e6
+         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     // cohort retention: users cohorted by first-seen day; distinct users
     // active k days after it

@@ -105,4 +105,46 @@ object Retrieval {
   private[ops] def topKPerGroup(scored: DataFrame, k: Int): DataFrame =
     Ranks.topKPerGroup(scored, col("query_id"), col("doc_id"),
       Seq(col("score").desc, col("doc_id").asc), k, "rank")
+
+  /** Per-document top-`k` keyword extraction by smoothed tf-idf
+    * (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing — never
+    * negative, never divides by zero): the per-doc summary a corpus
+    * audit/labeling pipeline materializes. Output (doc_id, rank, term,
+    * tf, df, score_e6).
+    *
+    * 100 TB shape: ONE corpus pass to (doc, term, tf) with map-side
+    * combine (localCheckpoint'd — df and scoring both consume it, the
+    * dsirSelect lesson); df(term) is a second map-side-combined
+    * aggregate of the CHECKPOINTED frame, so the corpus is scanned
+    * once. The tf⋈df term-key join is 1-row-per-key on the df side —
+    * the stock-Spark AQE skew-join split handles a hot term (the join,
+    * unlike a window, is splittable); ranking per doc avoids even the
+    * bounded-key window via the shared salted two-phase rank. The
+    * RANKING key is the already-floored integer score (ties broken on
+    * ascending term), so rank is deterministic across engines — a raw
+    * float rank could flip on a last-ulp ln() difference exactly where
+    * two scores tie. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.words(col(textCol)).as("ws"))
+    val stats = base.agg(count(lit(1)).as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_e6",
+        floor(col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+            lit(1.0)) * lit(1e6)).cast("long"))
+    Ranks.topKPerGroup(scored, col("doc_id"), col("term"),
+      Seq(col("score_e6").desc, col("term").asc), k, "rank")
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score_e6"))
+  }
 }

@@ -237,4 +237,23 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(phys.contains("Scan ExistingRDD") || phys.contains("LogicalRDD")
       || phys.contains("ExistingRDD"), s"tf not checkpointed:\n$phys")
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones; floored-score ties break on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma delta common")).toDF("doc_id", "text")
+    val out = Retrieval.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // doc 1: alpha (tf 3, df 1) far above common (tf 2, df 3)
+    assert(out.take(2).toSeq == Seq((1L, 1, "alpha"), (1L, 2, "common")))
+    // doc 3: gamma and delta have IDENTICAL (tf, df) → identical floored
+    // score → term ASC breaks the tie deterministically
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1, "delta"), (3L, 2, "gamma")))
+    // k=2 < the 3 distinct terms of doc 3 — the boundary dropped 'common'
+    assert(!out.exists(t => t._1 == 3L && t._3 == "common"))
+  }
 }

@@ -650,8 +650,12 @@ object Queries {
   def evSessionsStream(spark: SparkSession, dir: String): DataFrame = {
     val in = sessionStreamInput(spark, dir)
     val sink = s"ev_sessions_${System.nanoTime()}"
+    // 6 slices / 3 per trigger = 2 data batches + the timeout flush —
+    // cross-batch state is exercised while the ~1.4 s/stateful-batch
+    // machinery floor stays amortized (SessionizeSpec drives 5 batches)
     graft.ops.Sessionize.runStreamSessions(spark, in,
-      gapSec = 21600L, lateness = "1 hour", checkpoint = ckptPath(sink))
+      gapSec = 21600L, lateness = "1 hour", checkpoint = ckptPath(sink),
+      maxFilesPerTrigger = 3)
       .orderBy("user_id", "t_start_us")
   }
 

@@ -86,9 +86,11 @@ object EvScalingBench {
     val r = out.agg(
       count(lit(1)).as("sessions"),
       sum(col("n_events")).as("sum_events"),
+      // modulus sized so the ANSI sum cannot overflow: ≤ ~N sessions ×
+      // 1e9 ≈ 1e17 at N=1e8 — 1e12 overflowed at 100M (44M × 5e11 > 2^63)
       sum(pmod(hash(col("user_id"), col("session_seq"), col("n_events"),
         col("t_start_us"), col("t_end_us"), col("dur_us"), col("value_c")),
-        lit(1000000000000L))).as("checksum"))
+        lit(1000000007L))).as("checksum"))
       .collect()(0)
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }

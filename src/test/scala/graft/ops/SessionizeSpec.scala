@@ -88,6 +88,53 @@ class SessionizeSpec extends AnyFunSuite {
     assert(batch.count() > streamed.length)
   }
 
+  test("streaming sessions under the RocksDB state store: identical closed set") {
+    // the state backend a production deployment runs (bounded JVM heap,
+    // state spills to native storage); semantics must not depend on the
+    // default HDFSBackedStateStore
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tmp = Files.createTempDirectory("graft-sess-rocks").toString
+      val rows = for { u <- 1L to 2L; i <- 0L until 30L }
+        yield (u, i * 1000L + u + (i / 6L) * 4000L, i.toDouble)
+      val e = ev(rows: _*)
+      val staged = e.select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      val maxT = rows.map(_._2).max * US
+      (0 until 3).foreach { i =>
+        staged.filter(col("t_us") >= i * (maxT / 3 + 1) &&
+            col("t_us") < (i + 1) * (maxT / 3 + 1))
+          .repartition(1).write.mode("append").parquet(s"$tmp/in")
+      }
+      val streamed = Sessionize.runStreamSessions(spark, s"$tmp/in", 3600L,
+        "600 seconds", s"$tmp/ckpt", maxFilesPerTrigger = 1)
+        .orderBy("user_id", "t_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val batch = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+        3600L, "value")
+      val wMs = rows.map(_._2).max * 1000L - 600L * 1000L
+      val lastSeq = batch.groupBy("user_id")
+        .agg(max("session_seq").as("last_seq"))
+      val expected = batch.join(lastSeq, "user_id")
+        .filter((col("session_seq") < col("last_seq"))
+          .or((col("t_end_us") / 1000L).cast("long") + 3600L * 1000L < wMs))
+        .select("user_id", "t_start_us", "t_end_us", "n_events", "value_c")
+        .orderBy("user_id", "t_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      assert(streamed.nonEmpty && streamed.toSeq == expected.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("batch sessionize plan: one exchange on the user key, no extra shuffles") {
     val e = ev((1L, 0L, 1.0), (1L, 100L, 2.0), (2L, 50L, 3.0))
     val plan = Sessionize.sessionStats(e, "user_id", "ts", "event_id",

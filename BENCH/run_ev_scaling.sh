@@ -7,6 +7,7 @@
 # run_dedup_scaling.sh for the rationale of each flag).
 set -euo pipefail
 EVENTS="${1:-100000000}"
+OUT="${2:-BENCH/SESSIONS.md}"
 JAR="target/scala-2.13/hotdogspark_2.13-0.1.0.jar"
 SUBMIT=/opt/spark/bin/spark-submit
 
@@ -28,4 +29,4 @@ $SUBMIT --master "local[32]" --driver-memory 16g \
 $SUBMIT --master "local[32]" --driver-memory 16g \
   --conf spark.local.dir=/dev/shm/graft-shuffle \
   --conf spark.executor.heartbeatInterval=30s --conf spark.network.timeout=600s \
-  --class graft.ops.EvScalingBench "$JAR" combine "$EVENTS" /tmp/evs8.json /tmp/evs32.json BENCH/SESSIONS.md
+  --class graft.ops.EvScalingBench "$JAR" combine "$EVENTS" /tmp/evs8.json /tmp/evs32.json "$OUT"

@@ -545,7 +545,7 @@ object Queries {
     * replay. */
   def evSessions(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sessionize.sessionStats(table(spark, dir, "events"),
-      "user_id", "ts", "event_id", gapSec = 21600L, valueCol = "value")
+      "user_id", "ts", gapSec = 21600L, valueCol = "value")
       .orderBy("user_id", "session_seq")
 
   /** Ordered-funnel conversion (view → click → purchase, each step

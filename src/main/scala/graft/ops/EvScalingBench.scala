@@ -41,6 +41,18 @@ object EvScalingBench {
       .config("spark.sql.shuffle.partitions", ShufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Keep TASK counts well above the larger level's cores (the same
+      // 256-constant protocol rule the shuffle partitions follow): the
+      // default 64m advisory lets AQE re-coalesce the window stage to
+      // ~max(cores, bytes/64m) ≈ 34 tasks = ONE wave at local[32]
+      // (measured util 0.75, wall = slowest task) with ~72 MB sorted per
+      // task (spills L3 → 2.08x CPU-time inflation). 16m keeps ~114
+      // multi-wave tasks whose ~20 MB sorts stay cache-resident — the
+      // same fix BENCH/STREAMING.md applied to the fan-out write.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // ditto for the scan: maxSplitBytes = min(this, bytes/parallelism)
+      // was producing exactly cores splits = one wave at both levels
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -82,7 +94,7 @@ object EvScalingBench {
     * idiom). Returns (sessions, sumEvents, checksum). */
   private def totals(s: SparkSession, dir: String): (Long, Long, Long) = {
     val out = Sessionize.sessionStats(s.read.parquet(dir),
-      "user_id", "ts", "event_id", GapSec, "value")
+      "user_id", "ts", GapSec, "value")
     val r = out.agg(
       count(lit(1)).as("sessions"),
       sum(col("n_events")).as("sum_events"),
@@ -167,7 +179,7 @@ object EvScalingBench {
     // untimed audit: adjacent sessions of a user must be > gap apart
     val s = session(32)
     val sess = Sessionize.sessionStats(s.read.parquet(corpusDirOf(n)),
-      "user_id", "ts", "event_id", GapSec, "value")
+      "user_id", "ts", GapSec, "value")
     val w = Window.partitionBy("user_id").orderBy("t_start_us")
     val viol = sess
       .withColumn("_prev_end", lag(col("t_end_us"), 1).over(w))

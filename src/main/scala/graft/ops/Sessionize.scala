@@ -66,18 +66,41 @@ object Sessionize {
   /** Per-session aggregate row: (user, session_seq, n_events, t_start_us,
     * t_end_us, dur_us, value_c). `valueCol` is summed as exact integer
     * cents (`round(v*100)` per event BEFORE the sum — order-independent,
-    * so the hash compare can't be flipped by float addition order). */
+    * so the hash compare can't be flipped by float addition order).
+    *
+    * Unlike [[sessionize]] there is NO tie-break column: the per-SESSION
+    * stats are provably tie-order independent (a boundary needs a gap
+    * strictly > 0, so equal-timestamp events always share a session;
+    * `session_seq` counts starts, which depend only on the per-user
+    * timestamp MULTISET; count/min/max/sum are order-free). Dropping it
+    * lets the scan prune the id column entirely and the exchange + window
+    * sort move three narrow longs instead of the full input row — at
+    * 100 TB the window sort is the job's memory-bandwidth wall, so bytes
+    * per row through it is the number that matters. */
   def sessionStats(events: DataFrame, userCol: String, tsCol: String,
-      idCol: String, gapSec: Long, valueCol: String): DataFrame =
-    sessionize(events, userCol, tsCol, idCol, gapSec)
+      gapSec: Long, valueCol: String): DataFrame = {
+    val slim = events.select(
+      col(userCol),
+      unix_micros(col(tsCol).cast("timestamp")).as("_t_us"),
+      round(col(valueCol) * 100).cast("long").as("_v_c"))
+    val w = Window.partitionBy(userCol).orderBy(col("_t_us"))
+    slim
+      .withColumn("_prev_us", lag(col("_t_us"), 1).over(w))
+      .withColumn("_is_start",
+        when(col("_prev_us").isNull
+          .or(col("_t_us") - col("_prev_us") > gapSec * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("_is_start")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(unix_micros(col(tsCol).cast("timestamp"))).as("t_start_us"),
-        max(unix_micros(col(tsCol).cast("timestamp"))).as("t_end_us"),
-        (max(unix_micros(col(tsCol).cast("timestamp"))) -
-          min(unix_micros(col(tsCol).cast("timestamp")))).as("dur_us"),
-        sum(round(col(valueCol) * 100).cast("long")).as("value_c"))
+        min(col("_t_us")).as("t_start_us"),
+        max(col("_t_us")).as("t_end_us"),
+        (max(col("_t_us")) - min(col("_t_us"))).as("dur_us"),
+        sum(col("_v_c")).as("value_c"))
+  }
 
   /** Streaming gap sessionization over `SessionEvent`s: emits each session
     * exactly once, when it is PROVABLY closed — by a later event of the

@@ -21,7 +21,7 @@ class SessionizeSpec extends AnyFunSuite {
     // gaps: 100 (merge), exactly 3600 (merge — not >), 3601 (split)
     val e = ev((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 3700L, 4.0),
       (1L, 7301L, 8.0))
-    val out = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+    val out = Sessionize.sessionStats(e, "user_id", "ts",
       gapSec = 3600L, valueCol = "value")
       .orderBy("session_seq").collect()
     assert(out.length == 2)
@@ -34,7 +34,7 @@ class SessionizeSpec extends AnyFunSuite {
 
   test("single-event users produce singleton sessions; seq is per-user") {
     val e = ev((1L, 0L, 1.0), (2L, 5L, 2.0), (1L, 90000L, 3.0))
-    val out = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+    val out = Sessionize.sessionStats(e, "user_id", "ts",
       gapSec = 3600L, valueCol = "value")
       .orderBy("user_id", "session_seq").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
@@ -69,7 +69,7 @@ class SessionizeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
 
-    val batch = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+    val batch = Sessionize.sessionStats(e, "user_id", "ts",
       gap, "value")
     val wMs = rows.map(_._2).max * 1000L - 600L * 1000L // final watermark (ms)
     val lastSeq = batch.groupBy("user_id")
@@ -114,7 +114,7 @@ class SessionizeSpec extends AnyFunSuite {
         .orderBy("user_id", "t_start_us")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4)))
-      val batch = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+      val batch = Sessionize.sessionStats(e, "user_id", "ts",
         3600L, "value")
       val wMs = rows.map(_._2).max * 1000L - 600L * 1000L
       val lastSeq = batch.groupBy("user_id")
@@ -137,12 +137,33 @@ class SessionizeSpec extends AnyFunSuite {
 
   test("batch sessionize plan: one exchange on the user key, no extra shuffles") {
     val e = ev((1L, 0L, 1.0), (1L, 100L, 2.0), (2L, 50L, 3.0))
-    val plan = Sessionize.sessionStats(e, "user_id", "ts", "event_id",
+    val plan = Sessionize.sessionStats(e, "user_id", "ts",
       3600L, "value").queryExecution.executedPlan.toString
     // lag + running sum + groupBy(user, seq) all ride ONE hash exchange
     // on user_id (the groupBy's (user, seq) key is a superset partition —
     // Spark reuses the window's user_id partitioning for the partial agg)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
+  test("sessionStats prunes the id column: stats are tie-order free, so " +
+      "the exchange + window sort move 3 narrow columns, never the full row") {
+    // a parquet-backed input so the scan's ReadSchema is real
+    val tmp = Files.createTempDirectory("graft-sess-prune").toString
+    ev((1L, 0L, 1.0), (1L, 100L, 2.0), (2L, 50L, 3.0))
+      .write.parquet(s"$tmp/events")
+    val df = Sessionize.sessionStats(spark.read.parquet(s"$tmp/events"),
+      "user_id", "ts", 3600L, "value")
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.nonEmpty, "no FileScan in plan")
+    assert(!scan.contains("event_id"),
+      s"id column not pruned from the scan:\n$scan")
+    // and equal-timestamp events across the dropped tie-break: stats equal
+    val tied = ev((1L, 10L, 1.0), (1L, 10L, 2.0), (1L, 10L, 3.0))
+    val out = Sessionize.sessionStats(tied, "user_id", "ts", 3600L, "value")
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("n_events") == 3L &&
+      out(0).getAs[Long]("value_c") == 600L)
   }
 }

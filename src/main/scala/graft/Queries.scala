@@ -599,6 +599,39 @@ object Queries {
       "user_id", "ts")
       .orderBy("cohort_day", "day_k")
 
+  /** Markov event-type transitions over each user's (ts, id)-ordered
+    * stream: pair counts, source totals, and floored-ppm transition
+    * probabilities — integer arithmetic end-to-end. */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.transitions(table(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type")
+      .orderBy("prev_type", "event_type")
+
+  /** Trailing-24h rate-anomaly verdicts per (event_type, hour): spike
+    * iff n·24 > 3·(trailing-24h count sum), pure integer comparison;
+    * the first 24 hours of each type are warmup. */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rateAnomaly(table(spark, dir, "events"),
+      "event_type", "ts", windowHours = 24, factor = 3)
+      .orderBy("event_type", "hour_id")
+
+  /** Last-touch attribution: purchases credited to the latest preceding
+    * view/click of the same user within 6 h (else the "none" bucket);
+    * per-touch-type conversions, exact revenue cents, summed lag µs. */
+  def evAttrib(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.lastTouch(table(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", "value",
+      conversion = "purchase", touches = Seq("view", "click"),
+      horizonSec = 21600L)
+      .orderBy("touch_type")
+
+  /** Exact per-type value percentiles (discrete, integer cents) computed
+    * over the bounded value vocabulary — no corpus-size sort anywhere. */
+  def evLatency(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.percentilesByKey(table(spark, dir, "events"),
+      "event_type", "value", Seq(50, 90, 99))
+      .orderBy("event_type")
+
   /** staged ts-sliced copy of the events table for the streaming session
     * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
     * increasing file mtimes) so the file source replays event time in

@@ -44,6 +44,10 @@ object SparkEntry {
     "ev_sessions_stream" -> (Queries.evSessionsStream _),
     "ev_funnel" -> (Queries.evFunnel _),
     "ev_retention" -> (Queries.evRetention _),
+    "ev_transitions" -> (Queries.evTransitions _),
+    "ev_anomaly" -> (Queries.evAnomaly _),
+    "ev_attrib" -> (Queries.evAttrib _),
+    "ev_latency" -> (Queries.evLatency _),
     "txt_tfidf" -> (Queries.txtTfidf _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
@@ -395,6 +399,79 @@ object SparkEntry {
         |FROM g, wm
         |WHERE sess < last_sess OR (t_end_us // 1000) + 21600000 < w
         |ORDER BY user_id, t_start_us""".stripMargin,
+
+    // Markov transitions: identical (ts, id)-ordered lag adjacency +
+    // integer-ppm probability arithmetic
+    "ev_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    event_type FROM events),
+        |p AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus, event_id) AS prev_type FROM e),
+        |c AS (SELECT prev_type, event_type, count(*)::BIGINT AS n_pairs
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n_pairs,
+        |  (sum(n_pairs) OVER (PARTITION BY prev_type))::BIGINT AS n_from,
+        |  (n_pairs * 1000000) //
+        |    (sum(n_pairs) OVER (PARTITION BY prev_type))::BIGINT AS p_ppm
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+
+    // rate anomaly: identical (type, hour) counts, trailing-24h RANGE
+    // sum, integer spike comparison, per-type 24h warmup exclusion
+    "ev_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY hour_id
+        |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)::BIGINT AS trail_n,
+        |    min(hour_id) OVER (PARTITION BY event_type) AS first_h
+        |  FROM c)
+        |SELECT event_type, hour_id, n, trail_n,
+        |  (CASE WHEN n * 24 > trail_n * 3 THEN 1 ELSE 0 END)::BIGINT AS is_spike
+        |FROM w WHERE hour_id >= first_h + 24
+        |ORDER BY event_type, hour_id""".stripMargin,
+
+    // last-touch attribution: for each purchase, the latest strictly-
+    // preceding view/click of the same user within 6 h (the correlated
+    // subquery replays the running-max-struct semantics exactly)
+    "ev_attrib" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |pick AS (
+        |  SELECT c.vc, c.tus,
+        |    (SELECT struct_pack(y := t.event_type, t := t.tus) FROM e t
+        |     WHERE t.user_id = c.user_id
+        |       AND t.event_type IN ('view', 'click')
+        |       AND (t.tus < c.tus OR (t.tus = c.tus AND t.event_id < c.event_id))
+        |       AND c.tus - t.tus <= 21600000000
+        |     ORDER BY t.tus DESC, t.event_id DESC LIMIT 1) AS lt
+        |  FROM e c WHERE c.event_type = 'purchase')
+        |SELECT coalesce(lt.y, 'none') AS touch_type,
+        |  count(*)::BIGINT AS n_conv, sum(vc)::BIGINT AS revenue_c,
+        |  sum(CASE WHEN lt.y IS NULL THEN 0 ELSE tus - lt.t END)::BIGINT
+        |    AS lag_us_sum
+        |FROM pick GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    // exact discrete percentiles over the integer-cents vocabulary:
+    // smallest value whose cumulative count reaches ceil(p*n/100)
+    "ev_latency" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    (sum(cnt) OVER (PARTITION BY event_type ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+        |    (sum(cnt) OVER (PARTITION BY event_type))::BIGINT AS n
+        |  FROM c)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN vc END)::BIGINT AS p50_c,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN vc END)::BIGINT AS p90_c,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN vc END)::BIGINT AS p99_c
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dd_exact" ->
       s"""SELECT md5($normE) AS text_hash, min(doc_id) AS keep_id,

@@ -41,18 +41,22 @@ object EvScalingBench {
       .config("spark.sql.shuffle.partitions", ShufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // Keep TASK counts well above the larger level's cores (the same
-      // 256-constant protocol rule the shuffle partitions follow): the
-      // default 64m advisory lets AQE re-coalesce the window stage to
-      // ~max(cores, bytes/64m) ≈ 34 tasks = ONE wave at local[32]
-      // (measured util 0.75, wall = slowest task) with ~72 MB sorted per
-      // task (spills L3 → 2.08x CPU-time inflation). 16m keeps ~114
-      // multi-wave tasks whose ~20 MB sorts stay cache-resident — the
-      // same fix BENCH/STREAMING.md applied to the fan-out write.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
-      // ditto for the scan: maxSplitBytes = min(this, bytes/parallelism)
-      // was producing exactly cores splits = one wave at both levels
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // The protocol's whole point is a CONSTANT 256 reduce tasks at
+      // both levels — but AQE's partition coalescing re-derives the
+      // task count from shuffle BYTES (bytes/advisory), so the constant
+      // silently degrades to one task wave whenever the corpus shrinks:
+      // 64m advisory → 34 window tasks at 100M events (util 0.75,
+      // 2.08x CPU inflation from ~72 MB L3-spilling sorts); 16m fixed
+      // 100M but re-collapsed to 34 tasks = ONE wave at 25M (util
+      // 0.61). Coalescing is therefore OFF here — the 256 constant is
+      // load-bearing; AQE's skew split stays on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Scan splits follow the same rule: maxSplitBytes must stay well
+      // under corpusBytes/(2·cores) at the SMALLEST corpus this bench
+      // runs (25M events ≈ 0.5 GB → 4m ⇒ ~128 splits ≥ 4 waves @32);
+      // the default 128m (and 16m at 25M) produced exactly-one-wave
+      // scans whose wall was the slowest task.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -169,6 +173,8 @@ object EvScalingBench {
   private def combine(n: Long, r8: RunResult, r32: RunResult,
       outMd: String): Unit = {
     require(r8.events == n && r32.events == n, "fragment sizes differ")
+    require(r32.cores == 4 * r8.cores,
+      s"levels must be N and 4N cores, got ${r8.cores}/${r32.cores}")
     require(r8.sessions == r32.sessions && r8.checksum == r32.checksum,
       s"levels disagree: sessions ${r8.sessions}/${r32.sessions} " +
         s"checksum ${r8.checksum}/${r32.checksum}")
@@ -203,16 +209,16 @@ object EvScalingBench {
          |
          || run | master | wall min (s) | wall median (s) | events/s | best-2 spread |
          ||---|---|---|---|---|---|
-         || N  | local[8]  | ${r8.wallSec}%.1f | ${r8.medianSec}%.1f | ${r8.eventsPerSec}%.0f | ${r8.spreadPct}%.1f%% |
-         || 4N | local[32] | ${r32.wallSec}%.1f | ${r32.medianSec}%.1f | ${r32.eventsPerSec}%.0f | ${r32.spreadPct}%.1f%% |
+         || N  | local[${r8.cores}%d]  | ${r8.wallSec}%.1f | ${r8.medianSec}%.1f | ${r8.eventsPerSec}%.0f | ${r8.spreadPct}%.1f%% |
+         || 4N | local[${r32.cores}%d] | ${r32.wallSec}%.1f | ${r32.medianSec}%.1f | ${r32.eventsPerSec}%.0f | ${r32.spreadPct}%.1f%% |
          |
-         |**Scaling efficiency** = (events/s @32) / (4 × events/s @8) =
+         |**Scaling efficiency** = (events/s @${r32.cores}%d) / (4 × events/s @${r8.cores}%d) =
          |**$eff%.3f** min-of-trials, **$effMedian%.3f** medians (target ≥ 0.8).
          |
-         |warmups (s) — local[8]: ${r8.warmupsSec.map(x => f"$x%.1f").mkString(", ")};
-         |local[32]: ${r32.warmupsSec.map(x => f"$x%.1f").mkString(", ")}.
-         |timed trials (s) — local[8]: ${r8.trialsSec.map(x => f"$x%.1f").mkString(", ")};
-         |local[32]: ${r32.trialsSec.map(x => f"$x%.1f").mkString(", ")}.
+         |warmups (s) — local[${r8.cores}%d]: ${r8.warmupsSec.map(x => f"$x%.1f").mkString(", ")};
+         |local[${r32.cores}%d]: ${r32.warmupsSec.map(x => f"$x%.1f").mkString(", ")}.
+         |timed trials (s) — local[${r8.cores}%d]: ${r8.trialsSec.map(x => f"$x%.1f").mkString(", ")};
+         |local[${r32.cores}%d]: ${r32.trialsSec.map(x => f"$x%.1f").mkString(", ")}.
          |
          |## Cross-level correctness
          |
@@ -235,7 +241,7 @@ object EvScalingBench {
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)
     println(md)
-    println(s"""{"metric":"ev_sessions_events_per_sec_local32","value":${r32.eventsPerSec},"unit":"events/sec","local8":${r8.eventsPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"events":$n,"sessions":${r8.sessions},"checksum_equal":true,"gap_violations":$viol}""")
+    println(s"""{"metric":"ev_sessions_events_per_sec_local${r32.cores}","value":${r32.eventsPerSec},"unit":"events/sec","local${r8.cores}":${r8.eventsPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"events":$n,"sessions":${r8.sessions},"checksum_equal":true,"gap_violations":$viol}""")
   }
 
   def main(args: Array[String]): Unit = args.headOption match {

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The rest of the canonical log-analytics family downstream of a router
+  * (with [[Sessionize]], [[Funnel]], [[Retention]]): event-type Markov
+  * transitions, trailing-window rate-anomaly detection, last-touch
+  * attribution, and exact distributed percentiles.
+  *
+  * Shared design rule (the 100 TB contract every operator here obeys):
+  * the CORPUS is touched exactly once, either by a map-side-combinable
+  * hash aggregate onto a BOUNDED key space (type pairs, type×hour
+  * buckets, type×value-vocabulary) or by one user-key exchange whose
+  * window frames are streaming (lag / running max — O(1) buffer per
+  * row). Everything after the first aggregate is model-sized: windows
+  * partition on keys bounded by vocabulary or retention, never by
+  * corpus size. All derived ratios are computed in integer arithmetic
+  * (floored parts-per-million) so cross-engine compares can't flip on a
+  * last-ulp float difference.
+  */
+object EventAnalytics {
+
+  private def tUs(tsCol: String): Column =
+    unix_micros(col(tsCol).cast("timestamp"))
+
+  /** Markov event-type transition counts: for each observed (prev_type →
+    * event_type) adjacency in a user's (ts, id)-ordered stream, the pair
+    * count `n_pairs`, the source total `n_from`, and the transition
+    * probability as floored parts-per-million (`p_ppm` — integer
+    * arithmetic end-to-end).
+    *
+    * Scale shape: ONE data-sized exchange (the user key) feeding a
+    * streaming lag frame; the pair aggregate map-side combines onto
+    * ≤ |types|² keys, and the `n_from` window runs over that
+    * vocabulary-sized frame. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("_t_us"), col(idCol))
+    val pairs = events
+      .select(col(userCol), tUs(tsCol).as("_t_us"), col(idCol), col(typeCol))
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val wp = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("n_from", sum(col("n_pairs")).over(wp))
+      .withColumn("p_ppm", expr("(n_pairs * 1000000L) div n_from"))
+  }
+
+  /** Trailing-window rate-anomaly detection over per-(type, hour) event
+    * counts: an hour is a spike iff its count exceeds `factor` × the
+    * trailing `windowHours`-hour mean — evaluated as the INTEGER
+    * comparison n · W > factor · Σ(trailing counts), so absent (zero)
+    * hours weigh in exactly and no float mean is ever formed. The first
+    * `windowHours` hours of each type are warmup and not judged.
+    *
+    * Scale shape: the corpus collapses via ONE map-side-combinable hash
+    * aggregate onto (type, hour) — bounded by vocabulary × retention
+    * hours, not volume; the trailing RANGE frame and the warmup-min
+    * window both ride that bounded frame's single exchange. */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      windowHours: Int = 24, factor: Int = 3): DataFrame = {
+    require(windowHours > 0 && factor > 0, "windowHours and factor must be positive")
+    val counts = events
+      .select(col(typeCol).as("event_type"),
+        tUs(tsCol).as("_t_us"))
+      .withColumn("hour_id", expr("_t_us div 3600000000L"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy("event_type")
+    val trail = byType.orderBy("hour_id")
+      .rangeBetween(-windowHours.toLong, -1L)
+    counts
+      .withColumn("trail_n", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("_first", min(col("hour_id")).over(byType))
+      .where(col("hour_id") >= col("_first") + windowHours)
+      .withColumn("is_spike",
+        when(col("n") * windowHours > col("trail_n") * factor, 1L)
+          .otherwise(0L))
+      .select("event_type", "hour_id", "n", "trail_n", "is_spike")
+  }
+
+  /** Last-touch attribution: each `conversion` event is credited to the
+    * LATEST strictly-preceding touch event (type ∈ `touches`) of the
+    * same user within `horizonSec`, or to the `"none"` bucket. Returns
+    * the per-touch-type rollup: conversions, exact revenue cents, and
+    * the summed conversion lag (µs).
+    *
+    * Scale shape: one user-key exchange; the "latest preceding touch" is
+    * a running `max(struct(t, id, type))` frame (streaming, O(1) buffer —
+    * never a per-user buffered event list), and the horizon test needs
+    * only that single struct: if the NEWEST touch is older than the
+    * horizon, every touch is. The rollup map-side combines onto
+    * ≤ |touches|+1 keys. */
+  def lastTouch(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      conversion: String, touches: Seq[String],
+      horizonSec: Long): DataFrame = {
+    require(touches.nonEmpty && !touches.contains(conversion),
+      "touches must be non-empty and exclude the conversion type")
+    val w = Window.partitionBy(userCol).orderBy(col("_t_us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touches: _*)
+    events
+      .select(col(userCol), tUs(tsCol).as("_t_us"), col(idCol),
+        col(typeCol), round(col(valueCol) * 100).cast("long").as("_vc"))
+      .withColumn("_lt",
+        max(when(isTouch, struct(col("_t_us").as("t"), col(idCol).as("i"),
+          col(typeCol).as("y")))).over(w))
+      .where(col(typeCol) === lit(conversion))
+      .withColumn("touch_type",
+        when(col("_lt").isNotNull
+          .and(col("_t_us") - col("_lt.t") <= horizonSec * 1000000L),
+          col("_lt.y")).otherwise(lit("none")))
+      .withColumn("_lag_us",
+        when(col("touch_type") =!= lit("none"), col("_t_us") - col("_lt.t"))
+          .otherwise(lit(0L)))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("_vc")).as("revenue_c"),
+        sum(col("_lag_us")).as("lag_us_sum"))
+  }
+
+  /** Exact per-key percentiles WITHOUT a corpus-size sort: `valueCol` is
+    * floored to integer cents (a bounded value vocabulary), the corpus
+    * collapses via one map-side-combinable (key, cents) count, and each
+    * requested percentile p is the smallest cents value whose cumulative
+    * count reaches ⌈p·n/100⌉ — the discrete (type-1) percentile, in
+    * integer arithmetic end-to-end.
+    *
+    * Scale shape: the only corpus-sized operation is the hash aggregate;
+    * the cumulative window and the final per-key fold run over the
+    * vocabulary-sized frame. This is the operator's advantage over
+    * sort-based percentile at 100 TB: no global or per-key data sort
+    * ever happens, so a hot key floods nothing. */
+  def percentilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1, 100]")
+    val counts = df
+      .select(col(keyCol), round(col(valueCol) * 100).cast("long").as("_vc"))
+      .groupBy(col(keyCol), col("_vc"))
+      .agg(count(lit(1)).as("_cnt"))
+    val byKey = Window.partitionBy(keyCol)
+    val cum = counts
+      .withColumn("_cum", sum(col("_cnt")).over(
+        byKey.orderBy("_vc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum(col("_cnt")).over(byKey))
+    val pCols = pcts.map { p =>
+      min(when(col("_cum") >= expr(s"(_n * $p + 99) div 100"), col("_vc")))
+        .as(s"p${p}_c")
+    }
+    val aggs = max(col("_n")).as("n") +: pCols
+    cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hotdog.SparkSpec
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Double)*) =
+    rows.zipWithIndex.map { case ((u, sec, ty, v), i) =>
+      (i.toLong, u, new java.sql.Timestamp(sec * 1000L), ty, v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+
+  // ---- transitions ----
+
+  test("transitions: per-user (ts,id)-ordered adjacency, ppm floored") {
+    val e = ev(
+      (1L, 0L, "a", 0), (1L, 10L, "b", 0), (1L, 20L, "a", 0), // a→b, b→a
+      (2L, 5L, "a", 0), (2L, 6L, "b", 0),                     // a→b
+      (3L, 9L, "c", 0))                                       // singleton: none
+    val out = EventAnalytics
+      .transitions(e, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((2L, 2L, 1000000L)),
+      ("b", "a") -> ((1L, 1L, 1000000L))))
+  }
+
+  test("transitions: same-timestamp adjacency breaks ties by the id column") {
+    val e = ev((1L, 7L, "x", 0), (1L, 7L, "y", 0), (1L, 7L, "z", 0))
+    val out = EventAnalytics
+      .transitions(e, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("x", "y"), ("y", "z")))
+  }
+
+  test("transitions plan: one data-sized exchange (user key); the rest ride the <=|types|^2 frame") {
+    val e = ev((1L, 0L, "a", 0), (1L, 1L, "b", 0))
+    val plan = EventAnalytics
+      .transitions(e, "user_id", "ts", "event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 shuffles, got $exchanges:\n$plan")
+  }
+
+  // ---- rateAnomaly ----
+
+  test("rateAnomaly: integer spike verdict over the trailing range frame; warmup excluded") {
+    // type "a": hours 0..25 at 1/hour, then hour 26 with 9 events.
+    // trailing-24h sum at h26 = 24 (hours 2..25, h26 excluded) →
+    // 9*24=216 > 3*24=72 → spike; h25 (n=1): 24 < 3*24 → calm.
+    val rows = (0L to 25L).map(h => (1L, h * 3600L, "a", 0.0)) ++
+      (0 until 9).map(i => (1L, 26L * 3600L + i, "a", 0.0))
+    val out = EventAnalytics.rateAnomaly(ev(rows: _*), "event_type", "ts",
+      windowHours = 24, factor = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(!out.contains(23L), "warmup hours must be excluded")
+    assert(out(24L) == ((1L, 24L, 0L)))
+    assert(out(25L) == ((1L, 24L, 0L)))
+    assert(out(26L) == ((9L, 24L, 1L)))
+  }
+
+  test("rateAnomaly: absent (zero) hours weigh into the trailing sum exactly") {
+    // events only at hours 0 and 30: at h30 the trailing 24h window
+    // (hours 6..29) is empty → trail 0 → any n spikes
+    val out = EventAnalytics.rateAnomaly(
+      ev((1L, 0L, "a", 0.0), (1L, 30L * 3600L, "a", 0.0)),
+      "event_type", "ts", windowHours = 24, factor = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(30L -> ((0L, 1L))))
+  }
+
+  // ---- lastTouch ----
+
+  test("lastTouch: latest preceding touch wins; horizon excludes; none bucket") {
+    val e = ev(
+      // u1: view@0, click@100 → purchase@200 (credit click, lag 100s)
+      (1L, 0L, "view", 0), (1L, 100L, "click", 0), (1L, 200L, "purchase", 5.0),
+      // u2: view@0 → purchase@4000 (horizon 3600 → none)
+      (2L, 0L, "view", 0), (2L, 4000L, "purchase", 7.0),
+      // u3: purchase with no touches at all → none
+      (3L, 50L, "purchase", 1.5),
+      // u1 second purchase@250: latest preceding touch still click@100
+      (1L, 250L, "purchase", 2.0))
+    val out = EventAnalytics.lastTouch(e, "user_id", "ts", "event_id",
+      "event_type", "value", "purchase", Seq("view", "click"), 3600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "click" -> ((2L, 700L, (100L + 150L) * 1000000L)),
+      "none" -> ((2L, 850L, 0L))))
+  }
+
+  test("lastTouch: a same-timestamp touch with a smaller id strictly precedes") {
+    val e = Seq(
+      (10L, 1L, new java.sql.Timestamp(5000L), "click", 0.0),
+      (11L, 1L, new java.sql.Timestamp(5000L), "purchase", 3.0),
+      (12L, 1L, new java.sql.Timestamp(5000L), "view", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.lastTouch(e, "user_id", "ts", "event_id",
+      "event_type", "value", "purchase", Seq("view", "click"), 3600L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the id-10 click precedes the id-11 purchase; the id-12 view
+    // is AFTER in (ts, id) order and must not be credited
+    assert(out == Map("click" -> 1L))
+  }
+
+  test("lastTouch plan: one user-key exchange + the bounded rollup") {
+    val e = ev((1L, 0L, "view", 0), (1L, 1L, "purchase", 1.0))
+    val plan = EventAnalytics.lastTouch(e, "user_id", "ts", "event_id",
+      "event_type", "value", "purchase", Seq("view", "click"), 3600L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+  }
+
+  // ---- percentilesByKey ----
+
+  test("percentilesByKey: discrete rank-ceil percentiles in integer cents") {
+    // key "a": values 1..10 (cents 100..1000): p50 → rank 5 → 500;
+    // p90 → rank 9 → 900; p99 → rank ceil(9.9)=10 → 1000
+    val rows = (1 to 10).map(i => (1L, i.toLong, "a", i.toDouble)) :+
+      (2L, 1L, "b", 2.5)
+    val out = EventAnalytics.percentilesByKey(ev(rows: _*),
+      "event_type", "value", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      "a" -> ((10L, 500L, 900L, 1000L)),
+      "b" -> ((1L, 250L, 250L, 250L))))
+  }
+
+  test("percentilesByKey: duplicate values collapse into the vocabulary counts") {
+    // 97×100 + 2×200 + 1×300: p50 → 100, p99 → rank 99 → 200 (not 300)
+    val rows = (1 to 97).map(_ => (1L, 1L, "a", 1.0)) ++
+      Seq((1L, 2L, "a", 2.0), (1L, 3L, "a", 2.0), (1L, 4L, "a", 3.0))
+    val out = EventAnalytics.percentilesByKey(ev(rows: _*),
+      "event_type", "value", Seq(50, 99))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(out == ((100L, 100L, 200L)))
+  }
+
+  test("percentilesByKey plan: corpus touched ONLY by the partial-agg scan — no corpus-size sort, no window before the first aggregate") {
+    val e = ev((1L, 0L, "a", 1.0), (1L, 1L, "a", 2.0))
+    val qe = EventAnalytics.percentilesByKey(e, "event_type", "value",
+      Seq(50, 90)).queryExecution
+    val plan = qe.executedPlan.toString
+    // the window (cum/total) runs strictly AFTER the (key, cents)
+    // aggregate: in the plan tree the Window must not contain a scan
+    // without an intervening HashAggregate — pin via ordering: the
+    // first aggregate appears below (after, in print order) the window
+    val lines = plan.linesIterator.toSeq
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    val aggs = lines.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(firstWindow >= 0 && aggs.exists(_ > firstWindow),
+      s"expected a HashAggregate below the Window (vocabulary-sized window input):\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+  }
+}

@@ -167,6 +167,8 @@ object StreamingScalingBench {
   private def combine(rows: Long, r8: RunResult, r32: RunResult,
       outMd: String): Unit = {
     require(r8.inputRows == rows && r32.inputRows == rows, "row mismatch")
+    require(r32.cores == 4 * r8.cores,
+      s"levels must be N and 4N cores, got ${r8.cores}/${r32.cores}")
     val eff = r32.routedPerSec / (4.0 * r8.routedPerSec)
     val effMedian = r8.medianSec / (4.0 * r32.medianSec)
     // batch-mode ground truth over the same corpus (not timed)
@@ -194,10 +196,10 @@ object StreamingScalingBench {
          |
          || run | master | batches | wall min (s) | wall median (s) | input rows/s | routed rows/s | best-${sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2")}%s spread |
          ||---|---|---|---|---|---|---|---|
-         || N  | local[8]  | ${r8.batches}%d | ${r8.wallSec}%.1f | ${r8.medianSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f | ${r8.spreadPct}%.1f%% |
-         || 4N | local[32] | ${r32.batches}%d | ${r32.wallSec}%.1f | ${r32.medianSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f | ${r32.spreadPct}%.1f%% |
+         || N  | local[${r8.cores}%d]  | ${r8.batches}%d | ${r8.wallSec}%.1f | ${r8.medianSec}%.1f | ${r8.inputPerSec}%.0f | ${r8.routedPerSec}%.0f | ${r8.spreadPct}%.1f%% |
+         || 4N | local[${r32.cores}%d] | ${r32.batches}%d | ${r32.wallSec}%.1f | ${r32.medianSec}%.1f | ${r32.inputPerSec}%.0f | ${r32.routedPerSec}%.0f | ${r32.spreadPct}%.1f%% |
          |
-         |**Scaling efficiency** = (routed/s @32) / (4 × routed/s @8) =
+         |**Scaling efficiency** = (routed/s @${r32.cores}%d) / (4 × routed/s @${r8.cores}%d) =
          |**$eff%.3f** from min-of-trials, **$effMedian%.3f** from medians
          |(target ≥ 0.8).
          |
@@ -205,20 +207,20 @@ object StreamingScalingBench {
          |(see BENCH/BASELINE.md for why); corpus, shuffle, checkpoint and
          |sink all on tmpfs (single shared virtio disk would otherwise
          |dominate trial variance — BENCH/run_dedup_scaling.sh notes).
-         |Warmups (s) — local[8]: ${r8.warmupsSec.map(w => f"$w%.1f").mkString(", ")};
-         |local[32]: ${r32.warmupsSec.map(w => f"$w%.1f").mkString(", ")}.
-         |Timed trials (s) — local[8]: ${r8.trialsSec.map(w => f"$w%.1f").mkString(", ")};
-         |local[32]: ${r32.trialsSec.map(w => f"$w%.1f").mkString(", ")}.
+         |Warmups (s) — local[${r8.cores}%d]: ${r8.warmupsSec.map(w => f"$w%.1f").mkString(", ")};
+         |local[${r32.cores}%d]: ${r32.warmupsSec.map(w => f"$w%.1f").mkString(", ")}.
+         |Timed trials (s) — local[${r8.cores}%d]: ${r8.trialsSec.map(w => f"$w%.1f").mkString(", ")};
+         |local[${r32.cores}%d]: ${r32.trialsSec.map(w => f"$w%.1f").mkString(", ")}.
          |
          |Correctness: per-topic sink counts of the streaming runs equal the
          |batch-mode route over the same corpus —
-         |local[8]: $parity8; local[32]: $parity32
+         |local[${r8.cores}%d]: $parity8; local[${r32.cores}%d]: $parity32
          |(routed rows ${r32.routedRows}%d across ${r32.perTopic.size}%d topics).
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)
     println(md)
-    println(s"""{"metric":"stream_routed_rows_per_sec_local32","value":${r32.routedPerSec},"unit":"rows/sec","local8":${r8.routedPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"rows":$rows,"batches":${r32.batches},"count_parity8":$parity8,"count_parity32":$parity32}""")
+    println(s"""{"metric":"stream_routed_rows_per_sec_local${r32.cores}","value":${r32.routedPerSec},"unit":"rows/sec","local${r8.cores}":${r8.routedPerSec},"scaling_efficiency":$eff,"scaling_efficiency_median":$effMedian,"rows":$rows,"batches":${r32.batches},"count_parity8":$parity8,"count_parity32":$parity32}""")
   }
 
   def main(args: Array[String]): Unit = args.headOption match {

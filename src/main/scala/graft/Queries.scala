@@ -632,6 +632,33 @@ object Queries {
       "event_type", "value", Seq(50, 90, 99))
       .orderBy("event_type")
 
+  /** Session entry paths (first 3 event types per 6 h gap session):
+    * TOTAL per-path session counts over the bounded path vocabulary;
+    * the first-3 selection is the salted two-phase rank. */
+  def evPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sessionPaths(table(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", gapSec = 21600L, depth = 3)
+      .orderBy("path")
+
+  /** Daily active users + calendar-month stickiness (DAU/MAU as
+    * floored ppm — integer arithmetic). */
+  def evDau(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.dauStickiness(table(spark, dir, "events"),
+      "user_id", "ts")
+      .orderBy("day")
+
+  /** Pivoted per-day event-type counts — the relational PIVOT surface
+    * (explicit value list so the output schema is static; absent cells
+    * filled 0). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd")
+        .as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("day")
+
   /** staged ts-sliced copy of the events table for the streaming session
     * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
     * increasing file mtimes) so the file source replays event time in

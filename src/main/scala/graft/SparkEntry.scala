@@ -48,6 +48,9 @@ object SparkEntry {
     "ev_anomaly" -> (Queries.evAnomaly _),
     "ev_attrib" -> (Queries.evAttrib _),
     "ev_latency" -> (Queries.evLatency _),
+    "ev_paths" -> (Queries.evPaths _),
+    "ev_dau" -> (Queries.evDau _),
+    "q_pivot" -> (Queries.qPivot _),
     "txt_tfidf" -> (Queries.txtTfidf _),
     // training-data pipeline operators
     "dd_exact" -> (Queries.ddExact _),
@@ -454,6 +457,50 @@ object SparkEntry {
         |  sum(CASE WHEN lt.y IS NULL THEN 0 ELSE tus - lt.t END)::BIGINT
         |    AS lag_us_sum
         |FROM pick GROUP BY 1 ORDER BY touch_type""".stripMargin,
+
+    // session entry paths: identical gap sessionization (tie-broken by
+    // event_id like ev_sessions), first-3 selection + '>' join replayed
+    // with row_number + ORDER BY-ed string_agg
+    "ev_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    event_type FROM events),
+        |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 21600000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY tus, event_id) AS rk FROM s),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 3 GROUP BY user_id, sess)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
+
+    // DAU + calendar-month MAU stickiness: identical distinct frames +
+    // integer-ppm arithmetic
+    "ev_dau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        |  FROM events),
+        |dau AS (SELECT d, count(*)::BIGINT AS dau FROM du GROUP BY d),
+        |mau AS (SELECT date_trunc('month', d) AS m, count(DISTINCT user_id)::BIGINT AS mau
+        |  FROM du GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+        |  (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+        |FROM dau JOIN mau ON date_trunc('month', dau.d) = mau.m
+        |ORDER BY day""".stripMargin,
+
+    // pivoted per-day event-type counts (static column list, 0-filled)
+    "q_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) FILTER (event_type = 'click')::BIGINT AS click,
+        |  count(*) FILTER (event_type = 'error')::BIGINT AS error,
+        |  count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+        |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+        |  count(*) FILTER (event_type = 'view')::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     // exact discrete percentiles over the integer-cents vocabulary:
     // smallest value whose cumulative count reaches ceil(p*n/100)

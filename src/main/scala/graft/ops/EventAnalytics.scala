@@ -124,6 +124,68 @@ object EventAnalytics {
         sum(col("_lag_us")).as("lag_us_sum"))
   }
 
+  /** Session entry paths: the first `depth` event types of each gap
+    * session, in (ts, id) order, joined with `">"` — then the global
+    * per-path session counts (TOTAL: every observed path is emitted;
+    * the output is bounded by |types|^depth, so no top-k cut is
+    * needed).
+    *
+    * Scale shape: [[Sessionize.sessionize]]'s one user-key exchange
+    * numbers the sessions; the "first depth events" selection is the
+    * salted two-phase [[Ranks.topKPerGroup]] — NEVER a bare row_number
+    * over the session key, so a bot user's million-event session floods
+    * nothing; the ≤ depth survivors per session fold via a
+    * deterministic rank-sorted array (array_sort on (rank, type) — rank
+    * is unique per session, so collect_list order cannot leak in); the
+    * final path count map-side combines onto the bounded path
+    * vocabulary. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSec: Long,
+      depth: Int = 3): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    val slim = Sessionize.sessionize(events, userCol, tsCol, idCol, gapSec)
+      .select(col(userCol), col("session_seq"),
+        tUs(tsCol).as("_t_us"), col(idCol), col(typeCol))
+    val firstK = Ranks.topKPerGroup(slim,
+      groupCol = struct(col(userCol), col("session_seq")),
+      saltFrom = col(idCol),
+      order = Seq(col("_t_us"), col(idCol)),
+      k = depth, rankAs = "_rank")
+    firstK
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("_rank"),
+          col(typeCol).as("_ty")))), x => x.getField("_ty"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  /** Daily active users with calendar-month stickiness: per day, the
+    * distinct `userCol` count, that month's distinct count, and
+    * DAU/MAU as floored parts-per-million (integer arithmetic).
+    *
+    * Scale shape: ONE corpus-sized operation — the (day, user) distinct,
+    * a map-side-combinable hash aggregate (the corpus collapses to the
+    * active-pairs frame); dau, the (month, user) distinct and mau all
+    * derive from that frame, and the day⋈month join is
+    * months-sized-broadcast against a days-sized probe. */
+  def dauStickiness(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val du = events
+      .select(to_date(col(tsCol).cast("timestamp")).as("_d"), col(userCol))
+      .distinct()
+    val dau = du.groupBy(col("_d")).agg(count(lit(1)).as("dau"))
+    val mau = du
+      .select(trunc(col("_d"), "month").as("_m"), col(userCol))
+      .distinct()
+      .groupBy(col("_m")).agg(count(lit(1)).as("mau"))
+    dau
+      .join(broadcast(mau), trunc(col("_d"), "month") === col("_m"))
+      .select(date_format(col("_d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"))
+      .withColumn("stickiness_ppm", expr("(dau * 1000000L) div mau"))
+  }
+
   /** Exact per-key percentiles WITHOUT a corpus-size sort: `valueCol` is
     * floored to integer cents (a bounded value vocabulary), the corpus
     * collapses via one map-side-combinable (key, cents) count, and each

@@ -118,6 +118,55 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
   }
 
+  // ---- sessionPaths ----
+
+  test("sessionPaths: first-depth types per gap session, '>'-joined, counted") {
+    val e = ev(
+      // u1 session 1: a,b,c,d (depth 3 → "a>b>c"); session 2: b alone
+      (1L, 0L, "a", 0), (1L, 10L, "b", 0), (1L, 20L, "c", 0),
+      (1L, 30L, "d", 0), (1L, 10000L, "b", 0),
+      // u2: one session a,b → "a>b"
+      (2L, 5L, "a", 0), (2L, 6L, "b", 0))
+    val out = EventAnalytics.sessionPaths(e, "user_id", "ts", "event_id",
+      "event_type", gapSec = 3600L, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a>b>c" -> 1L, "b" -> 1L, "a>b" -> 1L))
+  }
+
+  test("sessionPaths: equal-timestamp entries order by the id tie-break") {
+    val e = Seq(
+      (7L, 1L, new java.sql.Timestamp(1000L), "y", 0.0),
+      (5L, 1L, new java.sql.Timestamp(1000L), "x", 0.0),
+      (9L, 1L, new java.sql.Timestamp(1000L), "z", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.sessionPaths(e, "user_id", "ts", "event_id",
+      "event_type", gapSec = 3600L, depth = 3)
+      .collect().map(r => r.getString(0)).toSeq
+    assert(out == Seq("x>y>z"))
+  }
+
+  // ---- dauStickiness ----
+
+  test("dauStickiness: distinct users per day, calendar-month MAU, floored ppm") {
+    def at(day: String, u: Long) =
+      (u, day) // (user, date string)
+    val rows = Seq(
+      at("2024-01-01", 1L), at("2024-01-01", 1L), // same-day repeat: once
+      at("2024-01-01", 2L), at("2024-01-02", 1L),
+      at("2024-02-01", 3L))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(s"$d 12:00:00"), "view", 0.0)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.dauStickiness(rows, "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Jan MAU = {1,2} = 2; Feb MAU = {3} = 1
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L, 1000000L)),
+      "2024-01-02" -> ((1L, 2L, 500000L)),
+      "2024-02-01" -> ((1L, 1L, 1000000L))))
+  }
+
   // ---- percentilesByKey ----
 
   test("percentilesByKey: discrete rank-ceil percentiles in integer cents") {

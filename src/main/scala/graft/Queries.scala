@@ -647,6 +647,27 @@ object Queries {
       "user_id", "ts")
       .orderBy("day")
 
+  /** Gap sessions via Spark's NATIVE session_window operator (the
+    * compose-existing-ops form of ev_sessions; also the streaming-
+    * capable groupBy shape — session_window + watermark works under
+    * readStream). Same boundary rule as Sessionize: session_window's
+    * windows are end-INCLUSIVE, so an event exactly gap after the last
+    * one EXTENDS the session (split only at diff > gap) — pinned in
+    * SessionizeSpec on an exact-gap fixture (measured, not assumed:
+    * the half-open reading of [start, last+gap) is wrong). The oracle
+    * replays the > rule with window end = last + gap. */
+  def evSessionsNative(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts").cast("timestamp"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_c"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("w_start_us"),
+        unix_micros(col("sw.end")).as("w_end_us"),
+        col("n_events"), col("value_c"))
+      .orderBy("user_id", "w_start_us")
+
   /** Pivoted per-day event-type counts — the relational PIVOT surface
     * (explicit value list so the output schema is static; absent cells
     * filled 0). */

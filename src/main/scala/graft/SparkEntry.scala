@@ -50,6 +50,7 @@ object SparkEntry {
     "ev_latency" -> (Queries.evLatency _),
     "ev_paths" -> (Queries.evPaths _),
     "ev_dau" -> (Queries.evDau _),
+    "ev_sessions_native" -> (Queries.evSessionsNative _),
     "q_pivot" -> (Queries.qPivot _),
     "txt_tfidf" -> (Queries.txtTfidf _),
     // training-data pipeline operators
@@ -478,6 +479,25 @@ object SparkEntry {
         |  FROM r WHERE rk <= 3 GROUP BY user_id, sess)
         |SELECT path, count(*)::BIGINT AS n_sessions
         |FROM p GROUP BY path ORDER BY path""".stripMargin,
+
+    // native session_window replay: same > gap split rule as
+    // ev_sessions (session_window windows are end-INCLUSIVE — an event
+    // AT last+gap extends the session; pinned in SessionizeSpec on an
+    // exact-gap fixture), window end reported as last + gap
+    "ev_sessions_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |      OR tus - lag(tus) OVER w > 21600000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM m)
+        |SELECT user_id, min(tus)::BIGINT AS w_start_us,
+        |  (max(tus) + 21600000000)::BIGINT AS w_end_us,
+        |  count(*)::BIGINT AS n_events, sum(vc)::BIGINT AS value_c
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, w_start_us""".stripMargin,
 
     // DAU + calendar-month MAU stickiness: identical distinct frames +
     // integer-ppm arithmetic

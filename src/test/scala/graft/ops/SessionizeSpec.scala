@@ -146,6 +146,34 @@ class SessionizeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("native session_window vs sessionStats: IDENTICAL boundary rule — " +
+      "an exact-gap pair merges in both, gap+1 splits in both") {
+    import org.apache.spark.sql.functions.{session_window => sw}
+    // gaps: 3599 (merge), exactly 3600 (merge — session_window windows
+    // are end-INCLUSIVE: an event AT last+gap extends the session, the
+    // same > gap split rule sessionStats uses), 3601 (split)
+    val e = ev((1L, 0L, 1.0), (1L, 3599L, 1.0), (1L, 7199L, 1.0),
+      (1L, 10800L, 1.0))
+    val native = e
+      .groupBy(col("user_id"), sw(col("ts").cast("timestamp"), "1 hour"))
+      .count()
+      .select(col("session_window.start").cast("long").as("w_start"),
+        col("session_window.end").cast("long").as("w_end"), col("count"))
+      .orderBy("w_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ours = Sessionize.sessionStats(e, "user_id", "ts",
+      gapSec = 3600L, valueCol = "value")
+      .orderBy("session_seq")
+      .collect().map(r => (r.getAs[Long]("t_start_us") / 1000000L,
+        r.getAs[Long]("t_end_us") / 1000000L, r.getAs[Long]("n_events")))
+    assert(native.toSeq == Seq((0L, 7199L + 3600L, 3L),
+      (10800L, 10800L + 3600L, 1L)),
+      s"native windows: ${native.toSeq}")
+    // same memberships; ours reports [first, last], native [first, last+gap]
+    assert(ours.toSeq == Seq((0L, 7199L, 3L), (10800L, 10800L, 1L)),
+      s"our sessions: ${ours.toSeq}")
+  }
+
   test("sessionStats prunes the id column: stats are tie-order free, so " +
       "the exchange + window sort move 3 narrow columns, never the full row") {
     // a parquet-backed input so the scan's ReadSchema is real

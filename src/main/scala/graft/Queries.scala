@@ -680,6 +680,75 @@ object Queries {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Per-type distinct-user estimation via the KMV bottom-64 sketch,
+    * with the exact count as the audit column — both the exact-when-
+    * small branch (15 users < 64 at sf0.001) and the estimator branch
+    * (150 users > 64 at sf0.01) are load-bearing across the two driver
+    * scales. Oracle replays the 60-bit md5 hash, the per-type bottom-64
+    * selection and the IEEE estimate arithmetic. */
+  def evUniqKmv(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.kmvUniques(table(spark, dir, "events"),
+      "event_type", col("user_id"), k = 64)
+      .orderBy("event_type")
+
+  /** Deterministic per-(user, hour) quota throttle, quota 1 — the
+    * admission summary. Hours holding 2–3 events exist at both driver
+    * scales (419 + 7 at sf0.01, 49 at sf0.001), so n_dropped is
+    * non-trivially populated everywhere. */
+  def evRateLimit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rateLimitSummary(table(spark, dir, "events"),
+      "user_id", "ts", "event_id", "event_type",
+      quota = 1, windowUs = 3600000000L)
+      .orderBy("event_type")
+
+  /** CDC latest-wins merge: the documents table as the base snapshot
+    * (version 0) plus a deterministic change batch — updates (doc_id %
+    * 7), deletes (doc_id % 11, version 2 so an update-then-delete key
+    * (% 77) is deleted — ordering load-bearing), and inserts (new keys
+    * doc_id + 1e6 for doc_id % 13). Output carries md5(text) so the
+    * merged payloads are hash-compared without corpus-sized strings. */
+  def pipeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), lit(0L).as("version"),
+      lit("upsert").as("op"), col("text"), col("source"))
+    val nullS = lit(null).cast("string")
+    val changes = docs.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(1L).as("version"), lit("upsert").as("op"),
+        concat(col("text"), lit(" [rev2]")).as("text"), col("source"))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("delete").as("op"),
+          nullS.as("text"), nullS.as("source")))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit(1L).as("version"), lit("upsert").as("op"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          lit("cdc").as("source")))
+    graft.ops.Snapshot.applyChanges(base, changes, "doc_id", "version",
+        "op", Seq("text", "source"))
+      .select(col("doc_id"), col("version"), md5(col("text")).as("payload_md5"),
+        col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Snapshot diff audit: before = documents; after deterministically
+    * removes doc_id % 17 = 3, rewrites text for doc_id % 5 = 0 and adds
+    * new keys for doc_id % 19 = 0 — all four statuses populated at both
+    * driver scales (a removed ∩ changed key stays `removed`: absence
+    * wins). Fingerprint = md5(text). */
+  def pipeSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val before = docs.select(col("doc_id"), col("text"))
+    val after = docs.where(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("added doc "), col("doc_id").cast("string")).as("text")))
+    graft.ops.Snapshot.diff(before, after, "doc_id", md5(col("text")))
+      .orderBy("doc_id")
+  }
+
   /** staged ts-sliced copy of the events table for the streaming session
     * query: 6 contiguous time-range slices written SEQUENTIALLY (strictly
     * increasing file mtimes) so the file source replays event time in

@@ -107,7 +107,11 @@ object SparkEntry {
     "txt_bm25" -> (Queries.txtBm25 _),
     "txt_chunks" -> (Queries.txtChunks _),
     "pipe_split" -> (Queries.pipeSplit _),
-    "pipe_stratified" -> (Queries.pipeStratified _))
+    "pipe_stratified" -> (Queries.pipeStratified _),
+    "ev_uniq_kmv" -> (Queries.evUniqKmv _),
+    "ev_rate_limit" -> (Queries.evRateLimit _),
+    "pipe_upsert" -> (Queries.pipeUpsert _),
+    "pipe_snapshot_diff" -> (Queries.pipeSnapshotDiff _))
 
   // ---- shared fragments reused inside the oracle SQL (DuckDB dialect) ----
   private val msgE = Queries.msgExpr
@@ -521,6 +525,78 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
         |  count(*) FILTER (event_type = 'view')::BIGINT AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // KMV bottom-64 distinct sketch: identical 60-bit md5 hash, per-type
+    // bottom-64 selection, and the two-IEEE-op estimate (63·2^60 / kth —
+    // the product is exactly representable, the division exact-rounded,
+    // so floor() agrees bit-for-bit across engines)
+    "ev_uniq_kmv" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        |  FROM h),
+        |m AS (SELECT event_type, count(*)::BIGINT AS uniques_exact,
+        |    max(hv) FILTER (rk <= 64) AS kth,
+        |    count(*) FILTER (rk <= 64) AS n_in
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT event_type, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT t.event_type, t.n_events, m.uniques_exact,
+        |  CASE WHEN m.n_in < 64 THEN m.uniques_exact
+        |       ELSE CAST(floor(63.0 * 1152921504606846976.0 / kth) AS BIGINT)
+        |  END AS uniques_est
+        |FROM t JOIN m USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // per-(user, hour) quota 1: the naive window replay of the salted
+    // two-phase rank (equal because the (ts, id) order is total)
+    "ev_rate_limit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+        |    epoch_us(ts) // 3600000000 AS win FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, win
+        |    ORDER BY tus, event_id) AS rk FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n_total,
+        |  count(*) FILTER (rk <= 1)::BIGINT AS n_kept,
+        |  (count(*) - count(*) FILTER (rk <= 1))::BIGINT AS n_dropped
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // CDC latest-wins merge: same synthetic change batch, winner = the
+    // highest version per key, deletes filtered after the argmax
+    "pipe_upsert" ->
+      """WITH base AS (SELECT doc_id, 0::BIGINT AS version, 'upsert' AS op,
+        |    text, source FROM documents),
+        |up AS (SELECT doc_id, 1::BIGINT, 'upsert', text || ' [rev2]', source
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |del AS (SELECT doc_id, 2::BIGINT, 'delete', NULL, NULL
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |ins AS (SELECT doc_id + 1000000, 1::BIGINT, 'upsert',
+        |    'new doc ' || doc_id, 'cdc'
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM up
+        |  UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rn FROM al)
+        |SELECT doc_id, version, md5(text) AS payload_md5, source
+        |FROM w WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id""".stripMargin,
+
+    // snapshot diff: same synthetic after-snapshot, statuses via the
+    // full outer join the aggregate form replaces
+    "pipe_snapshot_diff" ->
+      """WITH bf AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |af AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5('added doc ' || doc_id)
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT coalesce(bf.doc_id, af.doc_id) AS doc_id,
+        |  CASE WHEN bf.doc_id IS NULL THEN 'added'
+        |       WHEN af.doc_id IS NULL THEN 'removed'
+        |       WHEN bf.fp = af.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM bf FULL JOIN af ON bf.doc_id = af.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // exact discrete percentiles over the integer-cents vocabulary:
     // smallest value whose cumulative count reaches ceil(p*n/100)

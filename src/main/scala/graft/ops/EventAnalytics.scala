@@ -219,4 +219,46 @@ object EventAnalytics {
     val aggs = max(col("_n")).as("n") +: pCols
     cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Deterministic per-key rate limiting (quota enforcement): keep the
+    * first `quota` events of each (user, time-window) by (ts, id) —
+    * the throttle a log pipeline applies to a runaway device before the
+    * data reaches anything expensive. Returns the KEPT stream (the
+    * production output: one pass, filter in place).
+    *
+    * Flood shape: the quota key (user, window) is exactly where a
+    * runaway source floods, so ranking must not sort a hot key's rows
+    * in one task — the selection reuses [[Ranks.topKPerGroup]]'s salted
+    * two-phase rank (order (ts, id) is total, so the result equals the
+    * naive per-key window exactly). Deterministic under any
+    * partitioning: the order, the salt, and the window id are pure
+    * functions of row values. */
+  def rateLimit(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, quota: Int, windowUs: Long): DataFrame = {
+    require(quota > 0 && windowUs > 0, "quota and windowUs must be positive")
+    val e = events
+      .withColumn("_t_us", tUs(tsCol))
+      .withColumn("_win", expr(s"_t_us div ${windowUs}L"))
+    Ranks.topKPerGroup(e, struct(col(userCol), col("_win")), col(idCol),
+        Seq(col("_t_us").asc, col(idCol).asc), quota, "_rk", salts = 16)
+      .drop("_rk", "_t_us", "_win")
+  }
+
+  /** Per-type admission summary for [[rateLimit]]: (event_type, n_total,
+    * n_kept, n_dropped) — the monitoring table next to the throttle.
+    * Two bounded aggregates joined on the ≤|types| key; the totals pass
+    * re-reads the input, which a production job folds into the same
+    * pass with `observe()` (the Stats idiom) instead. */
+  def rateLimitSummary(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, quota: Int,
+      windowUs: Long): DataFrame = {
+    val kept = rateLimit(events, userCol, tsCol, idCol, quota, windowUs)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+    events.groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("event_type"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped", col("n_total") - col("n_kept"))
+  }
 }

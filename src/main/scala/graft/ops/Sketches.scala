@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches for log-pipeline monitoring.
+  *
+  * The canonical post-router question — "how many distinct users per
+  * event type / topic / day?" — is the one aggregate a 100 TB pipeline
+  * cannot afford to answer exactly: exact distinct shuffles every
+  * (group, key) pair. The KMV (k-minimum-values / bottom-k) sketch
+  * answers it with a bounded aggregation state instead: keep the k
+  * SMALLEST distinct values of a uniform 60-bit key hash per group; if
+  * fewer than k hashes exist the answer is exact, otherwise the k-th
+  * smallest estimates the density (E[kth] ≈ k/n of the hash space) and
+  * `(k-1) · 2^60 / kth` estimates n with relative error ~1/√(k−2)
+  * (Bar-Yossef et al. 2002; Beyer et al., "On Synopses for Distinct-
+  * Value Estimation Under Multiset Operations", SIGMOD 2007).
+  *
+  * Scale shape: [[KmvAgg]] is a `functions.udaf` Aggregator, so Spark
+  * plans it with map-side partial aggregation — each input partition
+  * reduces to ≤ k longs PER GROUP before the exchange; the corpus never
+  * shuffles and the reduce state is k·8 bytes however large the group.
+  * Unlike HLL the sketch is also mergeable across snapshots by plain
+  * array union (the merge IS `merge`), so per-day sketches roll up to
+  * per-month without touching the corpus again.
+  *
+  * Determinism contract (the Mixing/Packing rule): the hashed value is
+  * the first 15 hex chars of md5(key) — a pure function of the VALUE,
+  * not of partitioning — so the sketch, the estimate, and the DuckDB
+  * oracle replay are identical on any cluster size, and the estimate
+  * arithmetic below is IEEE-double exact-rounded (both engines compute
+  * the same two flops on the same integers).
+  */
+object Sketches {
+
+  /** Uniform 60-bit key hash shared by the sketch and the oracle: first
+    * 15 hex chars of md5(key) — the Mixing.hashPct idiom widened to 60
+    * bits (fits a signed long with headroom; always non-negative). */
+  def keyHash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The KMV estimate from a sorted min-k hash array: exact size when
+    * the group had fewer than k distinct hashes, else
+    * floor((k−1) · 2^60 / kth). (k−1)·2^60 is exactly representable in
+    * a double for k ≤ 2^12, so the whole estimate is two IEEE ops —
+    * bit-identical on any engine. */
+  def kmvEstimate(mins: Column, k: Int): Column = {
+    require(k >= 2 && k <= 4096, "k must be in [2, 4096]")
+    when(size(mins) < k, size(mins).cast("long"))
+      .otherwise(floor(
+        lit((k - 1).toDouble * 1152921504606846976.0d) /
+          element_at(mins, k).cast("double")).cast("long"))
+  }
+
+  /** Per-group distinct-count estimation over `keyCol`: one corpus pass,
+    * output (groupCol, n_events, uniques_exact, uniques_est). The exact
+    * column is the AUDIT column (it demonstrates the sketch's error in
+    * data and is what the production pipeline drops); the sketch path
+    * is the one whose aggregation state stays k longs per group. */
+  def kmvUniques(df: DataFrame, groupCol: String, keyCol: Column,
+      k: Int): DataFrame = {
+    val kmv = udaf(new KmvAgg(k))
+    df.select(col(groupCol), keyCol.as("_key"), keyHash60(keyCol).as("_h"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("_key")).as("uniques_exact"),
+        kmv(col("_h")).as("_mins"))
+      .withColumn("uniques_est", kmvEstimate(col("_mins"), k))
+      .drop("_mins")
+  }
+}
+
+/** Bottom-k distinct aggregation state: a sorted ascending array of at
+  * most k DISTINCT hash values. `reduce` and `merge` are the same
+  * sorted-insert (duplicates skipped, largest evicted once full), so
+  * the result is a pure function of the input SET — associative,
+  * commutative, partitioning-independent. State is ≤ k·8 bytes. */
+class KmvAgg(val k: Int) extends Aggregator[Long, Array[Long], Array[Long]]
+    with Serializable {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  private def insert(b: Array[Long], v: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, v)
+    if (i >= 0) return b // already present: a SET sketch
+    val ip = -i - 1
+    if (b.length < k) {
+      val out = new Array[Long](b.length + 1)
+      System.arraycopy(b, 0, out, 0, ip)
+      out(ip) = v
+      System.arraycopy(b, ip, out, ip + 1, b.length - ip)
+      out
+    } else if (ip < k) { // v beats the current k-th smallest
+      val out = new Array[Long](k)
+      System.arraycopy(b, 0, out, 0, ip)
+      out(ip) = v
+      System.arraycopy(b, ip, out, ip + 1, k - ip - 1)
+      out
+    } else b
+  }
+
+  override def reduce(b: Array[Long], v: Long): Array[Long] = insert(b, v)
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var out = a
+    var i = 0
+    while (i < b.length) { out = insert(out, b(i)); i += 1 }
+    out
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+}

@@ -680,6 +680,31 @@ object Queries {
       .na.fill(0L)
       .orderBy("day")
 
+  /** JSON payload variants for the schema-drift profile — shared verbatim
+    * with the DuckDB oracle (the events table's real `props` is uniformly
+    * `{"k":N}`, so the profiled payload is CONSTRUCTED per event type to
+    * exercise every JSON value type, a type-drifting key (`ref` is null
+    * for user_id % 3 else string — the drift the monitor exists to catch)
+    * and a malformed class). */
+  val propsExpr: String =
+    """CASE event_type
+      |  WHEN 'error' THEN 'oops not json ' || event_id
+      |  WHEN 'purchase' THEN '{"k":' || (event_id % 100) || ',"amount":' || CAST(round(value*100) AS BIGINT) || ',"cur":"USD","items":[' || (event_id % 3) || ']}'
+      |  WHEN 'signup' THEN '{"k":' || (event_id % 100) || ',"ref":' || (CASE WHEN user_id % 3 = 0 THEN 'null' ELSE '"u' || (user_id % 40) || '"' END) || ',"flag":' || (CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END) || '}'
+      |  WHEN 'click' THEN '{"k":' || (event_id % 100) || ',"page":"p' || (event_id % 50) || '","meta":{"x":1}}'
+      |  ELSE '{"k":' || (event_id % 100) || '}'
+      |END""".stripMargin
+
+  /** Schema-drift profile over the constructed JSON payloads: per
+    * (event_type, key, vtype) counts covering number/string/boolean/
+    * null/array/object values, the type-drifting `ref` key, and the
+    * malformed bucket — all load-bearing in the compare. */
+  def evPropsProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.jsonProfile(
+      table(spark, dir, "events").withColumn("pj", expr(propsExpr)),
+      "event_type", col("pj"))
+      .orderBy("event_type", "key", "vtype")
+
   /** Per-type distinct-user estimation via the KMV bottom-64 sketch,
     * with the exact count as the audit column — both the exact-when-
     * small branch (15 users < 64 at sf0.001) and the estimator branch

@@ -109,6 +109,7 @@ object SparkEntry {
     "pipe_split" -> (Queries.pipeSplit _),
     "pipe_stratified" -> (Queries.pipeStratified _),
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
+    "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_rate_limit" -> (Queries.evRateLimit _),
     "pipe_upsert" -> (Queries.pipeUpsert _),
     "pipe_snapshot_diff" -> (Queries.pipeSnapshotDiff _))
@@ -525,6 +526,33 @@ object SparkEntry {
         |  count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
         |  count(*) FILTER (event_type = 'view')::BIGINT AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // schema-drift profile: same constructed payloads (shared fragment),
+    // key set via json_keys guarded by json_valid + root-object check,
+    // DuckDB's json_type vocabulary mapped onto {object,array,string,
+    // number,boolean,null} (a present key holding JSON null probes as
+    // SQL NULL → coalesce to 'null')
+    "ev_props_profile" ->
+      s"""WITH p AS (SELECT event_type, ${Queries.propsExpr} AS pj FROM events),
+         |f AS (SELECT event_type, pj,
+         |    CASE WHEN json_valid(pj) AND json_type(pj) = 'OBJECT'
+         |         THEN json_keys(pj) ELSE ['_malformed'] END AS ks
+         |  FROM p),
+         |e AS (SELECT event_type, u.k AS key,
+         |    CASE WHEN u.k = '_malformed' THEN '-'
+         |         ELSE CASE coalesce(json_type(pj, '$$.' || u.k), 'null')
+         |           WHEN 'VARCHAR' THEN 'string'
+         |           WHEN 'BOOLEAN' THEN 'boolean'
+         |           WHEN 'ARRAY' THEN 'array'
+         |           WHEN 'OBJECT' THEN 'object'
+         |           WHEN 'null' THEN 'null'
+         |           WHEN 'NULL' THEN 'null'
+         |           ELSE 'number' END
+         |    END AS vtype
+         |  FROM f, UNNEST(ks) AS u(k))
+         |SELECT event_type, key, vtype, count(*)::BIGINT AS n
+         |FROM e GROUP BY 1, 2, 3
+         |ORDER BY event_type, key, vtype""".stripMargin,
 
     // KMV bottom-64 distinct sketch: identical 60-bit md5 hash, per-type
     // bottom-64 selection, and the two-IEEE-op estimate (63·2^60 / kth —

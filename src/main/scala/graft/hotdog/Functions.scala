@@ -23,6 +23,7 @@ object Functions {
     reg("jmespath_eval")(a => JmesPathEval(a(0), a(1)))
     reg("json_hotdog_merge")(a => JsonHotdogMerge(a(0), a(1)))
     reg("json_valid")(a => JsonValid(a.head))
+    reg("json_field_profile")(a => JsonFieldProfile(a.head))
     reg("json_hotdog_merge_in")(a => JsonHotdogMergeIn(a(0), a(1), a(2)))
     reg("simhash64")(a => graft.ops.SimHash64(a.head))
     reg("minhash_sig")(a => graft.ops.MinHashSig(a(0), a(1) match {

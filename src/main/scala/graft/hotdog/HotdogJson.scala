@@ -70,6 +70,41 @@ object HotdogJson {
     false
   }
 
+  private def vtypeOf(n: JsonNode): String =
+    if (n.isObject) "object"
+    else if (n.isArray) "array"
+    else if (n.isTextual) "string"
+    else if (n.isNumber) "number"
+    else if (n.isBoolean) "boolean"
+    else "null"
+
+  /** codegen entry for JsonFieldProfile: the top-level fields of a JSON
+    * OBJECT document as (key, vtype) entries — vtype ∈ {object, array,
+    * string, number, boolean, null}. Anything that is not a valid JSON
+    * object (malformed under serde rules, a non-object root, or a null
+    * input) profiles as the single marker entry ("_malformed", "-"), so
+    * every input row contributes to the profile exactly once per field
+    * or once as malformed — a TOTAL accounting. */
+  def fieldProfile(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def entry(k: String, t: String): Any =
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(k), UTF8String.fromString(t)))
+    val n = if (s == null) null else parseOrNull(s.toString)
+    if (n == null || !n.isObject)
+      return new GenericArrayData(Array(entry("_malformed", "-")))
+    val out = new Array[Any](n.size())
+    val it = n.fields()
+    var i = 0
+    while (it.hasNext) {
+      val f = it.next()
+      out(i) = entry(f.getKey, vtypeOf(f.getValue))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** codegen entry for JsonHotdogMerge: null iff msg is not valid JSON. */
   def mergeEval(msg: UTF8String, rhs: UTF8String): UTF8String = {
     val out = performMerge(msg.toString, rhs.toString)
@@ -480,6 +515,43 @@ case class JsonValid(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): JsonValid =
     copy(child = newChild)
   override def prettyName: String = "json_valid"
+}
+
+/** `JsonFieldProfile(s) -> array<struct<key:string, vtype:string>>` — the
+  * top-level field profile of a JSON object document (the schema-drift
+  * monitor's kernel): one entry per field with its JSON value type;
+  * malformed / non-object / null inputs profile as the single marker
+  * entry ("_malformed", "-"). Never null, never empty for invalid input —
+  * exploding the result yields a TOTAL per-row accounting in ONE parse
+  * (the two-pass alternative, json_valid + a keys builtin + per-key type
+  * probes, re-parses the document per field). */
+case class JsonFieldProfile(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("vtype", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    HotdogJson.fieldProfile(child.eval(input).asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.hotdog.HotdogJson.fieldProfile(
+            ${c.isNull} ? null : ${c.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): JsonFieldProfile =
+    copy(child = newChild)
+  override def prettyName: String = "json_field_profile"
 }
 
 /** `JsonHotdogMerge(msg, renderedMergeJson) -> string` — A3/A4 merge as a

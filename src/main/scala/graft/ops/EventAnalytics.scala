@@ -244,6 +244,30 @@ object EventAnalytics {
       .drop("_rk", "_t_us", "_win")
   }
 
+  /** Schema-drift profile over a JSON payload column: one row per
+    * (group, field key, JSON value type) with its occurrence count —
+    * the monitoring table that catches a producer silently adding a
+    * field, changing a field's type, or emitting garbage. Malformed /
+    * non-object payloads land in the ("_malformed", "-") bucket, so the
+    * per-group counts always sum to the input rows × their field counts
+    * — a TOTAL accounting (the malformed counter is the hotdog
+    * error.log_parse idiom applied to payloads).
+    *
+    * Scale shape: ONE parse per row inside whole-stage codegen
+    * ([[graft.hotdog.JsonFieldProfile]] emits (key, vtype) entries in a
+    * single pass — the builtin alternative re-parses per field), a
+    * zero-shuffle explode, and one map-side-combinable hash aggregate
+    * onto the bounded (groups × keys × types) vocabulary. The corpus
+    * never shuffles. */
+  def jsonProfile(df: DataFrame, groupCol: String, jsonCol: Column): DataFrame = {
+    val entries = graft.hotdog.exprs.col(
+      graft.hotdog.JsonFieldProfile(graft.hotdog.exprs.expr(jsonCol)))
+    df.select(col(groupCol), explode(entries).as("_f"))
+      .groupBy(col(groupCol), col("_f.key").as("key"),
+        col("_f.vtype").as("vtype"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Per-type admission summary for [[rateLimit]]: (event_type, n_total,
     * n_kept, n_dropped) — the monitoring table next to the throttle.
     * Two bounded aggregates joined on the ≤|types| key; the totals pass

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.hotdog.SparkSpec
 
 class EventAnalyticsSpec extends AnyFunSuite {
@@ -209,5 +210,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"expected a HashAggregate below the Window (vocabulary-sized window input):\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+  }
+
+  // ---- jsonProfile ----
+
+  test("jsonProfile: every JSON value type, type drift, malformed/non-object/null/empty — TOTAL accounting") {
+    val rows = Seq(
+      ("a", """{"k":1,"s":"x","n":null,"b":true,"arr":[1],"o":{"x":1}}"""),
+      ("a", """{"k":2,"n":"now a string"}"""), // type drift on n
+      ("a", "oops not json"),
+      ("a", "[1,2]"),  // valid JSON, non-object root → malformed bucket
+      ("a", null),     // null payload → malformed bucket
+      ("b", "{}"))     // empty object: zero field rows, nothing malformed
+      .toDF("event_type", "pj")
+    val out = EventAnalytics.jsonProfile(rows, "event_type", col("pj"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(
+      ("a", "k", "number") -> 2L, ("a", "s", "string") -> 1L,
+      ("a", "n", "null") -> 1L, ("a", "n", "string") -> 1L,
+      ("a", "b", "boolean") -> 1L, ("a", "arr", "array") -> 1L,
+      ("a", "o", "object") -> 1L, ("a", "_malformed", "-") -> 3L))
+  }
+
+  test("jsonProfile plan: zero-shuffle explode + one bounded-key aggregate") {
+    val rows = Seq(("a", """{"k":1}""")).toDF("event_type", "pj")
+    val plan = EventAnalytics.jsonProfile(rows, "event_type", col("pj"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 shuffle, got $n:\n$plan")
   }
 }

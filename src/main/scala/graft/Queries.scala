@@ -705,6 +705,30 @@ object Queries {
       "event_type", col("pj"))
       .orderBy("event_type", "key", "vtype")
 
+  /** Constructed log messages for template mining — shared verbatim with
+    * the DuckDB oracle. Every shape a template miner must separate:
+    * per-type distinct templates with 1-2 variable positions, a fully
+    * constant template (signup), and two clusters sharing a first token
+    * at DIFFERENT lengths (the error line's conditional suffix). */
+  val tmplMsgExpr: String =
+    """CASE event_type
+      |  WHEN 'error' THEN 'Failed to connect to host-' || (user_id % 40) || ' port ' || (event_id % 9999) || (CASE WHEN event_id % 2 = 0 THEN ' after 3 retries' ELSE '' END)
+      |  WHEN 'click' THEN 'GET /item/' || (event_id % 500) || ' 200'
+      |  WHEN 'purchase' THEN 'Order ' || event_id || ' completed amount ' || CAST(round(value*100) AS BIGINT) || ' cents'
+      |  WHEN 'signup' THEN 'New session started'
+      |  ELSE 'User u' || user_id || ' viewed page p' || (event_id % 50)
+      |END""".stripMargin
+
+  /** Drain-style log template mining over the constructed messages:
+    * (template, n_msgs) per (token-count, first-token) cluster, variable
+    * positions wildcarded — 6 templates from the corpus, including the
+    * constant one and the same-first-token length split. */
+  def evTemplates(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.logTemplates(
+      table(spark, dir, "events").withColumn("msg", expr(tmplMsgExpr)),
+      col("msg"))
+      .orderBy("template")
+
   /** Per-type distinct-user estimation via the KMV bottom-64 sketch,
     * with the exact count as the audit column — both the exact-when-
     * small branch (15 users < 64 at sf0.001) and the estimator branch

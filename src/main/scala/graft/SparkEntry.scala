@@ -110,6 +110,7 @@ object SparkEntry {
     "pipe_stratified" -> (Queries.pipeStratified _),
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
+    "ev_templates" -> (Queries.evTemplates _),
     "ev_rate_limit" -> (Queries.evRateLimit _),
     "pipe_upsert" -> (Queries.pipeUpsert _),
     "pipe_snapshot_diff" -> (Queries.pipeSnapshotDiff _))
@@ -553,6 +554,26 @@ object SparkEntry {
          |SELECT event_type, key, vtype, count(*)::BIGINT AS n
          |FROM e GROUP BY 1, 2, 3
          |ORDER BY event_type, key, vtype""".stripMargin,
+
+    // Drain-style template mining: same constructed messages (shared
+    // fragment); cluster key = (token count, first token), a position is
+    // wildcard iff min(tok) ≠ max(tok) over the cluster, template
+    // reassembled in position order, n_msgs = the position-1 count
+    "ev_templates" ->
+      s"""WITH t AS (SELECT ${Queries.tmplMsgExpr} AS msg FROM events),
+         |s AS (SELECT string_split(msg, ' ') AS ls FROM t),
+         |e AS (SELECT len(ls) AS n, ls[1] AS tok0, u.p.pos AS pos, u.p.tok AS tok
+         |  FROM s, UNNEST(list_transform(generate_series(1, len(ls)),
+         |    i -> struct_pack(pos := i, tok := ls[i]))) AS u(p)),
+         |a AS (SELECT n, tok0, pos, min(tok) AS lo, max(tok) AS hi,
+         |    count(*) AS cnt
+         |  FROM e GROUP BY 1, 2, 3)
+         |SELECT
+         |  string_agg(CASE WHEN lo = hi THEN lo ELSE '<*>' END, ' '
+         |    ORDER BY pos) AS template,
+         |  max(CASE WHEN pos = 1 THEN cnt END)::BIGINT AS n_msgs
+         |FROM a GROUP BY n, tok0
+         |ORDER BY template""".stripMargin,
 
     // KMV bottom-64 distinct sketch: identical 60-bit md5 hash, per-type
     // bottom-64 selection, and the two-IEEE-op estimate (63·2^60 / kth —

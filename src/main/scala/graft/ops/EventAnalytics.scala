@@ -268,6 +268,43 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Log template mining (Drain-style, deterministic): cluster
+    * single-space-tokenized messages by (token count, first token) — the
+    * classic Drain prefix-tree first levels — and within each cluster
+    * replace every position whose token VARIES with the `<*>` wildcard.
+    * Output: one row per cluster, `(template, n_msgs)` — the table a log
+    * platform builds so 10^12 raw lines become a few hundred patterns
+    * with counts (cf. reference's per-topic routing: this is the
+    * discovery step that writes those rules). Unlike real Drain, the
+    * verdict is order-independent (a position is wildcard iff min(tok) ≠
+    * max(tok) over the whole cluster), so the result is a pure function
+    * of the multiset — identical on any cluster size or partitioning.
+    *
+    * Scale shape: zero-shuffle posexplode, then ONE map-side-combinable
+    * hash aggregate onto the (n_tok, tok0, pos) key — bounded by
+    * template vocabulary × message length, never corpus size (the corpus
+    * never shuffles); the reassembly aggregate and sort run over that
+    * vocabulary-sized frame. A flooded template (a runaway producer
+    * repeating one line) floods a combinable hash aggregate, never a
+    * sort or a window. */
+  def logTemplates(df: DataFrame, msgCol: Column): DataFrame = {
+    val pos = df
+      .select(posexplode(split(msgCol, " ")).as(Seq("pos", "tok")),
+        size(split(msgCol, " ")).as("n"),
+        substring_index(msgCol, " ", 1).as("tok0"))
+      .groupBy("n", "tok0", "pos")
+      .agg(min("tok").as("lo"), max("tok").as("hi"), count(lit(1)).as("cnt"))
+    pos
+      .groupBy("n", "tok0")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(
+          col("pos"),
+          when(col("lo") === col("hi"), col("lo")).otherwise(lit("<*>"))
+            .as("t")))), e => e.getField("t")), " ").as("template"),
+        max(when(col("pos") === 0, col("cnt"))).as("n_msgs"))
+      .select("template", "n_msgs")
+  }
+
   /** Per-type admission summary for [[rateLimit]]: (event_type, n_total,
     * n_kept, n_dropped) — the monitoring table next to the throttle.
     * Two bounded aggregates joined on the ≤|types| key; the totals pass

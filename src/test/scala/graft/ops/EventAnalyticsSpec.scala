@@ -234,6 +234,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("a", "o", "object") -> 1L, ("a", "_malformed", "-") -> 3L))
   }
 
+  // ---- logTemplates ----
+
+  test("logTemplates: wildcard iff position varies; (len, first-token) clustering; counts") {
+    val msgs = Seq(
+      "Failed to connect to host-3 port 80",
+      "Failed to connect to host-9 port 443",
+      "Failed to connect to host-3 port 80",   // exact repeat — count 3
+      "Failed to connect now",                  // same tok0, different length → own cluster
+      "New session started",                    // fully constant template
+      "GET /item/1 200",
+      "GET /item/2 200")
+      .toDF("msg")
+    val out = EventAnalytics.logTemplates(msgs, col("msg"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "Failed to connect to <*> port <*>" -> 3L,
+      "Failed to connect now" -> 1L,
+      "New session started" -> 1L,
+      "GET <*> 200" -> 2L))
+  }
+
+  test("logTemplates: partitioning-independent (pure function of the multiset)") {
+    val msgs = Seq("a x c", "a y c", "a x c", "b z").toDF("msg")
+    val one = EventAnalytics.logTemplates(msgs.coalesce(1), col("msg"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val many = EventAnalytics.logTemplates(msgs.repartition(7), col("msg"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(one == many && one == Set(("a <*> c", 3L), ("b z", 1L)))
+  }
+
+  test("logTemplates plan: corpus touched only by the partial aggregate — no corpus shuffle, no window") {
+    val msgs = Seq("a x c").toDF("msg")
+    val plan = EventAnalytics.logTemplates(msgs, col("msg"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+    // exchanges carry only (n, tok0, pos)-keyed partials and the
+    // vocabulary-sized reassembly — 2 total, neither corpus-sized
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 2, s"expected 2 bounded-key shuffles, got $n:\n$plan")
+  }
+
   test("jsonProfile plan: zero-shuffle explode + one bounded-key aggregate") {
     val rows = Seq(("a", """{"k":1}""")).toDF("event_type", "pj")
     val plan = EventAnalytics.jsonProfile(rows, "event_type", col("pj"))

@@ -442,6 +442,25 @@ object Queries {
       }
     }
 
+  /** Materialize the RAW events stream input (user_id, event_id,
+    * event_type, event_time) for the stream-stream join query — same
+    * write-then-mark discipline as [[streamInput]]; 8 files so mFPT=4
+    * yields multiple micro-batches and cross-batch join state is
+    * exercised. */
+  private def streamEventsInput(spark: SparkSession, dir: String, in: String): Unit =
+    materializedStreamInputs.synchronized {
+      if (!materializedStreamInputs.contains(in)) {
+        if (!new java.io.File(s"$in/_SUCCESS").exists()) {
+          table(spark, dir, "events")
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts").cast("timestamp").as("event_time"))
+            .repartition(8)
+            .write.mode("overwrite").parquet(in)
+        }
+        materializedStreamInputs.add(in)
+      }
+    }
+
   /** stream-input staging path: keyed by the SANITIZED full dir path (not
     * its hashCode — different testdata dirs can never collide). On tmpfs
     * with the explicit checkpoint dirs below: the virtio /tmp disk
@@ -450,6 +469,9 @@ object Queries {
     * BENCH campaign scripts stage everything on /dev/shm). */
   private def streamInputPath(dir: String): String =
     s"/dev/shm/graft-hdwindow-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
+
+  private def streamEventsPath(dir: String): String =
+    s"/dev/shm/graft-evstream-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/in"
 
   /** per-query tmpfs checkpoint dir (fresh per run — memory-sink queries
     * otherwise checkpoint to a java.io.tmpdir temp on the virtio disk) */
@@ -537,6 +559,44 @@ object Queries {
       .start()
     q.awaitTermination()
     spark.table(sink).orderBy("hostname", "appname")
+  }
+
+  /** Stream-stream interval join over the events stream: every purchase
+    * paired with every click/view of the same user in the preceding 24 h
+    * — two independent readStream sources over the staged events input,
+    * joined with Streaming.intervalJoin (inner, append mode), so each
+    * pair emits exactly once regardless of micro-batching (mFPT=4 over 8
+    * files → matches cross micro-batch state). The lateness horizon
+    * exceeds the corpus span so no pair is lost to eviction mid-run
+    * (bounded-state eviction semantics are pinned separately in
+    * StreamingSpec); the DuckDB oracle is the plain batch interval join
+    * the stream must reproduce. */
+  def evStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val in = streamEventsPath(dir)
+    streamEventsInput(spark, dir, in)
+    val schema = spark.read.parquet(in).schema
+    def rd = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(in)
+    val purchases = rd.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("event_time").as("pt"))
+    val touches = rd.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"),
+        col("event_id").as("touch_id"), col("event_time").as("tt"))
+    val joined = graft.hotdog.Streaming.intervalJoin(
+      purchases, "pt", touches, "tt", col("p_user") === col("t_user"),
+      horizon = "24 hours", lateness = "3650 days")
+    val sink = s"ev_stream_join_sink_${System.nanoTime()}"
+    val q = joined
+      .select(col("purchase_id"), col("touch_id"),
+        (unix_micros(col("pt")) - unix_micros(col("tt"))).as("lag_us"))
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckptPath(sink))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink).orderBy("purchase_id", "touch_id")
   }
 
   /** Gap sessionization over the events table (6 h gap): the canonical

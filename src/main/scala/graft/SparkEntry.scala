@@ -111,6 +111,7 @@ object SparkEntry {
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
+    "ev_stream_join" -> (Queries.evStreamJoin _),
     "ev_rate_limit" -> (Queries.evRateLimit _),
     "pipe_upsert" -> (Queries.pipeUpsert _),
     "pipe_snapshot_diff" -> (Queries.pipeSnapshotDiff _))
@@ -554,6 +555,20 @@ object SparkEntry {
          |SELECT event_type, key, vtype, count(*)::BIGINT AS n
          |FROM e GROUP BY 1, 2, 3
          |ORDER BY event_type, key, vtype""".stripMargin,
+
+    // stream-stream interval join: the oracle is the batch interval join
+    // the streaming inner join must reproduce pair-for-pair (strict upper
+    // bound, inclusive 24h lower bound, exact µs lags)
+    "ev_stream_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS pt
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts AS tt
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT purchase_id, touch_id,
+        |  (epoch_us(pt) - epoch_us(tt))::BIGINT AS lag_us
+        |FROM p JOIN t USING (user_id)
+        |WHERE tt < pt AND tt >= pt - INTERVAL 24 HOUR
+        |ORDER BY purchase_id, touch_id""".stripMargin,
 
     // Drain-style template mining: same constructed messages (shared
     // fragment); cluster key = (token count, first token), a position is

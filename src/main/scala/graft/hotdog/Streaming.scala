@@ -1,6 +1,6 @@
 package graft.hotdog
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.hotdog.config.HotdogConfig
@@ -94,6 +94,36 @@ object Streaming {
     streamingRows
       .withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream event-time interval join: every (left, right) pair
+    * with equal keys where the right row's event time falls in
+    * `[left − horizon, left)` — the streaming conversion⋈touch /
+    * request⋈response correlation shape. Inner join in append mode: each
+    * qualifying pair is emitted exactly once, as soon as both sides have
+    * arrived, so the result is the deterministic SQL interval join
+    * regardless of micro-batching (spec-pinned with a cross-batch match).
+    *
+    * State contract at 100 TB: the interval condition is expressed on the
+    * watermarked TIMESTAMP columns themselves (never a derived epoch
+    * value), so Spark extracts the eviction bound — each side buffers
+    * only rows newer than its watermark minus the horizon, i.e.
+    * O(rate × (lateness + horizon)) rows per side, sharded across
+    * executors by key hash and checkpoint-recovered. Rows later than
+    * `lateness` are dropped; a caller trades horizon-completeness against
+    * state exactly as in [[streamingDedupKeys]].
+    *
+    * Both inputs must carry DISTINCT column names (the caller renames —
+    * the join condition references columns by bare name across the two
+    * frames). */
+  def intervalJoin(left: DataFrame, leftTimeCol: String,
+      right: DataFrame, rightTimeCol: String, keyEq: Column,
+      horizon: String, lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, lateness)
+    val r = right.withWatermark(rightTimeCol, lateness)
+    l.join(r, keyEq &&
+      col(rightTimeCol) < col(leftTimeCol) &&
+      col(rightTimeCol) >= col(leftTimeCol) - expr(s"INTERVAL $horizon"))
+  }
 
   /** Tumbling-window per-topic routed counts over an event-time column
     * carried through the router (input must have `event_time` timestamp).

@@ -147,6 +147,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals == want)
   }
 
+  test("intervalJoin: equals the batch interval join; matches ACROSS micro-batches; boundaries strict/inclusive") {
+    import spark.implicits._
+    val lDir = Files.createTempDirectory("graft-ij-l").toString
+    val rDir = Files.createTempDirectory("graft-ij-r").toString
+    val t0 = 1700000000L
+    def file(dir: String, rows: Seq[(Long, Long, Long)], cols: (String, String, String)): Unit =
+      rows.toDF("u", "id", "sec")
+        .select(col("u").as(cols._1), col("id").as(cols._2),
+          timestamp_seconds(col("sec")).as(cols._3))
+        .repartition(1).write.mode("append").parquet(dir)
+    // touches (right): u1 has one OUTSIDE the horizon (t0 = pt−100) and
+    // one exactly AT the inclusive lower bound (t0+40 = pt−60), u2's is
+    // AT the purchase time (strict upper bound → excluded), u3's arrives
+    // in a LATER micro-batch than its purchase (cross-batch state match)
+    file(rDir, Seq((1L, 10L, t0), (1L, 11L, t0 + 40L), (2L, 20L, t0 + 100L)),
+      ("t_user", "touch_id", "tt"))
+    file(lDir, Seq((1L, 100L, t0 + 100L), (2L, 200L, t0 + 100L),
+      (3L, 300L, t0 + 100L)), ("p_user", "purchase_id", "pt"))
+    file(rDir, Seq((3L, 30L, t0 + 90L)), ("t_user", "touch_id", "tt"))
+    val lStream = spark.readStream.schema(spark.read.parquet(lDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(lDir)
+    val rStream = spark.readStream.schema(spark.read.parquet(rDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(rDir)
+    val joined = Streaming.intervalJoin(lStream, "pt", rStream, "tt",
+      col("p_user") === col("t_user"), horizon = "60 seconds",
+      lateness = "1 hour")
+    val q = joined.select("purchase_id", "touch_id")
+      .writeStream.format("memory").queryName("ij").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // u1: pt−100 outside the horizon, pt−60 exactly inclusive;
+    // u2: tt == pt excluded (strict <); u3: matched across batches
+    assert(got == Set((100L, 11L), (300L, 30L)), got.toString)
+  }
+
   test("streamingDedupKeys: cross-batch dedup; state expiry re-emits past the horizon") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sdedup").toString

@@ -1042,6 +1042,18 @@ object Queries {
       eventSequences(spark, dir).select("doc_id", "tokens"),
       "doc_id", "tokens", n = 3, k = 25)
 
+  /** BPE merge-rule training over the sequences' token arrays: 4 rounds
+    * of count-adjacent-pairs → argmax (deterministic (a,b) tie-break) →
+    * greedy left-to-right merge into a fresh symbol. The oracle replays
+    * ALL FOUR rounds in SQL — including the run-parity greedy rewrite —
+    * so each round's winning rule, its adjacency count AND the rewritten
+    * corpus size the NEXT round trains on are all hash-compared. */
+  def tokBpe(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TokenOps.bpeTrain(
+      eventSequences(spark, dir).select("doc_id", "tokens"),
+      "doc_id", "tokens", rounds = 4)
+      .orderBy("round")
+
   /** Per-sequence duplicated-token-span stats: distinct token 16-grams
     * and how many appear in ≥1 other sequence — the span-level
     * exact-substring dedup signal computed directly on token ids.

@@ -83,6 +83,7 @@ object SparkEntry {
     "txt_vocab" -> (Queries.txtVocab _),
     "txt_oov" -> (Queries.txtOov _),
     "tok_ngrams" -> (Queries.tokNgrams _),
+    "tok_bpe" -> (Queries.tokBpe _),
     "tok_span_dup" -> (Queries.tokSpanDup _),
     "tok_contam" -> (Queries.tokContam _),
     "tok_scrub" -> (Queries.tokScrub _),
@@ -1166,6 +1167,11 @@ object SparkEntry {
     // token-axis operators: tokens = codepoints of the constructed line
     // (stringToCodepoints parity), grams rendered comma-joined in both
     // engines — the compare covers windowing, counting and the k-boundary
+    // BPE training oracle: all four rounds replayed in SQL (see
+    // bpeOracleSql) — pair counts, tie-break, greedy run-parity merge,
+    // and the rewritten corpus each subsequent round trains on
+    "tok_bpe" -> bpeOracleSql(rounds = 4, vocabBase = 1 << 20),
+
     "tok_ngrams" ->
       s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
          |g AS (SELECT doc_id, unnest(${tokGramListE(3)}) AS gram FROM s)
@@ -1705,6 +1711,70 @@ object SparkEntry {
     * over codepoint token streams: every window of n consecutive
     * codepoints of `line`, comma-joined. range(0, len-n+1) is empty for
     * lines shorter than n — same as the Spark side's empty-array guard. */
+  /** The tok_bpe oracle: replay `rounds` full BPE rounds in SQL. Per
+    * round r over the previous corpus d{r-1}: adjacency pair counts
+    * (overlaps included) → argmax with the (n DESC, a, b) tie-break →
+    * the GREEDY left-to-right merge via run-parity (consecutive
+    * candidate positions — only possible when a=b — form islands;
+    * greedy keeps the 1st, 3rd, … of each island) → corpus rebuild
+    * (kept position → new id, its successor dropped, everything else
+    * verbatim). Every multiply-referenced CTE is MATERIALIZED — DuckDB
+    * inlines CTEs by default, and d{r-1} is referenced 3× per round, so
+    * an un-hinted chain re-derives the base explosion 3^rounds times
+    * (measured: the inlined form ran >100 CPU-min / 32 GB at sf0.01;
+    * materialized it's seconds). */
+  private def bpeOracleSql(rounds: Int, vocabBase: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH d0 AS MATERIALIZED (
+              |  SELECT event_id::VARCHAR AS doc_id,
+              |    list_transform(generate_series(1, len(line)),
+              |      i -> unicode(substr(line, i::INT, 1))) AS ts
+              |  FROM (SELECT event_id, ($lineE) AS line FROM events)),
+              |""".stripMargin
+    for (r <- 1 to rounds) {
+      val nid = vocabBase + r
+      sb ++= s"""p$r AS (
+                |  SELECT ts[u.i] AS a, ts[u.i+1] AS b, count(*) AS n
+                |  FROM d${r - 1}, UNNEST(generate_series(1, len(ts)-1)) AS u(i)
+                |  GROUP BY 1, 2),
+                |m$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+                |c$r AS (
+                |  SELECT d.doc_id, u.i AS pos
+                |  FROM d${r - 1} d, m$r m, UNNEST(generate_series(1, len(d.ts)-1)) AS u(i)
+                |  WHERE d.ts[u.i] = m.a AND d.ts[u.i+1] = m.b),
+                |k$r AS MATERIALIZED (
+                |  SELECT doc_id, pos FROM (
+                |    SELECT doc_id, pos,
+                |      row_number() OVER (PARTITION BY doc_id, pos - rn ORDER BY pos) AS rr
+                |    FROM (SELECT doc_id, pos,
+                |        row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+                |      FROM c$r))
+                |  WHERE rr % 2 = 1),
+                |x$r AS (
+                |  SELECT d.doc_id, u.i AS i, d.ts[u.i] AS tok
+                |  FROM d${r - 1} d, UNNEST(generate_series(1, len(d.ts))) AS u(i)),
+                |d$r AS MATERIALIZED (
+                |  SELECT x.doc_id,
+                |    list(CASE WHEN k.pos IS NOT NULL THEN $nid ELSE x.tok END
+                |      ORDER BY x.i) AS ts
+                |  FROM x$r x
+                |  LEFT JOIN k$r k ON k.doc_id = x.doc_id AND k.pos = x.i
+                |  LEFT JOIN k$r k2 ON k2.doc_id = x.doc_id AND k2.pos = x.i - 1
+                |  WHERE k2.pos IS NULL
+                |  GROUP BY x.doc_id),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb ++= "\n"
+    sb ++= (1 to rounds).map { r =>
+      s"""SELECT ${r}::BIGINT AS round, a::BIGINT AS a, b::BIGINT AS b,
+         |  n::BIGINT AS n_pairs, ${vocabBase + r}::BIGINT AS new_id,
+         |  (SELECT sum(len(ts)) FROM d$r)::BIGINT AS n_tok_after
+         |FROM m$r""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    sb.toString
+  }
+
   private def tokGramListE(n: Int): String = {
     val gram = (1 to n)
       .map(j => s"unicode(substr(line, (i+$j)::INT, 1))::VARCHAR")

@@ -195,4 +195,68 @@ object TokenOps {
       .withColumn("n_distinct_tok",
         size(array_distinct(col(tokensCol))).cast("long"))
       .withColumn("h_tok", opscol.tokenEntropy(col(tokensCol)))
+
+  /** BPE merge-rule training over the token corpus (Sennrich et al. 2016,
+    * the distributed shape): `rounds` iterations of
+    *   1. count every ADJACENT token pair (overlaps included — the
+    *      classic adjacency count),
+    *   2. pick the most frequent pair (tie-break: smallest (a, b) — the
+    *      packed-long ascending order, a total deterministic rule),
+    *   3. rewrite every sequence with ONE greedy left-to-right
+    *      non-overlapping merge of that pair into a fresh symbol
+    *      `vocabBase + round`.
+    * Returns the trained merge table: (round, a, b, n_pairs, new_id,
+    * n_tok_after) — n_pairs is the adjacency count the rule won with,
+    * n_tok_after the corpus token count after applying it (≠ before −
+    * n_pairs when occurrences overlap, so the greedy semantics are
+    * load-bearing in any compare). Stops early if no pair remains.
+    *
+    * Scale shape, per round: pair extraction is a render-free codegen
+    * kernel ([[OpsKernels.tokenPairKeys]], one packed long per
+    * adjacency); the count is ONE map-side-combinable hash aggregate
+    * onto the LIVE-PAIR vocabulary (bounded by vocab², in practice far
+    * smaller — never corpus-sized); the argmax is a TakeOrdered(1) over
+    * that vocabulary frame; the winning rule ships to the rewrite as
+    * three LITERALS (no join, no broadcast); the rewritten corpus is
+    * localCheckpoint'd so round r+1 scans it instead of re-deriving r
+    * rewrite chains (the k-means round discipline). The n_tok_after
+    * audit is a second action per round over the checkpointed narrow
+    * frame — a production trainer folds it into the same pass with
+    * observe() (the Stats idiom). Driver state = `rounds` rows. */
+  def bpeTrain(seqs: DataFrame, idCol: String, tokensCol: String,
+      rounds: Int, vocabBase: Int = 1 << 20): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    var cur = seqs.select(col(tokensCol).as("ts")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = cur
+        .select(explode(opscol.tokenPairKeys(col("ts"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getLong(0)
+        val n = top(0).getLong(1)
+        val a = (pair >>> 32).toInt
+        val b = (pair & 0xffffffffL).toInt
+        val newId = vocabBase + r
+        val next = cur
+          .withColumn("ts", opscol.bpeMergePair(col("ts"), a, b, newId))
+          .localCheckpoint()
+        val nTokAfter = next.agg(sum(size(col("ts")))).head().getLong(0)
+        cur.unpersist()
+        cur = next
+        out += ((r.toLong, a.toLong, b.toLong, n, newId.toLong, nTokAfter))
+        r += 1
+      }
+    }
+    cur.unpersist()
+    out.toSeq.toDF("round", "a", "b", "n_pairs", "new_id", "n_tok_after")
+  }
 }

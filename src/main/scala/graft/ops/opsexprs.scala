@@ -521,6 +521,47 @@ object OpsKernels {
     * repeated-token sequences, the padding/spam signal on pre-tokenized
     * corpora). Same sort + run-length scheme, null elements counted as
     * one extra symbol (array_distinct's null semantics). Empty ⇒ 0.0. */
+  def tokenPairKeys(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = readTok(a, 0, "token_pair_keys")
+    var i = 1
+    while (i < n) {
+      val cur = readTok(a, i, "token_pair_keys")
+      out(i - 1) = (prev.toLong << 32) | (cur.toLong & 0xffffffffL)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def readTok(a: ArrayData, i: Int, who: String): Int = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(s"$who: null token element")
+    val t = a.getInt(i)
+    if (t < 0)
+      throw new IllegalArgumentException(s"$who: negative token id $t")
+    t
+  }
+
+  def bpeMergePair(a: ArrayData, pa: Int, pb: Int, newId: Int): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val t = readTok(a, i, "bpe_merge_pair")
+      if (t == pa && i + 1 < n && readTok(a, i + 1, "bpe_merge_pair") == pb) {
+        out(w) = newId; w += 1; i += 2
+      } else {
+        out(w) = t; w += 1; i += 1
+      }
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], w).asInstanceOf[Array[Any]])
+  }
+
   def intArrayEntropy(a: ArrayData): Double = {
     val n0 = a.numElements()
     if (n0 == 0) return 0.0
@@ -805,6 +846,41 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** `TokenPairKeys(tokens array<int>) -> array<long>`: every ADJACENT
+  * token pair packed render-free into one long `(a << 32) | b` — the
+  * BPE pair-count key (pack order makes the long's natural ascending
+  * order the (a, b) lexicographic tie-break). Token ids must be
+  * non-negative (codepoints / vocab ids; rejected loudly otherwise —
+  * a negative id would corrupt the pack). */
+case class TokenPairKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.tokenPairKeys(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.tokenPairKeys($c)")
+  override protected def withNewChildInternal(c: Expression): TokenPairKeys = copy(child = c)
+  override def prettyName: String = "token_pair_keys"
+}
+
+/** `BpeMergePair(tokens array<int>, a, b, newId) -> array<int>` (a, b,
+  * newId literals): ONE greedy left-to-right non-overlapping merge pass —
+  * every occurrence of adjacent (a, b) in the ORIGINAL sequence becomes
+  * `newId`, a consumed position can't start another merge (classic BPE
+  * round semantics: in `aaa` with pair (a,a), only position 0 merges). */
+case class BpeMergePair(child: Expression, a: Int, b: Int, newId: Int)
+    extends UnaryExpression {
+  require(a >= 0 && b >= 0 && newId >= 0, "token ids must be non-negative")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.bpeMergePair(input.asInstanceOf[ArrayData], a, b, newId)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.bpeMergePair($c, $a, $b, $newId)")
+  override protected def withNewChildInternal(c: Expression): BpeMergePair = copy(child = c)
+  override def prettyName: String = "bpe_merge_pair"
+}
+
 /** `TokenNgrams(tokens array<int>, n, distinct) -> array<string>` (n,
   * distinct literal): comma-joined sliding token windows in one codegen'd
   * pass; distinct=true keeps first occurrences (array_distinct order). */
@@ -842,6 +918,10 @@ object opscol {
     graftshim.column(TokenNgrams(graftshim.expression(c), n, distinct))
   def tokenGramKeys(c: Column, n: Int, distinct: Boolean = false): Column =
     graftshim.column(TokenGramKeys(graftshim.expression(c), n, distinct))
+  def tokenPairKeys(c: Column): Column =
+    graftshim.column(TokenPairKeys(graftshim.expression(c)))
+  def bpeMergePair(c: Column, a: Int, b: Int, newId: Int): Column =
+    graftshim.column(BpeMergePair(graftshim.expression(c), a, b, newId))
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =

@@ -281,4 +281,43 @@ class TokenOpsSpec extends AnyFunSuite {
     assert(math.abs(out("a").getDouble(3) - exp) < 1e-12)
     assert(out("b").getLong(1) == 0 && out("b").getDouble(3) == 0.0)
   }
+
+  // ---- bpeTrain ----
+
+  test("bpeTrain: hand-replayed rounds — adjacency counts, (a,b) tie-break, greedy overlap, merged-symbol pairs") {
+    val df = Seq(
+      ("d1", Seq(7, 8, 7, 8, 7)),
+      ("d2", Seq(7, 8, 9)),
+      ("d3", Seq(5, 5, 5, 5))
+    ).toDF("doc_id", "tokens")
+    val got = TokenOps.bpeTrain(df, "doc_id", "tokens", rounds = 3,
+      vocabBase = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      // (5,5) ties (7,8) at n=3 and wins the smallest-(a,b) tie-break;
+      // greedy merges only 2 of the 3 overlapping occurrences in d3
+      (1L, 5L, 5L, 3L, 1001L, 10L),
+      (2L, 7L, 8L, 3L, 1002L, 7L),
+      // all pairs n=1 now; (1001,1001) — a pair of MERGED symbols — is
+      // the smallest (a,b), so round-2 rewrites feed round 3
+      (3L, 1001L, 1001L, 1L, 1003L, 6L)), got.toString)
+  }
+
+  test("bpeTrain: stops early when no pair remains; partitioning-independent") {
+    val tiny = Seq(("a", Seq(1, 2)), ("b", Seq(3))).toDF("doc_id", "tokens")
+    val got = TokenOps.bpeTrain(tiny, "doc_id", "tokens", rounds = 5,
+      vocabBase = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((1L, 1L, 2L, 1L, 101L, 2L)), got.toString)
+
+    val df = Seq(("d1", Seq(7, 8, 7, 8, 7)), ("d2", Seq(7, 8, 9)),
+      ("d3", Seq(5, 5, 5, 5))).toDF("doc_id", "tokens")
+    val one = TokenOps.bpeTrain(df.coalesce(1), "doc_id", "tokens", 3, 1000)
+      .collect().map(_.toSeq).toSeq
+    val many = TokenOps.bpeTrain(df.repartition(7), "doc_id", "tokens", 3, 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(one == many)
+  }
 }

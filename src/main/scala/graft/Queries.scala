@@ -1054,6 +1054,22 @@ object Queries {
       "doc_id", "tokens", rounds = 4)
       .orderBy("round")
 
+  /** The BPE ENCODE side: train 4 merge rules on the corpus, then apply
+    * the frozen table back to the raw sequences — the oracle replays the
+    * identical round chain and hash-compares the ENCODED TOKEN ARRAYS
+    * element-by-element (in-order application ≡ the training-time
+    * rewrite, the property that makes a frozen merges file valid). */
+  def tokBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val seqs = eventSequences(spark, dir).select("doc_id", "tokens")
+    val rules = graft.ops.TokenOps
+      .bpeTrain(seqs, "doc_id", "tokens", rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(4).toInt))
+      .toSeq
+    graft.ops.TokenOps.bpeApply(seqs, "doc_id", "tokens", rules)
+      .orderBy("doc_id")
+  }
+
   /** Per-sequence duplicated-token-span stats: distinct token 16-grams
     * and how many appear in ≥1 other sequence — the span-level
     * exact-substring dedup signal computed directly on token ids.

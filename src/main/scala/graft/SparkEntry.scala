@@ -84,6 +84,7 @@ object SparkEntry {
     "txt_oov" -> (Queries.txtOov _),
     "tok_ngrams" -> (Queries.tokNgrams _),
     "tok_bpe" -> (Queries.tokBpe _),
+    "tok_bpe_apply" -> (Queries.tokBpeApply _),
     "tok_span_dup" -> (Queries.tokSpanDup _),
     "tok_contam" -> (Queries.tokContam _),
     "tok_scrub" -> (Queries.tokScrub _),
@@ -1171,6 +1172,8 @@ object SparkEntry {
     // bpeOracleSql) — pair counts, tie-break, greedy run-parity merge,
     // and the rewritten corpus each subsequent round trains on
     "tok_bpe" -> bpeOracleSql(rounds = 4, vocabBase = 1 << 20),
+    // the encoded corpus itself: frozen merges applied in training order
+    "tok_bpe_apply" -> bpeApplyOracleSql(rounds = 4, vocabBase = 1 << 20),
 
     "tok_ngrams" ->
       s"""WITH s AS (SELECT event_id::VARCHAR AS doc_id, ($lineE) AS line FROM events),
@@ -1725,6 +1728,29 @@ object SparkEntry {
     * materialized it's seconds). */
   private def bpeOracleSql(rounds: Int, vocabBase: Int): String = {
     val sb = new StringBuilder
+    sb ++= bpeChainSql(rounds, vocabBase)
+    sb ++= (1 to rounds).map { r =>
+      s"""SELECT ${r}::BIGINT AS round, a::BIGINT AS a, b::BIGINT AS b,
+         |  n::BIGINT AS n_pairs, ${vocabBase + r}::BIGINT AS new_id,
+         |  (SELECT sum(len(ts)) FROM d$r)::BIGINT AS n_tok_after
+         |FROM m$r""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
+    sb.toString
+  }
+
+  /** The tok_bpe_apply oracle: the SAME round chain, but the result is
+    * the final rewritten corpus itself — encoded token arrays compared
+    * element-by-element. */
+  private def bpeApplyOracleSql(rounds: Int, vocabBase: Int): String =
+    bpeChainSql(rounds, vocabBase) +
+      s"""SELECT doc_id, len(ts)::BIGINT AS n_tok, ts AS tokens
+         |FROM d$rounds ORDER BY doc_id""".stripMargin
+
+  /** The shared WITH-chain: d0 = codepoint corpus, then per round the
+    * pair counts / argmax / greedy-keep / rebuild CTEs, ending after
+    * d`rounds`. */
+  private def bpeChainSql(rounds: Int, vocabBase: Int): String = {
+    val sb = new StringBuilder
     sb ++= s"""WITH d0 AS MATERIALIZED (
               |  SELECT event_id::VARCHAR AS doc_id,
               |    list_transform(generate_series(1, len(line)),
@@ -1766,12 +1792,6 @@ object SparkEntry {
     }
     sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
     sb ++= "\n"
-    sb ++= (1 to rounds).map { r =>
-      s"""SELECT ${r}::BIGINT AS round, a::BIGINT AS a, b::BIGINT AS b,
-         |  n::BIGINT AS n_pairs, ${vocabBase + r}::BIGINT AS new_id,
-         |  (SELECT sum(len(ts)) FROM d$r)::BIGINT AS n_tok_after
-         |FROM m$r""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY round")
     sb.toString
   }
 

@@ -259,4 +259,33 @@ object TokenOps {
     cur.unpersist()
     out.toSeq.toDF("round", "a", "b", "n_pairs", "new_id", "n_tok_after")
   }
+
+  /** BPE ENCODE — apply a trained merge table to the corpus: each rule
+    * `(a, b, newId)` is one full greedy left-to-right pass, applied in
+    * training order (rule r's rewrite is what rule r+1 was trained on,
+    * so in-order application reproduces the training-time corpus
+    * exactly — the property tok_bpe_apply's oracle hash-checks).
+    *
+    * Scale shape: the whole merge chain is ONE zero-shuffle projection —
+    * `rules.length` fused [[BpeMergePair]] codegen kernels over each row,
+    * no join, no broadcast (the rules are literals baked into the plan,
+    * the way a production encoder ships its frozen merges file). A real
+    * vocab is ~50k rules ⇒ 50k chained calls would blow the codegen/
+    * constant-pool budget; past [[MaxFusedRules]] the chain folds into a
+    * single interpreted-loop kernel per row instead ([[OpsKernels
+    * .bpeMergeAll]]) — same semantics, still zero-shuffle. */
+  val MaxFusedRules = 64
+  def bpeApply(seqs: DataFrame, idCol: String, tokensCol: String,
+      rules: Seq[(Int, Int, Int)]): DataFrame = {
+    val enc =
+      if (rules.lengthCompare(MaxFusedRules) <= 0)
+        rules.foldLeft(col(tokensCol)) { case (c, (a, b, nid)) =>
+          opscol.bpeMergePair(c, a, b, nid)
+        }
+      else
+        opscol.bpeMergeAll(col(tokensCol), rules)
+    seqs.select(col(idCol), enc.as("tokens"))
+      .withColumn("n_tok", size(col("tokens")).cast("long"))
+      .select(idCol, "n_tok", "tokens")
+  }
 }

@@ -562,6 +562,37 @@ object OpsKernels {
       out.asInstanceOf[Array[AnyRef]], w).asInstanceOf[Array[Any]])
   }
 
+  /** All-rules BPE encode: `rules` is the flat (a, b, newId) triple list
+    * in TRAINING ORDER; each rule is one full greedy left-to-right pass
+    * over the row's current token buffer (exactly chained bpeMergePair,
+    * without `rules.length` generated methods). Single int scratch
+    * buffer, each pass compacting in place. */
+  def bpeMergeAll(a: ArrayData, rules: Array[Int]): ArrayData = {
+    var n = a.numElements()
+    val buf = new Array[Int](n)
+    var i = 0
+    while (i < n) { buf(i) = readTok(a, i, "bpe_merge_all"); i += 1 }
+    var r = 0
+    while (r < rules.length) {
+      val pa = rules(r); val pb = rules(r + 1); val nid = rules(r + 2)
+      var w = 0
+      i = 0
+      while (i < n) {
+        if (buf(i) == pa && i + 1 < n && buf(i + 1) == pb) {
+          buf(w) = nid; w += 1; i += 2
+        } else {
+          buf(w) = buf(i); w += 1; i += 1
+        }
+      }
+      n = w
+      r += 3
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = buf(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   def intArrayEntropy(a: ArrayData): Double = {
     val n0 = a.numElements()
     if (n0 == 0) return 0.0
@@ -881,6 +912,28 @@ case class BpeMergePair(child: Expression, a: Int, b: Int, newId: Int)
   override def prettyName: String = "bpe_merge_pair"
 }
 
+/** `BpeMergeAll(tokens array<int>, rules) -> array<int>` — the frozen
+  * merge TABLE applied in training order, one interpreted loop per row
+  * (the 50k-rule production encode, where chaining one generated
+  * [[BpeMergePair]] per rule would blow the codegen method/constant
+  * budget). `rules` = flat (a, b, newId) triples, a plan literal shipped
+  * via the codegen reference array — never a join side. */
+case class BpeMergeAll(child: Expression, rules: Array[Int])
+    extends UnaryExpression {
+  require(rules.length % 3 == 0, "rules must be flat (a, b, newId) triples")
+  require(rules.forall(_ >= 0), "token ids must be non-negative")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.bpeMergeAll(input.asInstanceOf[ArrayData], rules)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rulesRef = ctx.addReferenceObj("bpeRules", rules, "int[]")
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.bpeMergeAll($c, $rulesRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeAll = copy(child = c)
+  override def prettyName: String = "bpe_merge_all"
+}
+
 /** `TokenNgrams(tokens array<int>, n, distinct) -> array<string>` (n,
   * distinct literal): comma-joined sliding token windows in one codegen'd
   * pass; distinct=true keeps first occurrences (array_distinct order). */
@@ -922,6 +975,9 @@ object opscol {
     graftshim.column(TokenPairKeys(graftshim.expression(c)))
   def bpeMergePair(c: Column, a: Int, b: Int, newId: Int): Column =
     graftshim.column(BpeMergePair(graftshim.expression(c), a, b, newId))
+  def bpeMergeAll(c: Column, rules: Seq[(Int, Int, Int)]): Column =
+    graftshim.column(BpeMergeAll(graftshim.expression(c),
+      rules.flatMap { case (a, b, n) => Seq(a, b, n) }.toArray))
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =

@@ -304,6 +304,38 @@ class TokenOpsSpec extends AnyFunSuite {
       (3L, 1001L, 1001L, 1L, 1003L, 6L)), got.toString)
   }
 
+  test("bpeApply: in-order application reproduces the training rewrite; fused ≡ interpreted kernel") {
+    val df = Seq(
+      ("d1", Seq(7, 8, 7, 8, 7)),
+      ("d2", Seq(7, 8, 9)),
+      ("d3", Seq(5, 5, 5, 5))
+    ).toDF("doc_id", "tokens")
+    val rules = TokenOps.bpeTrain(df, "doc_id", "tokens", rounds = 3,
+      vocabBase = 1000).orderBy("round").collect()
+      .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getLong(4).toInt))
+      .toSeq
+    // training-time rewrite, replayed by hand:
+    //   r1 (5,5)→1001: d3 = [1001, 1001]        (greedy: 2 of 3 overlaps)
+    //   r2 (7,8)→1002: d1 = [1002, 1002, 7], d2 = [1002, 9]
+    //   r3 (1001,1001)→1003: d3 = [1003]
+    val expect = Map(
+      "d1" -> Seq(1002, 1002, 7),
+      "d2" -> Seq(1002, 9),
+      "d3" -> Seq(1003))
+    val fused = TokenOps.bpeApply(df, "doc_id", "tokens", rules)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Int](2))).toMap
+    assert(fused.view.mapValues(_._2).toMap == expect, fused.toString)
+    assert(fused.forall { case (_, (n, ts)) => n == ts.length })
+    // force the interpreted all-rules kernel (MaxFusedRules exceeded by
+    // padding with no-op rules on ids the corpus never contains)
+    val padded = rules ++ (1 to TokenOps.MaxFusedRules).map(i =>
+      (900000 + i, 900000 + i, 950000 + i))
+    val interp = TokenOps.bpeApply(df, "doc_id", "tokens", padded)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](2)).toMap
+    assert(interp == expect, interp.toString)
+  }
+
   test("bpeTrain: stops early when no pair remains; partitioning-independent") {
     val tiny = Seq(("a", Seq(1, 2)), ("b", Seq(3))).toDF("doc_id", "tokens")
     val got = TokenOps.bpeTrain(tiny, "doc_id", "tokens", rounds = 5,

@@ -800,6 +800,26 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** Count-Min frequency estimation audited against exact per-user
+    * counts: a 4×8 counter table — width deliberately far below |users|
+    * at both driver scales, so hash collisions are forced and the
+    * min-over-rows estimate is load-bearing (overcount > 0 for most
+    * keys at sf0.01, while ~half stay exact at sf0.001 — both sketch
+    * regimes populated). est ≥ exact is an invariant the compare would
+    * catch violated; the exact column is the audit a production run
+    * drops. */
+  def evHeavyCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .withColumn("user_id", col("user_id").cast("string"))
+    val counters = graft.ops.Sketches.cmsCounters(
+      ev, col("user_id"), depth = 4, width = 8)
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    graft.ops.Sketches.cmsProbe(exact, "user_id", counters,
+        depth = 4, width = 8)
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy("user_id")
+  }
+
   /** Deterministic per-(user, hour) quota throttle, quota 1 — the
     * admission summary. Hours holding 2–3 events exist at both driver
     * scales (419 + 7 at sf0.01, 49 at sf0.001), so n_dropped is

@@ -111,6 +111,7 @@ object SparkEntry {
     "pipe_split" -> (Queries.pipeSplit _),
     "pipe_stratified" -> (Queries.pipeStratified _),
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
+    "ev_heavy_cms" -> (Queries.evHeavyCms _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -596,6 +597,27 @@ object SparkEntry {
     // bottom-64 selection, and the two-IEEE-op estimate (63·2^60 / kth —
     // the product is exactly representable, the division exact-rounded,
     // so floor() agrees bit-for-bit across engines)
+    // Count-Min replay: counters from the corpus with the row-salted
+    // md5 hash, estimate = min over rows of the probed counter; both
+    // sides integer, pmod and % agree on non-negative hashes
+    "ev_heavy_cms" ->
+      """WITH ky AS (SELECT user_id::VARCHAR AS user_id,
+        |    count(*)::BIGINT AS n_exact FROM events GROUP BY 1),
+        |c AS (SELECT u.j AS j,
+        |    ('0x' || substr(md5(u.j::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT % 8 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events, UNNEST(generate_series(0, 3)) AS u(j)
+        |  GROUP BY 1, 2),
+        |kb AS (SELECT k.user_id, k.n_exact, u.j AS j,
+        |    ('0x' || substr(md5(u.j::VARCHAR || ':' || k.user_id), 1, 15))::BIGINT % 8 AS bucket
+        |  FROM ky k, UNNEST(generate_series(0, 3)) AS u(j)),
+        |e AS (SELECT kb.user_id, kb.n_exact,
+        |    min(coalesce(c.cnt, 0))::BIGINT AS n_est
+        |  FROM kb LEFT JOIN c USING (j, bucket) GROUP BY 1, 2)
+        |SELECT user_id, n_exact, n_est,
+        |  (n_est - n_exact)::BIGINT AS overcount
+        |FROM e ORDER BY user_id""".stripMargin,
+
     "ev_uniq_kmv" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv

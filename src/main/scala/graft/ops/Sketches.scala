@@ -55,6 +55,58 @@ object Sketches {
           element_at(mins, k).cast("double")).cast("long"))
   }
 
+  /** Count-Min bucket ids for one key: row j's bucket is
+    * keyHash60("j:" + key) mod width — d independent uniform hashes by
+    * salting the shared md5 idiom with the row index, replayed verbatim
+    * by the oracle. */
+  private def cmsBuckets(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(j =>
+      pmod(keyHash60(concat_ws(":", lit(j), key)), lit(width))): _*)
+
+  /** The Count-Min counter table over `keyCol`: `depth` × `width` LONG
+    * counters, counter(j, b) = #rows whose row-j hash lands in bucket b
+    * (Cormode & Muthukrishnan 2005). This is the frequency sibling of
+    * the KMV sketch — the per-key count a 100 TB pipeline cannot take
+    * exactly when the key space is unbounded (a per-key aggregate's
+    * state grows with the vocabulary; the CMS state is d·w longs,
+    * PERIOD).
+    *
+    * Scale shape: ONE corpus pass through a map-side-combinable hash
+    * aggregate onto the d·w key space — every task emits ≤ d·w partial
+    * rows whatever its size, and a hot key floods a combinable counter,
+    * never a sort. The table is mergeable across days/snapshots by
+    * elementwise ADDITION (counters are sums), so rollups never rescan
+    * the corpus — the same persistable-index property as the bloom and
+    * LSH-bucket artifacts. No udaf: the counter table is a plain
+    * bounded groupBy, fully codegen'd. */
+  def cmsCounters(df: DataFrame, keyCol: Column, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    df.select(posexplode(cmsBuckets(keyCol, depth, width))
+        .as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe a candidate-key frame against the counter table: each
+    * candidate's estimate is min over rows j of counter(j, bucket_j(key))
+    * — an overestimate by construction (est ≥ exact ALWAYS; collisions
+    * only add). Candidates explode to d rows each, the counter table
+    * rides a BROADCAST (d·w rows), and the min folds back on the
+    * candidate frame's own columns — nothing here touches the corpus.
+    * A bucket no candidate ever incremented reads 0 (left join). */
+  def cmsProbe(candidates: DataFrame, keyCol: String, counters: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val keep = candidates.columns
+    candidates
+      .select(col("*"), posexplode(
+        cmsBuckets(col(keyCol), depth, width)).as(Seq("_j", "_bucket")))
+      .join(broadcast(counters),
+        col("_j") === counters("j") && col("_bucket") === counters("bucket"),
+        "left")
+      .groupBy(keep.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
   /** Per-group distinct-count estimation over `keyCol`: one corpus pass,
     * output (groupCol, n_events, uniques_exact, uniques_est). The exact
     * column is the AUDIT column (it demonstrates the sketch's error in

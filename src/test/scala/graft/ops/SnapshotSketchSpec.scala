@@ -78,6 +78,64 @@ class SnapshotSketchSpec extends AnyFunSuite {
     assert(plan.contains("partial_kmvagg"), plan)
   }
 
+  // ---- Count-Min sketch ----
+
+  private def md5Bucket(j: Int, key: String, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$key".getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % width
+  }
+
+  test("cms: differential vs a brute-force md5 replay; est >= exact; collisions load-bearing") {
+    val keys = (0 until 40).map(i => s"u$i")
+    val rows = keys.zipWithIndex.flatMap { case (k, i) => Seq.fill(i + 1)(k) }
+    val df = rows.toDF("user_id")
+    val (depth, width) = (4, 4)
+    val counters = Sketches.cmsCounters(df, col("user_id"), depth, width)
+    val exact = df.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val got = Sketches.cmsProbe(exact, "user_id", counters, depth, width)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // brute-force CMS with the same hash
+    val cnt = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (k <- rows; j <- 0 until depth)
+      cnt((j, md5Bucket(j, k, width))) = cnt.getOrElse((j, md5Bucket(j, k, width)), 0L) + 1
+    var over = 0
+    for (k <- keys) {
+      val ex = keys.indexOf(k) + 1L
+      val bf = (0 until depth).map(j => cnt.getOrElse((j, md5Bucket(j, k, width)), 0L)).min
+      val (gex, gest) = got(k)
+      assert(gex == ex && gest == bf, s"$k: got $gest want $bf")
+      assert(gest >= gex)
+      if (gest > gex) over += 1
+    }
+    assert(over > 0, "width 4 over 40 keys must produce collisions")
+  }
+
+  test("cms: width 1 estimates every key at the corpus total; wide sketch is exact") {
+    val df = Seq("a", "a", "a", "b", "b", "c").toDF("user_id")
+    val exact = df.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val narrow = Sketches.cmsProbe(exact,
+        "user_id", Sketches.cmsCounters(df, col("user_id"), 3, 1), 3, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(narrow.values.toSet == Set(6L), narrow.toString)
+    val wide = Sketches.cmsProbe(exact,
+        "user_id", Sketches.cmsCounters(df, col("user_id"), 4, 4096), 4, 4096)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(wide.forall { case (ex, est) => est == ex }, wide.toString)
+  }
+
+  test("cms plan: counters aggregate map-side combinable; probe joins broadcast") {
+    val df = Seq("a").toDF("user_id")
+    val counters = Sketches.cmsCounters(df, col("user_id"), 4, 8)
+    val cplan = counters.queryExecution.executedPlan.toString
+    assert(cplan.contains("partial_count"), cplan)
+    val exact = df.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val pplan = Sketches.cmsProbe(exact, "user_id", counters, 4, 8)
+      .queryExecution.executedPlan.toString
+    assert(pplan.contains("BroadcastHashJoin"), pplan)
+  }
+
   // ---- Snapshot.applyChanges ----
 
   private def snap(rows: (Long, Long, String, String, String)*) =

@@ -800,6 +800,26 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** PageRank over the bipartite user ↔ event-type interaction graph —
+    * who matters in the event stream, in exact integer micro-units. The
+    * graph is data-derived (an edge per observed (user, type) pair,
+    * weighted by its event count, symmetrized with the one-explode idiom
+    * so types feed rank back to users); 3 power-iteration rounds; the
+    * oracle replays every round's integer join-sum-fold. */
+  def evPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ut = table(spark, dir, "events")
+      .groupBy(
+        concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = ut.select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+      .select("e.src", "e.dst", "e.w")
+    graft.ops.Graphs.pageRank(edges, "src", "dst", "w", iters = 3)
+      .orderBy("node")
+  }
+
   /** Count-Min frequency estimation audited against exact per-user
     * counts: a 4×8 counter table — width deliberately far below |users|
     * at both driver scales, so hash collisions are forced and the

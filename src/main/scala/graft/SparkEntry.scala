@@ -112,6 +112,7 @@ object SparkEntry {
     "pipe_stratified" -> (Queries.pipeStratified _),
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
     "ev_heavy_cms" -> (Queries.evHeavyCms _),
+    "ev_pagerank" -> (Queries.evPagerank _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -597,6 +598,9 @@ object SparkEntry {
     // bottom-64 selection, and the two-IEEE-op estimate (63·2^60 / kth —
     // the product is exactly representable, the division exact-rounded,
     // so floor() agrees bit-for-bit across engines)
+    // PageRank replay: all 3 integer power-iteration rounds
+    "ev_pagerank" -> pageRankOracleSql(iters = 3),
+
     // Count-Min replay: counters from the corpus with the row-salted
     // md5 hash, estimate = min over rows of the probed counter; both
     // sides integer, pmod and % agree on non-negative hashes
@@ -1767,6 +1771,42 @@ object SparkEntry {
     bpeChainSql(rounds, vocabBase) +
       s"""SELECT doc_id, len(ts)::BIGINT AS n_tok, ts AS tokens
          |FROM d$rounds ORDER BY doc_id""".stripMargin
+
+  /** The ev_pagerank oracle: replay every power-iteration round in
+    * integer SQL — edge build + out-weights once, then per round the
+    * inflow join-sum and the teleport/damping fold. `//` and Spark's
+    * `div` agree on the non-negative operands here. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base = 1000000L
+    val damp = 85
+    val teleport = base * (100 - damp) / 100
+    val sb = new StringBuilder
+    sb ++= s"""WITH ut AS MATERIALIZED (
+              |  SELECT 'u:' || user_id::VARCHAR AS src, 't:' || event_type AS dst,
+              |    count(*)::BIGINT AS w
+              |  FROM events GROUP BY 1, 2),
+              |ed AS MATERIALIZED (
+              |  SELECT src, dst, w FROM ut UNION ALL SELECT dst, src, w FROM ut),
+              |ow AS (SELECT src, sum(w)::BIGINT AS outw FROM ed GROUP BY 1),
+              |e AS MATERIALIZED (
+              |  SELECT ed.src, ed.dst, ed.w, ow.outw FROM ed JOIN ow USING (src)),
+              |n AS MATERIALIZED (SELECT DISTINCT node FROM
+              |  (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+              |r0 AS (SELECT node, ${base}::BIGINT AS pr FROM n),
+              |""".stripMargin
+    for (i <- 1 to iters) {
+      sb ++= s"""f$i AS (SELECT e.dst, sum((r.pr * e.w) // e.outw)::BIGINT AS inflow
+                |  FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+                |r$i AS MATERIALIZED (SELECT n.node,
+                |    ($teleport + ($damp * coalesce(f$i.inflow, 0)) // 100)::BIGINT AS pr
+                |  FROM n LEFT JOIN f$i ON f$i.dst = n.node),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop the last CTE's trailing ",\n"
+    sb ++= "\n"
+    sb ++= s"SELECT node, pr FROM r$iters ORDER BY node"
+    sb.toString
+  }
 
   /** The shared WITH-chain: d0 = codepoint corpus, then per round the
     * pair counts / argmax / greedy-keep / rebuild CTEs, ending after

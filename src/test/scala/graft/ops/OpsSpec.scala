@@ -178,6 +178,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 64 + 5 + 2)
   }
 
+  test("pageRank: hand-replayed integer rounds on a 3-node cycle-with-sink") {
+    // a -> b (w 1), b -> a (w 1), b -> c (w 3): c is a sink (no out-edges,
+    // fine — it only receives), b splits 1:3
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 3L))
+      .toDF("src", "dst", "w")
+    def replay(iters: Int): Map[String, Long] = {
+      var pr = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+      for (_ <- 1 to iters) {
+        val inflow = Map(
+          "b" -> (pr("a") * 1L) / 1L,
+          "a" -> (pr("b") * 1L) / 4L,
+          "c" -> (pr("b") * 3L) / 4L)
+        pr = pr.keys.map(n => n ->
+          (150000L + (85L * inflow.getOrElse(n, 0L)) / 100L)).toMap
+      }
+      pr
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = graft.ops.Graphs.pageRank(edges, "src", "dst", "w", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == replay(iters), s"iters=$iters: $got vs ${replay(iters)}")
+    }
+    // partitioning-independence: exact integer arithmetic
+    val many = graft.ops.Graphs.pageRank(edges.repartition(7), "src", "dst",
+      "w", 3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(many == replay(3))
+  }
+
+  test("pageRank plan: per-round join keeps the pre-partitioned edges in place") {
+    // the edge table is repartitioned by src once and checkpointed; each
+    // round's join must reuse that partitioning — the round plan may
+    // exchange the node-sized rank table but never the edge scan side
+    val edges = Seq(("a", "b", 1L), ("b", "a", 2L)).toDF("src", "dst", "w")
+    val out = graft.ops.Graphs.pageRank(edges, "src", "dst", "w", 1)
+    val plan = out.queryExecution.executedPlan.toString
+    // the returned frame is a checkpoint scan: no join/aggregate re-derived
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("bestRepVerdict: argmax score survives, id breaks ties, rep label stable") {
     // component {1,2,3}: 2 has the best score; component {10,11}: tied
     // scores, lower id 10 wins; singleton edge {20,21}: 21 wins

@@ -800,6 +800,24 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** Range join against a static SLA-band interval table: every event's
+    * value resolved to its [lo, hi) band via the O(log m) binary-search
+    * kernel + index hash join — never a nested-loop range scan. The band
+    * table has GAPS ([75,90) and [400,450)) so the null-payload branch
+    * is load-bearing at both scales, and a band above sf0.001's max
+    * value pins empty-band behavior. */
+  def evValueBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      (0.0, 10.0, "fast"), (10.0, 30.0, "ok"), (30.0, 75.0, "slow"),
+      (90.0, 150.0, "very_slow"), (150.0, 400.0, "critical"),
+      (450.0, 1000.0, "extreme")).toDF("lo", "hi", "band")
+    val ev = table(spark, dir, "events").select(col("event_id"), col("value"))
+    graft.ops.RangeLookup.enrich(ev, col("value"), dim, "lo", "hi")
+      .select(col("event_id"), col("value"), col("band"))
+      .orderBy("event_id")
+  }
+
   /** PageRank over the bipartite user ↔ event-type interaction graph —
     * who matters in the event stream, in exact integer micro-units. The
     * graph is data-derived (an edge per observed (user, type) pair,

@@ -113,6 +113,7 @@ object SparkEntry {
     "ev_uniq_kmv" -> (Queries.evUniqKmv _),
     "ev_heavy_cms" -> (Queries.evHeavyCms _),
     "ev_pagerank" -> (Queries.evPagerank _),
+    "ev_value_bands" -> (Queries.evValueBands _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -600,6 +601,17 @@ object SparkEntry {
     // so floor() agrees bit-for-bit across engines)
     // PageRank replay: all 3 integer power-iteration rounds
     "ev_pagerank" -> pageRankOracleSql(iters = 3),
+
+    // range join replay: the naive interval predicate the binary-search
+    // kernel replaces; non-overlap makes the left join at-most-one
+    "ev_value_bands" ->
+      """WITH dim(lo, hi, band) AS (VALUES
+        |  (0.0, 10.0, 'fast'), (10.0, 30.0, 'ok'), (30.0, 75.0, 'slow'),
+        |  (90.0, 150.0, 'very_slow'), (150.0, 400.0, 'critical'),
+        |  (450.0, 1000.0, 'extreme'))
+        |SELECT e.event_id::BIGINT AS event_id, e.value AS value, d.band AS band
+        |FROM events e LEFT JOIN dim d ON e.value >= d.lo AND e.value < d.hi
+        |ORDER BY 1""".stripMargin,
 
     // Count-Min replay: counters from the corpus with the row-salted
     // md5 hash, estimate = min over rows of the probed counter; both

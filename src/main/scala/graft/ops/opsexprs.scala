@@ -593,6 +593,20 @@ object OpsKernels {
     new GenericArrayData(out)
   }
 
+  /** Interval binary search: index i of the [los(i), his(i)) interval
+    * containing v, or -1 (gap / out of range). Arrays sorted by lo,
+    * non-overlapping — validated at plan build, not per row. */
+  def rangeBucket(v: Double, los: Array[Double], his: Array[Double]): Int = {
+    var lo = 0
+    var hi = los.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val m = (lo + hi) >>> 1
+      if (los(m) <= v) { ans = m; lo = m + 1 } else hi = m - 1
+    }
+    if (ans >= 0 && v < his(ans)) ans else -1
+  }
+
   def intArrayEntropy(a: ArrayData): Double = {
     val n0 = a.numElements()
     if (n0 == 0) return 0.0
@@ -912,6 +926,29 @@ case class BpeMergePair(child: Expression, a: Int, b: Int, newId: Int)
   override def prettyName: String = "bpe_merge_pair"
 }
 
+/** `RangeBucket(value double, los, his) -> int` — O(log m) interval
+  * lookup against a literal sorted non-overlapping [lo, hi) table
+  * shipped via codegen reference arrays; -1 on gap/out-of-range. The
+  * join-free core of [[RangeLookup]]: Spark's own plan for a range
+  * predicate against a broadcast dimension is a BroadcastNestedLoop
+  * scanning all m intervals per row. */
+case class RangeBucket(child: Expression, los: Array[Double],
+    his: Array[Double]) extends UnaryExpression {
+  require(los.length == his.length, "parallel interval arrays required")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.rangeBucket(input.asInstanceOf[Double], los, his)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val losRef = ctx.addReferenceObj("rangeLos", los, "double[]")
+    val hisRef = ctx.addReferenceObj("rangeHis", his, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.OpsKernels.rangeBucket($c, $losRef, $hisRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): RangeBucket = copy(child = c)
+  override def prettyName: String = "range_bucket"
+}
+
 /** `BpeMergeAll(tokens array<int>, rules) -> array<int>` — the frozen
   * merge TABLE applied in training order, one interpreted loop per row
   * (the 50k-rule production encode, where chaining one generated
@@ -978,6 +1015,8 @@ object opscol {
   def bpeMergeAll(c: Column, rules: Seq[(Int, Int, Int)]): Column =
     graftshim.column(BpeMergeAll(graftshim.expression(c),
       rules.flatMap { case (a, b, n) => Seq(a, b, n) }.toArray))
+  def rangeBucket(c: Column, los: Array[Double], his: Array[Double]): Column =
+    graftshim.column(RangeBucket(graftshim.expression(c), los, his))
   def simhash64(c: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =

@@ -217,6 +217,50 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("rangeBucket kernel: boundaries inclusive-lo exclusive-hi, gaps, out of range") {
+    val los = Array(0.0, 10.0, 50.0)
+    val his = Array(10.0, 20.0, 60.0)
+    import graft.ops.OpsKernels.rangeBucket
+    assert(rangeBucket(0.0, los, his) == 0)   // lo inclusive
+    assert(rangeBucket(9.999, los, his) == 0)
+    assert(rangeBucket(10.0, los, his) == 1)  // hi exclusive, next lo wins
+    assert(rangeBucket(20.0, los, his) == -1) // gap [20, 50)
+    assert(rangeBucket(49.999, los, his) == -1)
+    assert(rangeBucket(50.0, los, his) == 2)
+    assert(rangeBucket(60.0, los, his) == -1) // above last
+    assert(rangeBucket(-0.001, los, his) == -1) // below first
+  }
+
+  test("RangeLookup.enrich: differential vs the naive range join; plan is hash, not nested-loop") {
+    val dim = Seq((0.0, 10.0, "a"), (10.0, 20.0, "b"), (50.0, 60.0, "c"))
+      .toDF("lo", "hi", "band")
+    val vals = (0 until 400).map(i => (i.toLong, (i % 80).toDouble * 0.9))
+      .toDF("id", "v")
+    val got = graft.ops.RangeLookup.enrich(vals, col("v"), dim, "lo", "hi")
+      .select("id", "band").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val naive = vals.join(dim, col("v") >= col("lo") && col("v") < col("hi"),
+        "left").select("id", "band").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == naive)
+    assert(got.values.flatten.toSet == Set("a", "b", "c"))
+    assert(got.values.exists(_.isEmpty)) // gap rows present
+    val plan = graft.ops.RangeLookup.enrich(vals, col("v"), dim, "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // invalid dimensions rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeLookup.enrich(vals, col("v"),
+        Seq((0.0, 10.0, "a"), (5.0, 15.0, "b")).toDF("lo", "hi", "band"),
+        "lo", "hi")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeLookup.enrich(vals, col("v"),
+        Seq((10.0, 10.0, "a")).toDF("lo", "hi", "band"), "lo", "hi")
+    }
+  }
+
   test("bestRepVerdict: argmax score survives, id breaks ties, rep label stable") {
     // component {1,2,3}: 2 has the best score; component {10,11}: tied
     // scores, lower id 10 wins; singleton edge {20,21}: 21 wins

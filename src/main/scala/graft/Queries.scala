@@ -800,6 +800,17 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** Length-bucketed batch assembly over documents (length = n_chars),
+    * grain 64, budget 1024: the 576-char bucket's capacity clamps to 1
+    * (singleton batches) and the mid buckets hold multiple batches, so
+    * the capacity boundary, the rank split and the waste arithmetic are
+    * all load-bearing; first/last ids pin the assignment itself. */
+  def pipeBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.lengthBucketBatches(
+      table(spark, dir, "documents").select("doc_id", "n_chars"),
+      "doc_id", "n_chars", batchTokens = 1024L, bucketGrain = 64L)
+      .orderBy("padded_len", "batch_idx")
+
   /** Range join against a static SLA-band interval table: every event's
     * value resolved to its [lo, hi) band via the O(log m) binary-search
     * kernel + index hash join — never a nested-loop range scan. The band

@@ -114,6 +114,7 @@ object SparkEntry {
     "ev_heavy_cms" -> (Queries.evHeavyCms _),
     "ev_pagerank" -> (Queries.evPagerank _),
     "ev_value_bands" -> (Queries.evValueBands _),
+    "pipe_batch" -> (Queries.pipeBatch _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -601,6 +602,21 @@ object SparkEntry {
     // so floor() agrees bit-for-bit across engines)
     // PageRank replay: all 3 integer power-iteration rounds
     "ev_pagerank" -> pageRankOracleSql(iters = 3),
+
+    // length-bucketed batching replay: naive per-bucket window rank,
+    // constant capacity max(1, budget // padded_len), batch fold
+    "pipe_batch" ->
+      """WITH b AS (SELECT doc_id, n_chars::BIGINT AS n_tok,
+        |    ((greatest(n_chars, 1) + 63) // 64 * 64)::BIGINT AS padded_len
+        |  FROM documents),
+        |r AS (SELECT *, (row_number() OVER (PARTITION BY padded_len ORDER BY doc_id) - 1)::BIGINT AS rk FROM b),
+        |a AS (SELECT *, (rk // greatest(1, 1024 // padded_len))::BIGINT AS batch_idx FROM r)
+        |SELECT padded_len, batch_idx, count(*)::BIGINT AS n_seqs,
+        |  sum(n_tok)::BIGINT AS n_tok_real,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  (count(*) * padded_len)::BIGINT AS n_tok_padded,
+        |  (count(*) * padded_len - sum(n_tok))::BIGINT AS waste
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // range join replay: the naive interval predicate the binary-search
     // kernel replaces; non-overlap makes the left join at-most-one

@@ -237,4 +237,66 @@ object Packing {
       .select(col(idCol),
         (col("_off") + count(lit(1)).over(intraW)).as("pos"))
   }
+
+  /** Length-bucketed training-batch assembly with padding-waste
+    * accounting — the dynamic-batching prep a trainer runs when it pads
+    * (rather than packs) sequences: round each length up to the next
+    * `bucketGrain` multiple, and fill fixed-token-budget batches from
+    * each bucket in deterministic id order. Because every sequence in a
+    * bucket pads to the SAME length, a bucket's batch capacity is the
+    * constant `max(1, batchTokens div padded_len)` — so batch assignment
+    * is pure integer rank arithmetic, no greedy scan, no bin-packing
+    * heuristic, bit-identical on any cluster. Sequences longer than the
+    * budget get singleton batches (capacity clamps to 1).
+    *
+    * Output: one row per (padded_len, batch_idx) batch — n_seqs,
+    * n_tok_real, n_tok_padded = n_seqs·padded_len, waste = padded − real,
+    * plus first/last member ids so the doc→batch assignment itself is
+    * pinned by the compare, not just batch shapes.
+    *
+    * 100 TB shape: the per-bucket rank is the [[globalShuffleOrder]]
+    * two-level scan under the composite (padded_len, id) total order —
+    * a hot bucket (every web doc pads to 512) floods a range-partitioned
+    * scan, never one window partition; bucket start offsets are a
+    * |buckets|-sized frame cumulated on one tiny partition and broadcast;
+    * the batch fold is one map-side-combinable aggregate on the
+    * (padded_len, batch_idx) key. Narrow (id, n_tok) rows only — the
+    * token payload never moves. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, nTokCol: String,
+      batchTokens: Long, bucketGrain: Long, numParts: Int = 0): DataFrame = {
+    require(batchTokens > 0 && bucketGrain > 0,
+      s"batchTokens and bucketGrain must be positive")
+    val spark = df.sparkSession
+    val parts =
+      if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df
+      .select(col(idCol), col(nTokCol).cast("long").as("_nt"))
+      .withColumn("_plen", expr(
+        s"((greatest(_nt, 1L) + ${bucketGrain - 1}L) DIV ${bucketGrain}L) * ${bucketGrain}L"))
+      .repartitionByRange(parts, col("_plen"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    // per-(bucket, partition) counts — ≤ parts·|buckets| rows — cumulated
+    // into each partition's exclusive within-bucket offset; the window
+    // partitions by bucket, so no single partition ever holds more than
+    // `parts` rows of this tiny frame
+    val offsets = keyed.groupBy("_plen", "_pid")
+      .agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(
+        Window.partitionBy("_plen").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_plen", "_pid", "_off")
+    val intraW = Window.partitionBy("_pid", "_plen").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), Seq("_plen", "_pid"))
+      .withColumn("_rk", col("_off") + count(lit(1)).over(intraW))
+      .withColumn("batch_idx", expr(
+        s"_rk DIV greatest(1L, ${batchTokens}L DIV _plen)"))
+      .groupBy(col("_plen").as("padded_len"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_seqs"), sum("_nt").as("n_tok_real"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+      .withColumn("n_tok_padded", col("n_seqs") * col("padded_len"))
+      .withColumn("waste", col("n_tok_padded") - col("n_tok_real"))
+  }
 }

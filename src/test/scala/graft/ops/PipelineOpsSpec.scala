@@ -120,6 +120,70 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---- Mixing ------------------------------------------------------------
 
+  // ---- lengthBucketBatches -------------------------------------------------
+
+  test("lengthBucketBatches: equals the naive per-bucket window; invariants hold") {
+    // lengths straddle grain boundaries; bucket 8 (lens 1-8) holds 20 rows
+    // (the hot bucket), capacity 24 div 8 = 3; len 30 pads to 32 >
+    // budget 24 → singleton batches
+    val rows = (0L until 20L).map(i => (i, (i % 8) + 1)) ++
+      Seq((100L, 12L), (101L, 14L), (102L, 30L), (103L, 30L))
+    val df = rows.toDF("doc_id", "n_tok")
+    val got = Packing.lengthBucketBatches(df, "doc_id", "n_tok",
+        batchTokens = 24L, bucketGrain = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // naive replay
+    val naive = rows.map { case (id, nt) =>
+      (id, nt, ((math.max(nt, 1) + 7) / 8) * 8)
+    }.groupBy(_._3).toSeq.flatMap { case (plen, members) =>
+      val cap = math.max(1L, 24L / plen)
+      members.sortBy(_._1).zipWithIndex.map { case ((id, nt, _), rk) =>
+        ((plen, rk / cap), (id, nt))
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      val ids = vs.map(_._2._1); val nts = vs.map(_._2._2)
+      k -> (vs.size.toLong, nts.sum, ids.min, ids.max,
+        vs.size * k._1, vs.size * k._1 - nts.sum)
+    }
+    assert(got == naive, s"$got\nvs\n$naive")
+    // invariants: totals partition the input; fills within budget except
+    // singletons; batch indices contiguous from 0 per bucket
+    assert(got.values.map(_._1).sum == rows.size)
+    got.foreach { case ((plen, _), (nSeqs, _, _, _, padded, waste)) =>
+      assert(padded <= 24L || nSeqs == 1L)
+      assert(waste >= 0L && padded == nSeqs * plen)
+    }
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val idxs = ks.map(_._2).toSeq.sorted
+      assert(idxs == (0L until idxs.size).toSeq)
+    }
+    // partitioning-independence
+    val p7 = Packing.lengthBucketBatches(df.repartition(7), "doc_id",
+        "n_tok", 24L, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val p1 = Packing.lengthBucketBatches(df.coalesce(1), "doc_id",
+        "n_tok", 24L, 8L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(p7 == p1)
+  }
+
+  test("lengthBucketBatches: no global single-partition window over the data") {
+    val df = (0L until 32L).map(i => (i, 5L)).toDF("doc_id", "n_tok")
+    val plan = Packing.lengthBucketBatches(df, "doc_id", "n_tok", 16L, 8L,
+        numParts = 4)
+      .queryExecution.optimizedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    // data-frame windows carry _pid; the offsets frame's window is
+    // partitioned by the bucket key over per-partition counts (_pn)
+    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    assert(unpartitioned.isEmpty, s"global window over data rows:\n$plan")
+  }
+
   test("hashPct is deterministic and in [0, 100)") {
     val ids = (0L until 500L).toDF("id")
     val pct = ids.select(Mixing.hashPct(col("id")).as("p"))

@@ -800,6 +800,14 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** Sharded inverted index over documents, 100-doc shards: postings
+    * arrays hash-compared element-by-element; multi-shard terms pin the
+    * shard split, single-occurrence terms the tf floor. */
+  def txtIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.invertedIndex(
+      table(spark, dir, "documents"), "doc_id", "text", shardDocs = 100L)
+      .orderBy("term", "shard")
+
   /** Length-bucketed batch assembly over documents (length = n_chars),
     * grain 64, budget 1024: the 576-char bucket's capacity clamps to 1
     * (singleton batches) and the mid buckets hold multiple batches, so

@@ -115,6 +115,7 @@ object SparkEntry {
     "ev_pagerank" -> (Queries.evPagerank _),
     "ev_value_bands" -> (Queries.evValueBands _),
     "pipe_batch" -> (Queries.pipeBatch _),
+    "txt_index" -> (Queries.txtIndex _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -602,6 +603,19 @@ object SparkEntry {
     // so floor() agrees bit-for-bit across engines)
     // PageRank replay: all 3 integer power-iteration rounds
     "ev_pagerank" -> pageRankOracleSql(iters = 3),
+
+    // inverted-index replay: same tokenizer, postings rebuilt with
+    // ORDER BY doc_id lists per (term, 100-doc shard)
+    "txt_index" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($normE, ' ')) AS term
+         |  FROM documents),
+         |t AS (SELECT term, doc_id, count(*)::BIGINT AS tf
+         |  FROM w WHERE term <> '' GROUP BY 1, 2)
+         |SELECT term, (doc_id // 100)::BIGINT AS shard,
+         |  count(*)::BIGINT AS n_docs, sum(tf)::BIGINT AS n_occ,
+         |  list(doc_id ORDER BY doc_id) AS doc_ids,
+         |  list(tf ORDER BY doc_id) AS tfs
+         |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
 
     // length-bucketed batching replay: naive per-bucket window rank,
     // constant capacity max(1, budget // padded_len), batch fold

@@ -99,6 +99,40 @@ object Retrieval {
         col("n_terms_hit"))
   }
 
+  /** Sharded inverted-index build — the searchable artifact behind
+    * [[bm25TopK]]'s ad-hoc scan, materialized: per (term, doc-range
+    * shard), the doc-frequency, total occurrences, and the posting
+    * arrays (doc ids + tfs, doc-id-sorted — the Lucene postings-list
+    * shape).
+    *
+    * Sharding IS the skew story: a stopword's postings list is
+    * corpus-sized, and a single `collect_list` group holding it wedges
+    * one reduce task (the groupBy+collect_list fallback the bench rules
+    * warn about). Keying by (term, doc_id DIV shardDocs) bounds EVERY
+    * group at `shardDocs` entries however hot the term — the hot term's
+    * postings split across ceil(maxDoc/shardDocs) independent tasks,
+    * and a reader re-assembles by concatenating shards in shard order
+    * (doc-id order is preserved across shard boundaries by
+    * construction). tf is one map-side-combinable aggregate on the
+    * uniform (term, doc) key before any list is built. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      shardDocs: Long): DataFrame = {
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "") // blank text splits to [""]
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.withColumn("shard", expr(s"doc_id DIV ${shardDocs}L"))
+      .groupBy("term", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tf").as("n_occ"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("_p"))
+      .withColumn("doc_ids", transform(col("_p"), x => x.getField("doc_id")))
+      .withColumn("tfs", transform(col("_p"), x => x.getField("tf")))
+      .drop("_p")
+  }
+
   /** Exact top-`k` rows per query_id under (score desc, doc_id asc) via
     * the shared salted two-phase rank ([[Ranks.topKPerGroup]]) — never a
     * single-partition sort of a query's full candidate set. */

@@ -112,6 +112,33 @@ class QualityRetrievalSpec extends AnyFunSuite {
     assert(out((2, 1))._2 == out((2, 2))._2)
   }
 
+  test("invertedIndex: postings sorted, tf exact, hot term splits at the shard bound") {
+    // "the" appears in docs on both sides of the shard boundary (shard
+    // size 4: docs 0-3 / 4-7); "rare" once; doc 2 repeats "the" 3 times
+    val docs = Seq(
+      (0L, "the cat"), (1L, "a dog"), (2L, "the the the end"),
+      (3L, "rare word"), (4L, "the moon"), (6L, "sun the"),
+      (7L, "")).toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.invertedIndex(docs, "doc_id", "text", 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getSeq[Long](4), r.getSeq[Long](5)))
+      .toMap
+    assert(out(("the", 0L)) == (2L, 4L, Seq(0L, 2L), Seq(1L, 3L)))
+    assert(out(("the", 1L)) == (2L, 2L, Seq(4L, 6L), Seq(1L, 1L)))
+    assert(out(("rare", 0L)) == (1L, 1L, Seq(3L), Seq(1L)))
+    // blank doc contributes no postings, empty terms filtered
+    assert(!out.keys.exists(_._1 == ""))
+    // shard-bound invariant + reassembly: concatenating a term's shards
+    // in shard order yields one globally doc-id-sorted postings list
+    out.foreach { case ((_, _), (nDocs, _, ids, tfs)) =>
+      assert(nDocs <= 4L && ids.length == nDocs && tfs.length == nDocs)
+      assert(ids == ids.sorted)
+    }
+    val theAll = out.toSeq.filter(_._1._1 == "the").sortBy(_._1._2)
+      .flatMap(_._2._3)
+    assert(theAll == theAll.sorted && theAll == Seq(0L, 2L, 4L, 6L))
+  }
+
   test("oovStats: exact per-source counts, vocab broadcast, no corpus shuffle-join") {
     val docs = Seq(
       (1L, "a", "the cat sat"), (2L, "a", "the dog"),

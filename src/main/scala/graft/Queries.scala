@@ -800,6 +800,15 @@ object Queries {
       "event_type", col("user_id"), k = 64)
       .orderBy("event_type")
 
+  /** Cross-source duplication matrix over documents (8-word shingles):
+    * ~1000 multi-source shingles exist at both driver scales, so every
+    * pair cell, both distinct-gram denominators and the integer
+    * containment ratio are load-bearing. */
+  def ddSrcOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.sourceOverlap(
+      table(spark, dir, "documents"), "text", "source", n = 8)
+      .orderBy("src_a", "src_b")
+
   /** Sharded inverted index over documents, 100-doc shards: postings
     * arrays hash-compared element-by-element; multi-shard terms pin the
     * shard split, single-occurrence terms the tf floor. */

@@ -116,6 +116,7 @@ object SparkEntry {
     "ev_value_bands" -> (Queries.evValueBands _),
     "pipe_batch" -> (Queries.pipeBatch _),
     "txt_index" -> (Queries.txtIndex _),
+    "dd_src_overlap" -> (Queries.ddSrcOverlap _),
     "ev_props_profile" -> (Queries.evPropsProfile _),
     "ev_templates" -> (Queries.evTemplates _),
     "ev_stream_join" -> (Queries.evStreamJoin _),
@@ -603,6 +604,24 @@ object SparkEntry {
     // so floor() agrees bit-for-bit across engines)
     // PageRank replay: all 3 integer power-iteration rounds
     "ev_pagerank" -> pageRankOracleSql(iters = 3),
+
+    // cross-source overlap replay: distinct (source, shingle) slots,
+    // pair join on the shared gram, integer containment
+    "dd_src_overlap" ->
+      s"""WITH w AS (SELECT source, $normE AS norm,
+         |    string_split($normE, ' ') AS ws FROM documents),
+         |sh AS (SELECT source, ${shingleListE(8)} AS sh FROM w),
+         |d AS (SELECT DISTINCT source AS src, unnest(sh) AS gram FROM sh),
+         |ps AS (SELECT src, count(*)::BIGINT AS n_grams FROM d GROUP BY 1),
+         |pr AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_shared
+         |  FROM d a JOIN d b ON a.gram = b.gram AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, pr.n_shared,
+         |  pa.n_grams AS n_a, pb.n_grams AS n_b,
+         |  (pr.n_shared * 1000000 // least(pa.n_grams, pb.n_grams))::BIGINT AS containment_ppm
+         |FROM pr JOIN ps pa ON pa.src = pr.src_a
+         |  JOIN ps pb ON pb.src = pr.src_b
+         |ORDER BY 1, 2""".stripMargin,
 
     // inverted-index replay: same tokenizer, postings rebuilt with
     // ORDER BY doc_id lists per (term, 100-doc shard)

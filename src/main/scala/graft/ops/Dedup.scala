@@ -444,4 +444,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Cross-source duplication matrix — which SOURCES copy each other,
+    * the diagnostic that decides where a dedup pass pays for itself
+    * (CommonCrawl dumps overlap 30-60% release-to-release; a mirror
+    * site duplicates its upstream wholesale). For every source pair:
+    * the number of distinct word-`n`-gram shingles both contain, plus
+    * each side's distinct-shingle count and the containment in ppm
+    * (shared·10^6 div min(|A|, |B|) — integer, so the compare can't
+    * flip on a float ulp).
+    *
+    * 100 TB shape: the corpus collapses in ONE pass to distinct
+    * (gram, source) slots — a map-side-combinable distinct whose key
+    * space is gram-vocabulary-sized, never corpus-sized. Per gram the
+    * source set is ≤ |sources| (collect_set groups are bounded by the
+    * source vocabulary, not data); pair explosion is ≤ |sources|² per
+    * gram; the final fold is a hash aggregate onto the ≤ |sources|²
+    * pair key space. Output |sources|² rows — a monitoring table. */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+      n: Int = 8): DataFrame = {
+    val gs = docs
+      .select(col(srcCol).as("src"),
+        explode(opscol.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val perSrc = gs.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val pairs = gs.groupBy("gram")
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSrc).withColumnRenamed("src", "src_a")
+        .withColumnRenamed("n_grams", "n_a"), "src_a")
+      .join(broadcast(perSrc).withColumnRenamed("src", "src_b")
+        .withColumnRenamed("n_grams", "n_b"), "src_b")
+      .withColumn("containment_ppm",
+        expr("(n_shared * 1000000L) DIV least(n_a, n_b)"))
+      .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment_ppm")
+  }
 }

@@ -217,6 +217,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("sourceOverlap: shared shingles counted once per source, containment exact") {
+    val docs = Seq(
+      ("A", "one two three four"),      // grams: one-two-three, two-three-four
+      ("A", "alpha beta gamma"),
+      ("A", "one two three four"),      // duplicate doc: grams distinct per source
+      ("B", "zero one two three four"), // carries both shared grams
+      ("B", "delta epsilon zeta"),
+      ("C", "unrelated text entirely")).toDF("source", "text")
+    val out = graft.ops.Dedup.sourceOverlap(docs, "text", "source", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // A: 3 distinct grams, B: 4, shared 2; C overlaps nobody → no row
+    assert(out == Map(("A", "B") -> (2L, 3L, 4L, 2000000L / 3L)), out.toString)
+  }
+
   test("rangeBucket kernel: boundaries inclusive-lo exclusive-hi, gaps, out of range") {
     val los = Array(0.0, 10.0, 50.0)
     val his = Array(10.0, 20.0, 60.0)

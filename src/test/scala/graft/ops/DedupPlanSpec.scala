@@ -24,9 +24,12 @@ class DedupPlanSpec extends AnyFunSuite {
     // EXACTLY one row per component (the min_by aggregate), so a flooded
     // cluster streams m probe rows against a 1-row hash relation:
     // fan-out 1, linear, AQE-skew-splittable
+    // src_a/src_b: dd_src_overlap's per-source denominator attach — the
+    // build side (perSrc) has EXACTLY one row per source and rides a
+    // broadcast; fan-out 1 against the ≤|sources|²-row pair table
     val bounded = Set("band", "bucket", "chunk", "id", "id_a", "id_b",
       "id_p", "query_id", "neighbor_id", "doc_id", "_gh", "shard", "_k",
-      "_brep")
+      "_brep", "src_a", "src_b")
     for ((name, fn) <- graft.SparkEntry.queries
          if name.startsWith("dd_") || name == "sim_topk_lsh") {
       val plan = fn(spark, sf).queryExecution.optimizedPlan

@@ -47,11 +47,19 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
-    // narrow projection BEFORE the shuffle: only (id, n_tok) moves
+    // narrow projection BEFORE the shuffle: only (id, n_tok) moves.
+    // _pid is MATERIALIZED (localCheckpoint) because both consumers —
+    // the offsets aggregate and the rank join — must see the SAME
+    // row→partition assignment: two physically separate evaluations of
+    // a range exchange sample boundaries with different rdd.id-derived
+    // seeds, and relying on runtime exchange reuse to prevent that is
+    // exactly the silent-correctness dependence the BatchScalingBench
+    // smoke run caught (0.3% of rows lost when reuse didn't happen)
     val ranged = df
       .select(col(idCol), col(nTokCol).cast("long").as(nTokCol))
       .repartitionByRange(parts, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // per-partition sums: #partitions rows — the only single-partition
     // step runs over THIS tiny frame, never the data
     val offW = Window.orderBy("_pid")
@@ -218,11 +226,14 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
+    // _pid materialized: both consumers must see one row→partition
+    // assignment (see packChunks — the range sampler is per-evaluation)
     val keyed = df
       .select(col(idCol),
         md5(concat(col(idCol).cast("string"), lit(seed))).as("_skey"))
       .repartitionByRange(parts, col("_skey"), col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offW = Window.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("_pid")
@@ -270,12 +281,15 @@ object Packing {
     val parts =
       if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
+    // _pid materialized: both consumers must see one row→partition
+    // assignment (see packChunks — the range sampler is per-evaluation)
     val keyed = df
       .select(col(idCol), col(nTokCol).cast("long").as("_nt"))
       .withColumn("_plen", expr(
         s"((greatest(_nt, 1L) + ${bucketGrain - 1}L) DIV ${bucketGrain}L) * ${bucketGrain}L"))
       .repartitionByRange(parts, col("_plen"), col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // per-(bucket, partition) counts — ≤ parts·|buckets| rows — cumulated
     // into each partition's exclusive within-bucket offset; the window
     // partitions by bucket, so no single partition ever holds more than

@@ -246,10 +246,32 @@ object TokenOps {
         val a = (pair >>> 32).toInt
         val b = (pair & 0xffffffffL).toInt
         val newId = vocabBase + r
+        // n_tok_after rides the checkpoint materialization as an
+        // observed metric (the Pipeline observe idiom) — one job per
+        // round instead of checkpoint + a second audit scan; if the
+        // metric doesn't surface (observe fires per action, and a
+        // future Spark could change what the checkpoint job reports),
+        // fall back to the explicit aggregate LOUDLY
+        val obs = new org.apache.spark.sql.Observation(s"bpe_r$r")
         val next = cur
           .withColumn("ts", opscol.bpeMergePair(col("ts"), a, b, newId))
+          .observe(obs, sum(size(col("ts"))).as("n_tok"))
           .localCheckpoint()
-        val nTokAfter = next.agg(sum(size(col("ts")))).head().getLong(0)
+        // the metric lands via an async listener — bounded poll (the
+        // Pipeline.writeBatch pattern), then the loud fallback
+        var polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+        val deadline = System.nanoTime() + 5000000000L
+        while (polled.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(20)
+          polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+        }
+        val nTokAfter = polled.get("n_tok") match {
+          case Some(v: Long) => v
+          case _ =>
+            System.err.println(
+              s"[bpeTrain] round $r: observed n_tok missing; re-scanning")
+            next.agg(sum(size(col("ts")))).head().getLong(0)
+        }
         cur.unpersist()
         cur = next
         out += ((r.toLong, a.toLong, b.toLong, n, newId.toLong, nTokAfter))

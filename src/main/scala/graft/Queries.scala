@@ -820,8 +820,9 @@ object Queries {
   /** Length-bucketed batch assembly over documents (length = n_chars),
     * grain 64, budget 1024: the 576-char bucket's capacity clamps to 1
     * (singleton batches) and the mid buckets hold multiple batches, so
-    * the capacity boundary, the rank split and the waste arithmetic are
-    * all load-bearing; first/last ids pin the assignment itself. */
+    * the capacity boundary, the (salt, id)-scramble rank split and the
+    * waste arithmetic are all load-bearing; min/max member ids pin the
+    * assignment itself. */
   def pipeBatch(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Packing.lengthBucketBatches(
       table(spark, dir, "documents").select("doc_id", "n_chars"),

@@ -636,13 +636,23 @@ object SparkEntry {
          |  list(tf ORDER BY doc_id) AS tfs
          |FROM t GROUP BY 1, 2 ORDER BY term, shard""".stripMargin,
 
-    // length-bucketed batching replay: naive per-bucket window rank,
-    // constant capacity max(1, budget // padded_len), batch fold
+    // length-bucketed batching replay: naive per-bucket window rank
+    // under the (salt, id) scramble order — salt = Sketches.scramble32
+    // (murmur3 fmix32 finalizer) mod 256, replayed here in plain BIGINT
+    // arithmetic (every intermediate ≤ 2^48: 32×32 multiplies split
+    // into 16-bit limbs exactly as the Spark side computes them);
+    // constant capacity max(1, budget // padded_len)
     "pipe_batch" ->
-      """WITH b AS (SELECT doc_id, n_chars::BIGINT AS n_tok,
-        |    ((greatest(n_chars, 1) + 63) // 64 * 64)::BIGINT AS padded_len
+      """WITH b0 AS (SELECT doc_id, n_chars::BIGINT AS n_tok,
+        |    ((greatest(n_chars, 1) + 63) // 64 * 64)::BIGINT AS padded_len,
+        |    (xor(doc_id::BIGINT, doc_id::BIGINT >> 32) % 4294967296) AS s0
         |  FROM documents),
-        |r AS (SELECT *, (row_number() OVER (PARTITION BY padded_len ORDER BY doc_id) - 1)::BIGINT AS rk FROM b),
+        |b1 AS (SELECT *, xor(s0, s0 >> 16) AS s1 FROM b0),
+        |b2 AS (SELECT *, ((((s1 >> 16) * 2246822507) % 65536) * 65536 + (s1 % 65536) * 2246822507) % 4294967296 AS s2 FROM b1),
+        |b3 AS (SELECT *, xor(s2, s2 >> 13) AS s3 FROM b2),
+        |b4 AS (SELECT *, ((((s3 >> 16) * 3266489909) % 65536) * 65536 + (s3 % 65536) * 3266489909) % 4294967296 AS s4 FROM b3),
+        |b AS (SELECT doc_id, n_tok, padded_len, xor(s4, s4 >> 16) % 256 AS salt FROM b4),
+        |r AS (SELECT *, (row_number() OVER (PARTITION BY padded_len ORDER BY salt, doc_id) - 1)::BIGINT AS rk FROM b),
         |a AS (SELECT *, (rk // greatest(1, 1024 // padded_len))::BIGINT AS batch_idx FROM r)
         |SELECT padded_len, batch_idx, count(*)::BIGINT AS n_seqs,
         |  sum(n_tok)::BIGINT AS n_tok_real,

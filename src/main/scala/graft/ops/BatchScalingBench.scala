@@ -196,10 +196,11 @@ object BatchScalingBench {
       f"""# BENCH/BATCH — length-bucketed batch-assembly scaling evidence
          |
          |End-to-end job over a doc manifest `(doc_id, n_tok)`:
-         |scan(parquet) → range exchange on (padded_len, doc_id) →
-         |per-partition bucket counts → broadcast offsets → parallel
-         |per-partition rank windows → integer batch assignment → batch
-         |aggregate → totals checksum. $n%d docs, **$hotDocs%d of them
+         |scan(parquet) → value-salt projection (fmix32 scramble mod
+         |256) → per-(bucket, salt) counts (map-side combinable) →
+         |broadcast offsets → ONE data exchange keyed (bucket, salt) →
+         |parallel per-cell rank windows → integer batch assignment →
+         |batch aggregate → totals checksum. $n%d docs, **$hotDocs%d of them
          |(${hotDocs * 100.0 / n}%.0f%%) in the single hot 512 bucket** —
          |the flood a naive per-bucket row_number window would sort in ONE
          |partition. Two parallelism levels in separate JVMs
@@ -230,12 +231,14 @@ object BatchScalingBench {
          |  0..ceil(count/capacity)−1, or with >1 non-full batch: $bad%d
          |  (must be 0)
          |
-         |The hot bucket never forms a single sort: the rank rides range
-         |partitions of the (padded_len, doc_id) order, per-partition
-         |windows run in parallel, and the only single-partition step is
-         |the ≤ partitions·buckets offsets frame. The batch aggregate
-         |lands on the (padded_len, batch_idx) key — data-sized but
-         |uniform (capacity bounds each group).
+         |The hot bucket never forms a single sort: composition order is
+         |(salt, id) with salt = fmix32-scramble(id) mod 256 — a pure
+         |VALUE hash both consumer branches recompute identically, so the
+         |hot bucket spreads over 256 window cells with no range sampler,
+         |no checkpoint barrier; the only single-partition step is the
+         |≤ salts·buckets offsets frame. The batch aggregate lands on the
+         |(padded_len, batch_idx) key — data-sized but uniform (capacity
+         |bounds each group).
          |""".stripMargin
     Files.createDirectories(Paths.get(outMd).getParent)
     Files.writeString(Paths.get(outMd), md)

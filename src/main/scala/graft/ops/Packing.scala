@@ -259,60 +259,81 @@ object Packing {
     * accounting — the dynamic-batching prep a trainer runs when it pads
     * (rather than packs) sequences: round each length up to the next
     * `bucketGrain` multiple, and fill fixed-token-budget batches from
-    * each bucket in deterministic id order. Because every sequence in a
-    * bucket pads to the SAME length, a bucket's batch capacity is the
-    * constant `max(1, batchTokens div padded_len)` — so batch assignment
-    * is pure integer rank arithmetic, no greedy scan, no bin-packing
-    * heuristic, bit-identical on any cluster. Sequences longer than the
-    * budget get singleton batches (capacity clamps to 1).
+    * each bucket in a deterministic scrambled order. Because every
+    * sequence in a bucket pads to the SAME length, a bucket's batch
+    * capacity is the constant `max(1, batchTokens div padded_len)` — so
+    * batch assignment is pure integer rank arithmetic, no greedy scan,
+    * no bin-packing heuristic. Sequences longer than the budget get
+    * singleton batches (capacity clamps to 1).
+    *
+    * Composition order within a bucket is `(salt, id)` with
+    * `salt = fmix32-scramble(id) mod saltParts` ([[Sketches.scramble32]])
+    * — a PURE FUNCTION of the row values, bit-identical on any cluster
+    * size or partitioning, and exactly replayable by the oracle in
+    * plain integer SQL. The scramble is a feature for training (id
+    * order correlates with crawl order; hash order mixes sources within
+    * a batch — the [[globalShuffleOrder]] philosophy), and it is also
+    * the scale story: because BOTH consumers of the keyed frame
+    * (bucket-offset aggregate, rank window) recompute the salt
+    * identically from values, nothing needs a sampled range exchange or
+    * a materialization barrier. (Contrast [[packChunks]], whose
+    * id-order CONTRACT forces the range partitioning and therefore the
+    * checkpoint; measured on BatchScalingBench, the checkpoint write
+    * was the path's 2.4× CPU inflator at 16 threads. An md5 salt was
+    * measured too: 5.3 s per 100M-row pass at 16 threads, ×2 consumer
+    * branches ≈ a third of the whole job — hence the integer scramble.)
     *
     * Output: one row per (padded_len, batch_idx) batch — n_seqs,
-    * n_tok_real, n_tok_padded = n_seqs·padded_len, waste = padded − real,
-    * plus first/last member ids so the doc→batch assignment itself is
-    * pinned by the compare, not just batch shapes.
+    * n_tok_real, n_tok_padded = n_seqs·padded_len, waste = padded −
+    * real, plus min/max member ids so the doc→batch assignment itself
+    * is pinned by the compare, not just batch shapes.
     *
-    * 100 TB shape: the per-bucket rank is the [[globalShuffleOrder]]
-    * two-level scan under the composite (padded_len, id) total order —
-    * a hot bucket (every web doc pads to 512) floods a range-partitioned
-    * scan, never one window partition; bucket start offsets are a
-    * |buckets|-sized frame cumulated on one tiny partition and broadcast;
-    * the batch fold is one map-side-combinable aggregate on the
-    * (padded_len, batch_idx) key. Narrow (id, n_tok) rows only — the
-    * token payload never moves. */
+    * 100 TB shape: ONE data-sized exchange — the rank window's, keyed
+    * (padded_len, salt), so a hot bucket (every web doc pads to 512)
+    * spreads over `saltParts` window partitions, never one sort; bucket
+    * offsets are a ≤ saltParts·|buckets| frame aggregated map-side
+    * combinably and broadcast; the batch fold is one combinable
+    * aggregate on the (padded_len, batch_idx) key. Narrow (id, n_tok)
+    * rows only — the token payload never moves. */
   def lengthBucketBatches(df: DataFrame, idCol: String, nTokCol: String,
-      batchTokens: Long, bucketGrain: Long, numParts: Int = 0): DataFrame = {
+      batchTokens: Long, bucketGrain: Long, saltParts: Int = 256): DataFrame = {
     require(batchTokens > 0 && bucketGrain > 0,
       s"batchTokens and bucketGrain must be positive")
-    val spark = df.sparkSession
-    val parts =
-      if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    // _pid materialized: both consumers must see one row→partition
-    // assignment (see packChunks — the range sampler is per-evaluation)
+    require(saltParts > 0, s"saltParts must be positive, got $saltParts")
+    // scramble32's shift/fold arithmetic is defined on non-negative
+    // integers (the Similarity.requireNumericId precedent)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"lengthBucketBatches id column '$idCol' must be integral " +
+        s"(got ${df.schema(idCol).dataType.simpleString}): the salt " +
+        "scramble is defined on non-negative integer ids")
+    // the salt is a value hash, NOT spark_partition_id(): both consumers
+    // recompute it identically, so no materialization is needed for the
+    // two branches to agree (the range-sampler hazard cannot exist here)
     val keyed = df
       .select(col(idCol), col(nTokCol).cast("long").as("_nt"))
       .withColumn("_plen", expr(
         s"((greatest(_nt, 1L) + ${bucketGrain - 1}L) DIV ${bucketGrain}L) * ${bucketGrain}L"))
-      .repartitionByRange(parts, col("_plen"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      // serialized storage: the narrow long rows shrink ~3x vs
-      // deserialized block caching, cutting the materialization's
-      // memory-bandwidth cost (the two-level benches' binding resource)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // per-(bucket, partition) counts — ≤ parts·|buckets| rows — cumulated
-    // into each partition's exclusive within-bucket offset; the window
-    // partitions by bucket, so no single partition ever holds more than
-    // `parts` rows of this tiny frame
-    val offsets = keyed.groupBy("_plen", "_pid")
+      .withColumn("_salt",
+        pmod(Sketches.scramble32(col(idCol)), lit(saltParts.toLong)))
+    // per-(bucket, salt) counts — ≤ saltParts·|buckets| rows — cumulated
+    // into each salt cell's exclusive within-bucket offset; the window
+    // partitions by bucket, so no single partition of this tiny frame
+    // ever holds more than `saltParts` rows
+    val offsets = keyed.groupBy("_plen", "_salt")
       .agg(count(lit(1)).as("_pn"))
       .withColumn("_off", coalesce(sum("_pn").over(
-        Window.partitionBy("_plen").orderBy("_pid")
+        Window.partitionBy("_plen").orderBy("_salt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_plen", "_pid", "_off")
-    val intraW = Window.partitionBy("_pid", "_plen").orderBy(idCol)
+      .select("_plen", "_salt", "_off")
+    val intraW = Window.partitionBy("_plen", "_salt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed
-      .join(broadcast(offsets), Seq("_plen", "_pid"))
+      .join(broadcast(offsets), Seq("_plen", "_salt"))
       .withColumn("_rk", col("_off") + count(lit(1)).over(intraW))
       .withColumn("batch_idx", expr(
         s"_rk DIV greatest(1L, ${batchTokens}L DIV _plen)"))

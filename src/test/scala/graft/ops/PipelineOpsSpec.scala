@@ -134,13 +134,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getLong(6), r.getLong(7))).toMap
-    // naive replay
+    // naive replay under the documented (salt, id) scramble order —
+    // fmix32 over the folded id, computed here with independent plain
+    // Int arithmetic (not the 16-bit-limb form the Column/SQL sides
+    // share), so a limb-arithmetic bug can't cancel across sides
+    def salt(id: Long): Long = {
+      var h = (id ^ (id >>> 32)).toInt
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13
+      h *= 0xC2B2AE35; h ^= h >>> 16
+      java.lang.Math.floorMod(h.toLong & 0xFFFFFFFFL, 256L)
+    }
     val naive = rows.map { case (id, nt) =>
       (id, nt, ((math.max(nt, 1) + 7) / 8) * 8)
     }.groupBy(_._3).toSeq.flatMap { case (plen, members) =>
       val cap = math.max(1L, 24L / plen)
-      members.sortBy(_._1).zipWithIndex.map { case ((id, nt, _), rk) =>
-        ((plen, rk / cap), (id, nt))
+      members.sortBy(m => (salt(m._1), m._1)).zipWithIndex.map {
+        case ((id, nt, _), rk) => ((plen, rk / cap), (id, nt))
       }
     }.groupBy(_._1).map { case (k, vs) =>
       val ids = vs.map(_._2._1); val nts = vs.map(_._2._2)
@@ -159,7 +168,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       val idxs = ks.map(_._2).toSeq.sorted
       assert(idxs == (0L until idxs.size).toSeq)
     }
-    // partitioning-independence
+    // partitioning-independence: the salt is a value hash, so the result
+    // is identical however the input is distributed
     val p7 = Packing.lengthBucketBatches(df.repartition(7), "doc_id",
         "n_tok", 24L, 8L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -174,13 +184,14 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("lengthBucketBatches: no global single-partition window over the data") {
     val df = (0L until 32L).map(i => (i, 5L)).toDF("doc_id", "n_tok")
     val plan = Packing.lengthBucketBatches(df, "doc_id", "n_tok", 16L, 8L,
-        numParts = 4)
+        saltParts = 4)
       .queryExecution.optimizedPlan.toString()
     val windows = plan.linesIterator.filter(_.contains("Window ")).toList
     assert(windows.nonEmpty)
-    // data-frame windows carry _pid; the offsets frame's window is
-    // partitioned by the bucket key over per-partition counts (_pn)
-    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    // data-frame windows carry _salt (bucket × salt partitions); the
+    // offsets frame's window partitions by the bucket key over the
+    // ≤ saltParts·|buckets| count rows
+    val unpartitioned = windows.filterNot(_.contains("_salt"))
     assert(unpartitioned.isEmpty, s"global window over data rows:\n$plan")
   }
 

@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * Output is IDENTICAL to the single window whenever the order is total
   * (every global top-k row is top-k within its own cell); callers order
   * by (score desc, id asc) with per-group-unique ids, which is total.
-  * The salt is md5-derived from the id COLUMN VALUE (not the partition),
-  * so results are deterministic under any partitioning/cluster size —
-  * the same derandomization contract as Mixing/Packing. */
+  * The salt is hash-derived from the id COLUMN VALUE (murmur3 via
+  * `hash()` — cheap; it never reaches the output, so unlike Packing's
+  * oracle-replayed scramble it needs no SQL replay), not from the
+  * partition — results are deterministic under any partitioning/cluster
+  * size, the same derandomization contract as Mixing/Packing. */
 object Ranks {
 
   /** Append `rankAs` = 1..k per `groupCol` under `order` (which must be

@@ -1271,6 +1271,21 @@ object Queries {
       "doc_id", seed = "epoch1")
       .orderBy("doc_id")
 
+  /** Stride-scheduled blended training order over four weighted sources
+    * (50/30/15/5 of W=100); the 16 unlisted sources are excluded, so
+    * exclusion, the per-source scramble rank, the stride arithmetic and
+    * the collision-free slot encoding are all load-bearing in the
+    * compare. Equal per-source doc counts (25 each at driver scale)
+    * against UNEQUAL weights make sources exhaust at different virtual
+    * times, exercising the tail of the schedule. */
+  def pipeInterleave(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.interleaveBySource(
+      table(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source",
+      Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L),
+      seed = "ep1")
+      .orderBy("doc_id")
+
   /** Spherical k-means over the embeddings (k=16, 2 Lloyd rounds,
     * deterministic first-k init): final per-vector cluster + cosine to
     * its trained centroid (floor×1e6). The oracle replays both rounds in

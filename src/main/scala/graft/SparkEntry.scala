@@ -93,6 +93,7 @@ object SparkEntry {
     "dd_incr_near" -> (Queries.ddIncrNear _),
     "txt_lm_ppl" -> (Queries.txtLmPpl _),
     "pipe_shuffle" -> (Queries.pipeShuffle _),
+    "pipe_interleave" -> (Queries.pipeInterleave _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
@@ -1421,6 +1422,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id) - 1 AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stride-scheduled source interleave replay: per-source scramble
+    // rank (naive window), then the integer stride slot
+    // ((2r+1)·W div 2w)·nSrc + sidx — W=100, nSrc=4, sidx by sorted
+    // source name; unlisted sources drop via the inner join
+    "pipe_interleave" ->
+      """WITH w(source, wt, sidx) AS (VALUES
+        |    ('src0', 50, 0), ('src1', 30, 1), ('src2', 15, 2), ('src3', 5, 3)),
+        |r AS (SELECT d.doc_id, d.source, w.wt, w.sidx,
+        |    (row_number() OVER (PARTITION BY d.source
+        |       ORDER BY md5(d.doc_id::VARCHAR || 'ep1'), d.doc_id) - 1)::BIGINT AS rnd
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source, rnd AS src_round,
+        |  ((((2*rnd + 1) * 100) // (2*wt)) * 4 + sidx)::BIGINT AS sched_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // both Lloyd update rounds replayed in SQL: first-16 init, cosine
     // arg-max assignment (ties to smaller cid), per-dimension member

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-mixing operators: deterministic weighted sampling (the "data
@@ -279,5 +280,79 @@ object Mixing {
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  /** Deterministic stride-scheduled source interleave — the BLENDED
+    * training order for a weighted multi-source mixture: every prefix of
+    * the schedule holds the source ratios (Waldspurger-style stride
+    * scheduling), which is what keeps a run that stops — or resumes — at
+    * step t trained on the INTENDED mixture, not on whichever source the
+    * file order put first. [[sampleBySource]] decides WHAT is in the
+    * mixture; this decides in WHICH ORDER it is consumed.
+    *
+    * Semantics: docs of source s are ordered by the seeded hash scramble
+    * (md5(id ‖ seed), id) — the [[graft.ops.Packing.globalShuffleOrder]]
+    * epoch contract, per source — giving each doc its within-source
+    * round `src_round` r = 0,1,2…; its schedule key is then
+    * `sched_pos = ((2r+1)·W div (2·w_s)) · nSrc + srcIdx` with W = Σ
+    * weights — source s occupies every (W/w_s)-th slot of a virtual
+    * timeline, with ties broken by the (sorted-source-name) index, so
+    * sched_pos is COLLISION-FREE and `ORDER BY sched_pos` IS the
+    * schedule. Everything is integer arithmetic on non-negative values
+    * (identical under Spark ANSI and DuckDB BIGINT); the whole schedule
+    * is a pure function of (id, source, weights, seed) — identical on
+    * any partitioning, rerun, or cluster size. Sources absent from
+    * `weights` are EXCLUDED (weight 0), like a 0-rate in
+    * [[sampleBySource]]; a source that exhausts its docs simply stops
+    * occupying its slots (prefixes hold the ratios among the sources
+    * still live — stride deviation ≤ 1 doc per source until exhaustion).
+    *
+    * 100 TB shape: ONE data-sized exchange — the per-(source, cell) rank
+    * window's, where cell is the first-2-hex-chars value of the md5 sort
+    * key itself (a monotone bucketing of the key: ordering (cell, key,
+    * id) IS ordering (key, id)), so a dominant source spreads over 256
+    * parallel cells, never one sort, and because the cell is a VALUE
+    * hash both consumers of the keyed frame agree with no range sampler
+    * and no checkpoint barrier (the [[Packing.lengthBucketBatches]]
+    * discipline); offsets are a ≤ 256·|sources| broadcast frame; weights
+    * ride a broadcast join; sched_pos is a zero-shuffle projection.
+    * Overflow bound (documented contract): N_s · W · nSrc must fit a
+    * long — weights are ppm-scale (Σ ≤ 1e6), so fine past 10^12 docs. */
+  def interleaveBySource(df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Long], seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val w = weights.values.sum
+    require(w <= 1000000L, s"weights must sum to <= 1e6 (ppm scale), got $w")
+    val srcs = weights.keys.toSeq.sorted
+    val nSrc = srcs.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = broadcast(
+      srcs.zipWithIndex.map { case (s, i) => (s, weights(s), i.toLong) }
+        .toDF(srcCol, "_w", "_sidx"))
+    val keyed = df
+      .select(col(idCol), col(srcCol))
+      .join(dim, srcCol) // inner: unlisted sources are excluded
+      .withColumn("_skey",
+        md5(concat(col(idCol).cast("string"), lit(seed))))
+      .withColumn("_cell",
+        conv(substring(col("_skey"), 1, 2), 16, 10).cast("long"))
+    val offsets = keyed.groupBy(srcCol, "_cell")
+      .agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(
+        Window.partitionBy(srcCol).orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(srcCol), col("_cell"), col("_off"))
+    val intraW = Window.partitionBy(srcCol, "_cell")
+      .orderBy(col("_skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), Seq(srcCol, "_cell"))
+      .withColumn("src_round", col("_off") + count(lit(1)).over(intraW))
+      .withColumn("sched_pos",
+        expr(s"((2L * src_round + 1L) * ${w}L DIV (2L * _w)) * ${nSrc}L") +
+          col("_sidx"))
+      .select(col(idCol), col(srcCol), col("src_round"), col("sched_pos"))
   }
 }

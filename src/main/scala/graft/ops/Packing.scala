@@ -215,42 +215,42 @@ object Packing {
     * no partition boundary — `rand()`- or `zipWithIndex`-based shuffles
     * guarantee neither).
     *
-    * Same two-level scan as [[packChunks]], counting rows instead of
-    * summing tokens: range-shuffle narrow (id, key) rows on the hash key,
-    * per-partition COUNTS (#partitions rows) cumulated into exclusive
-    * offsets on one tiny partition, offsets broadcast back, and the
-    * intra-partition rank computed by parallel per-partition windows —
-    * the naive `row_number().over(Window.orderBy(key))` would pull the
-    * corpus into ONE partition.
-    */
+    * Two-level scan with HASH-PREFIX cells, no range exchange, no
+    * materialization barrier: because the sort key IS a hash, its first
+    * two hex chars are a monotone bucketing of the key itself — ordering
+    * (cell, key, id) with cell = value(key[0..2)) is EXACTLY ordering
+    * (key, id). So unlike [[packChunks]] (id-order contract ⇒ sampled
+    * range partitioning ⇒ per-evaluation boundaries ⇒ localCheckpoint),
+    * both consumers of the keyed frame recompute the cell from the VALUE
+    * and necessarily agree: per-cell counts (≤256 rows) cumulate into
+    * exclusive offsets, offsets broadcast back, and parallel per-cell
+    * windows rank within each cell — the naive
+    * `row_number().over(Window.orderBy(key))` would pull the corpus into
+    * ONE partition, and the previous range-exchange form paid a
+    * serialized checkpoint write (measured as the batch-assembly path's
+    * CPU inflator at 16 threads — see [[lengthBucketBatches]]). */
   def globalShuffleOrder(df: DataFrame, idCol: String, seed: String = "",
       numParts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val parts =
-      if (numParts > 0) numParts
-      else spark.sessionState.conf.numShufflePartitions
-    // _pid materialized: both consumers must see one row→partition
-    // assignment (see packChunks — the range sampler is per-evaluation)
+    // numParts kept for source compatibility; the cell fan-out is the
+    // fixed 256 hash-prefix space (cells are value-derived, so the
+    // parameter no longer influences the result — it never did)
+    val _ = numParts
     val keyed = df
       .select(col(idCol),
         md5(concat(col(idCol).cast("string"), lit(seed))).as("_skey"))
-      .repartitionByRange(parts, col("_skey"), col(idCol))
-      .withColumn("_pid", spark_partition_id())
-      // serialized storage: the narrow long rows shrink ~3x vs
-      // deserialized block caching, cutting the materialization's
-      // memory-bandwidth cost (the two-level benches' binding resource)
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val offW = Window.orderBy("_pid")
+      .withColumn("_cell", conv(substring(col("_skey"), 1, 2), 16, 10)
+        .cast("long"))
+    val offW = Window.orderBy("_cell")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy("_pid")
+    val offsets = keyed.groupBy("_cell")
       .agg(count(lit(1)).as("_pn"))
       .withColumn("_off", coalesce(sum("_pn").over(offW), lit(0L)))
-      .select("_pid", "_off")
-    // count of preceding rows = 0-based rank, one parallel scan per part
-    val intraW = Window.partitionBy("_pid").orderBy(col("_skey"), col(idCol))
+      .select("_cell", "_off")
+    // count of preceding rows = 0-based rank, one parallel scan per cell
+    val intraW = Window.partitionBy("_cell").orderBy(col("_skey"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed
-      .join(broadcast(offsets), "_pid")
+      .join(broadcast(offsets), "_cell")
       .select(col(idCol),
         (col("_off") + count(lit(1)).over(intraW)).as("pos"))
   }

@@ -304,13 +304,94 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("globalShuffleOrder: no global single-partition window over the data") {
     val df = (0L until 32L).toDF("doc_id")
-    val plan = Packing.globalShuffleOrder(df, "doc_id", numParts = 4)
-      .queryExecution.optimizedPlan.toString()
+    val qe = Packing.globalShuffleOrder(df, "doc_id", numParts = 4)
+      .queryExecution
+    val plan = qe.optimizedPlan.toString()
     val windows = plan.linesIterator.filter(_.contains("Window ")).toList
     assert(windows.nonEmpty)
-    val unpartitioned = windows.filterNot(_.contains("_pid"))
+    // data-frame windows carry _cell (256 hash-prefix cells); the
+    // offsets frame's window runs over the ≤256 per-cell count rows
+    val unpartitioned = windows.filterNot(_.contains("_cell"))
     assert(unpartitioned.forall(_.contains("_pn")),
       s"global window over data rows:\n$plan")
+    // the rework's point: no range exchange, no checkpoint barrier
+    val phys = qe.executedPlan.toString()
+    assert(!phys.contains("rangepartitioning"), s"range exchange:\n$phys")
+    assert(!plan.contains("LogicalRDD"), s"checkpoint barrier:\n$plan")
+  }
+
+  // ---- interleaveBySource --------------------------------------------------
+
+  private def interleaveFixture = {
+    // proportional sizes (N_s = 10·w_s) so no source exhausts mid-schedule
+    val rows = (0L until 30L).map(i => (i, "a")) ++
+      (100L until 120L).map(i => (i, "b")) ++
+      (200L until 210L).map(i => (i, "c")) ++
+      Seq((900L, "zz"), (901L, "zz")) // unlisted → excluded
+    (rows, Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("interleaveBySource: equals the naive per-source replay; slots collision-free") {
+    val (rows, ws) = interleaveFixture
+    val df = rows.toDF("doc_id", "source")
+    val got = Mixing.interleaveBySource(df, "doc_id", "source", ws, seed = "s")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def skey(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val srcs = ws.keys.toSeq.sorted
+    val naive = rows.filter(r => ws.contains(r._2)).groupBy(_._2)
+      .flatMap { case (s, members) =>
+        val w = ws(s); val sidx = srcs.indexOf(s).toLong
+        members.map(_._1).sortBy(id => (skey(id), id)).zipWithIndex.map {
+          case (id, r) =>
+            id -> (s, r.toLong, ((2L * r + 1L) * 6L / (2L * w)) * 3L + sidx)
+        }
+      }.toMap
+    assert(got == naive)
+    assert(!got.contains(900L) && !got.contains(901L), "unlisted not excluded")
+    val slots = got.values.map(_._3).toSeq
+    assert(slots.distinct.size == slots.size, "sched_pos must be collision-free")
+  }
+
+  test("interleaveBySource: every schedule prefix holds the source ratios") {
+    val (rows, ws) = interleaveFixture
+    val df = rows.toDF("doc_id", "source")
+    val sched = Mixing.interleaveBySource(df, "doc_id", "source", ws, "s")
+      .orderBy("sched_pos").collect().map(_.getString(1))
+    assert(sched.length == 60)
+    val wsum = ws.values.sum.toDouble
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    sched.zipWithIndex.foreach { case (s, i) =>
+      seen(s) = seen.getOrElse(s, 0) + 1
+      val n = i + 1
+      ws.foreach { case (src, w) =>
+        val dev = math.abs(seen.getOrElse(src, 0) - n * w / wsum)
+        assert(dev <= 2.0,
+          s"prefix $n: source $src count ${seen.getOrElse(src, 0)} " +
+            s"vs ideal ${n * w / wsum}")
+      }
+    }
+  }
+
+  test("interleaveBySource: partitioning-independent; no range exchange or barrier") {
+    val (rows, ws) = interleaveFixture
+    val df = rows.toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixing.interleaveBySource(d, "doc_id", "source", ws, "s")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(run(df.repartition(7)) == run(df.coalesce(1)))
+    val qe = Mixing.interleaveBySource(df, "doc_id", "source", ws, "s")
+      .queryExecution
+    val plan = qe.optimizedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filterNot(_.contains("_cell"))
+    assert(unpartitioned.isEmpty, s"global window over data rows:\n$plan")
+    val phys = qe.executedPlan.toString()
+    assert(!phys.contains("rangepartitioning"), s"range exchange:\n$phys")
+    assert(!plan.contains("LogicalRDD"), s"checkpoint barrier:\n$plan")
   }
 
   // ---- LangModel -----------------------------------------------------------

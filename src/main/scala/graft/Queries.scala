@@ -1286,6 +1286,20 @@ object Queries {
       seed = "ep1")
       .orderBy("doc_id")
 
+  /** Fixed-budget multi-epoch mixture: 150 scheduled docs over the same
+    * 50/30/15/5 weights. At sf0.01 (25 docs/source) src0 runs 3 epochs
+    * (75 slots), src1 two with a partial second (45), src2/src3 partial
+    * singles (22/7); at sf0.001 (5 docs/source) the fan-outs go to
+    * 15/9/5/2 epochs — repetition counts, partial-epoch truncation and
+    * the per-epoch independent scrambles are all load-bearing. */
+  def pipeEpochs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.epochBudgetSchedule(
+      table(spark, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source",
+      Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L),
+      budgetDocs = 150L, seed = "ep")
+      .orderBy("doc_id", "epoch")
+
   /** Spherical k-means over the embeddings (k=16, 2 Lloyd rounds,
     * deterministic first-k init): final per-vector cluster + cosine to
     * its trained centroid (floor×1e6). The oracle replays both rounds in

@@ -94,6 +94,7 @@ object SparkEntry {
     "txt_lm_ppl" -> (Queries.txtLmPpl _),
     "pipe_shuffle" -> (Queries.pipeShuffle _),
     "pipe_interleave" -> (Queries.pipeInterleave _),
+    "pipe_epochs" -> (Queries.pipeEpochs _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
@@ -1437,6 +1438,29 @@ object SparkEntry {
         |SELECT doc_id, source, rnd AS src_round,
         |  ((((2*rnd + 1) * 100) // (2*wt)) * 4 + sidx)::BIGINT AS sched_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // fixed-budget multi-epoch mixture replay: per-source slot
+    // allocation (150·w div 100), epoch fan-out ceil(nslots/ndocs) via
+    // unnest(range(..)), per-(source, epoch) scramble rank with the
+    // epoch folded into the md5 seed, partial-last-epoch filter, then
+    // the identical stride-slot arithmetic
+    "pipe_epochs" ->
+      """WITH w(source, wt, sidx) AS (VALUES
+        |    ('src0', 50, 0), ('src1', 30, 1), ('src2', 15, 2), ('src3', 5, 3)),
+        |n AS (SELECT source, count(*)::BIGINT AS ndocs FROM documents GROUP BY 1),
+        |t AS (SELECT w.source, w.wt, w.sidx, n.ndocs,
+        |    ((150 * w.wt) // 100)::BIGINT AS nslots
+        |  FROM w JOIN n USING (source) WHERE ((150 * w.wt) // 100) > 0),
+        |ep AS (SELECT *, unnest(range(0, (nslots + ndocs - 1) // ndocs))::BIGINT AS k FROM t),
+        |r AS (SELECT d.doc_id, ep.source, ep.k, ep.wt, ep.sidx, ep.ndocs, ep.nslots,
+        |    (row_number() OVER (PARTITION BY ep.source, ep.k
+        |       ORDER BY md5(d.doc_id::VARCHAR || 'ep' || ep.k::VARCHAR), d.doc_id) - 1)::BIGINT AS erank
+        |  FROM documents d JOIN ep USING (source)),
+        |f AS (SELECT *, (k * ndocs + erank)::BIGINT AS rnd FROM r
+        |  WHERE k * ndocs + erank < nslots)
+        |SELECT doc_id, source, k AS epoch, rnd AS src_round,
+        |  ((((2*rnd + 1) * 100) // (2*wt)) * 4 + sidx)::BIGINT AS sched_pos
+        |FROM f ORDER BY doc_id, epoch""".stripMargin,
 
     // both Lloyd update rounds replayed in SQL: first-16 init, cosine
     // arg-max assignment (ties to smaller cid), per-dimension member

@@ -355,4 +355,85 @@ object Mixing {
           col("_sidx"))
       .select(col(idCol), col(srcCol), col("src_round"), col("sched_pos"))
   }
+
+  /** Fixed-budget MULTI-EPOCH mixture schedule — [[interleaveBySource]]
+    * extended with the repetition semantics real mixtures use (a small
+    * high-quality source weighted above its natural share repeats for
+    * several epochs — the "wikipedia × 4" configuration): source s is
+    * allocated `n_slots = budgetDocs·w_s div W` schedule slots; its docs
+    * fill them epoch by epoch, each epoch an INDEPENDENT scramble
+    * (md5(id ‖ seed ‖ epoch)), the last epoch partial if w_s·budget
+    * isn't a doc multiple. Every doc of s therefore appears exactly
+    * floor- or ceil(n_slots/N_s) times, and every schedule prefix holds
+    * the weight ratios for the WHOLE run (stride slots as in
+    * interleaveBySource, with the same collision-free encoding) — the
+    * curriculum a trainer resumes anywhere inside and still sees the
+    * intended mixture at the intended repetition rate.
+    *
+    * Output: (id, source, epoch, src_round, sched_pos) — one row per
+    * SCHEDULED OCCURRENCE (Σ_s n_slots rows ≈ budgetDocs); materialize
+    * the epoch corpus by joining payloads back on the id, ordered by
+    * sched_pos.
+    *
+    * 100 TB shape: the per-source doc counts and epoch fan-outs are a
+    * sources-sized aggregate exploded in-plan and BROADCAST; the corpus
+    * explodes to one row per (doc, epoch) — the schedule's inherent
+    * size, narrow (id, source) rows only — and ranks ride the same
+    * per-(source, epoch, hash-prefix-cell) windows as interleaveBySource
+    * (≤ 256·Σ epochs offsets frame, no range sampler, no checkpoint
+    * barrier); the slot arithmetic is a zero-shuffle projection. */
+  def epochBudgetSchedule(df: DataFrame, idCol: String, srcCol: String,
+      weights: Map[String, Long], budgetDocs: Long,
+      seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(budgetDocs > 0, s"budgetDocs must be positive, got $budgetDocs")
+    val w = weights.values.sum
+    require(w <= 1000000L, s"weights must sum to <= 1e6 (ppm scale), got $w")
+    val srcs = weights.keys.toSeq.sorted
+    val nSrc = srcs.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDim = broadcast(
+      srcs.zipWithIndex.map { case (s, i) => (s, weights(s), i.toLong) }
+        .toDF(srcCol, "_w", "_sidx"))
+    // sources-sized: per-source doc count, slot allocation, epoch fan-out
+    // exploded to one row per (source, epoch) — all broadcast
+    val epDim = broadcast(df
+      .join(wDim, srcCol)
+      .groupBy(col(srcCol), col("_w"), col("_sidx"))
+      .agg(count(lit(1)).as("_ndocs"))
+      .withColumn("_nslots", expr(s"(${budgetDocs}L * _w) DIV ${w}L"))
+      .filter(col("_nslots") > 0)
+      .withColumn("_k", explode(expr(
+        "sequence(0L, (_nslots + _ndocs - 1L) DIV _ndocs - 1L)")))
+      .select(col(srcCol), col("_w"), col("_sidx"), col("_ndocs"),
+        col("_nslots"), col("_k")))
+    val keyed = df
+      .select(col(idCol), col(srcCol))
+      .join(epDim, srcCol) // corpus × its epochs: the schedule's own size
+      .withColumn("_skey", md5(concat(
+        col(idCol).cast("string"), lit(seed), col("_k").cast("string"))))
+      .withColumn("_cell",
+        conv(substring(col("_skey"), 1, 2), 16, 10).cast("long"))
+    val offsets = keyed.groupBy(srcCol, "_k", "_cell")
+      .agg(count(lit(1)).as("_pn"))
+      .withColumn("_off", coalesce(sum("_pn").over(
+        Window.partitionBy(srcCol, "_k").orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(srcCol), col("_k"), col("_cell"), col("_off"))
+    val intraW = Window.partitionBy(srcCol, "_k", "_cell")
+      .orderBy(col("_skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), Seq(srcCol, "_k", "_cell"))
+      .withColumn("_erank", col("_off") + count(lit(1)).over(intraW))
+      .withColumn("src_round", col("_k") * col("_ndocs") + col("_erank"))
+      .filter(col("src_round") < col("_nslots")) // partial last epoch
+      .withColumn("sched_pos",
+        expr(s"((2L * src_round + 1L) * ${w}L DIV (2L * _w)) * ${nSrc}L") +
+          col("_sidx"))
+      .select(col(idCol), col(srcCol), col("_k").as("epoch"),
+        col("src_round"), col("sched_pos"))
+  }
 }

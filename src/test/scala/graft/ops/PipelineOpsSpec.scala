@@ -394,6 +394,74 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("LogicalRDD"), s"checkpoint barrier:\n$plan")
   }
 
+  // ---- epochBudgetSchedule ---------------------------------------------------
+
+  test("epochBudgetSchedule: slot allocation, repetition counts, partial epochs") {
+    // a:6 docs w=3, b:4 docs w=2, c:2 docs w=1; budget 24 → slots 12/8/4
+    // → epochs a:2 (12/6 exact), b:2 (8/4 exact), c:2 (4/2 exact)
+    // then budget 23 → slots 11/7/3 → partial last epochs everywhere
+    val rows = (0L until 6L).map(i => (i, "a")) ++
+      (100L until 104L).map(i => (i, "b")) ++ Seq((200L, "c"), (201L, "c"))
+    val df = rows.toDF("doc_id", "source")
+    val ws = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val full = Mixing.epochBudgetSchedule(df, "doc_id", "source", ws, 24L, "e")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(full.length == 24)
+    // every doc appears exactly nslots/ndocs times (exact multiples here)
+    val apps = full.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(rows.forall { case (id, s) => apps(id) == (ws(s) * 24 / 6) / (if (s == "a") 6 else if (s == "b") 4 else 2) })
+    // slots are collision-free; prefix ratios hold for the whole run
+    val slots = full.map(_._5)
+    assert(slots.distinct.length == slots.length)
+    val bySlot = full.sortBy(_._5).map(_._2)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    bySlot.zipWithIndex.foreach { case (s, i) =>
+      seen(s) = seen.getOrElse(s, 0) + 1
+      ws.foreach { case (src, w0) =>
+        assert(math.abs(seen.getOrElse(src, 0) - (i + 1) * w0 / 6.0) <= 2.0)
+      }
+    }
+    // epochs scramble independently: epoch-0 and epoch-1 doc orders differ
+    val aByEpoch = full.filter(r => r._2 == "a").groupBy(_._3).view
+      .mapValues(_.sortBy(_._4).map(_._1).toSeq).toMap
+    assert(aByEpoch(0L) != aByEpoch(1L), "epochs must reshuffle")
+    assert(aByEpoch(0L).sorted == aByEpoch(1L).sorted)
+    // partial epochs: budget 23 → slots 11/7/3, last epochs truncated
+    val part = Mixing.epochBudgetSchedule(df, "doc_id", "source", ws, 23L, "e")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val perSrc = part.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perSrc == Map("a" -> 11, "b" -> 7, "c" -> 3))
+  }
+
+  test("epochBudgetSchedule: partitioning-independent; naive replay equality") {
+    val rows = (0L until 5L).map(i => (i, "a")) ++
+      (100L until 103L).map(i => (i, "b"))
+    val df = rows.toDF("doc_id", "source")
+    val ws = Map("a" -> 2L, "b" -> 1L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixing.epochBudgetSchedule(d, "doc_id", "source", ws, 12L, "x")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(run(df.repartition(5)) == run(df.coalesce(1)))
+    // naive replay: slots a=8,b=4; epochs a=ceil(8/5)=2, b=ceil(4/3)=2
+    def skey(id: Long, k: Long) = java.security.MessageDigest
+      .getInstance("MD5").digest(s"${id}x$k".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val naive = Seq(("a", 2L, 0L, (0L until 5L)), ("b", 1L, 1L, (100L until 103L)))
+      .flatMap { case (s, w0, sidx, ids) =>
+        val nd = ids.size; val nslots = 12L * w0 / 3L
+        val eps = (nslots + nd - 1) / nd
+        (0L until eps).flatMap { k =>
+          ids.sortBy(id => (skey(id, k), id)).zipWithIndex
+            .map { case (id, er) => (s, k, id, k * nd + er) }
+            .filter(_._4 < nslots)
+        }.map { case (_, k, id, rnd) =>
+          (id, k, ((2 * rnd + 1) * 3L / (2 * w0)) * 2L + sidx)
+        }
+      }.toSet
+    assert(run(df) == naive)
+  }
+
   // ---- LangModel -----------------------------------------------------------
 
   test("bigram LM: hand-computed add-one probabilities") {

@@ -1300,6 +1300,21 @@ object Queries {
       budgetDocs = 150L, seed = "ep")
       .orderBy("doc_id", "epoch")
 
+  /** Token-budget mixture over documents (tokens = n_chars): 12k-token
+    * budget split 50/30/15/5, sized so EVERY source's allocation
+    * (6000/3600/1800/600) sits inside its ~8k-token corpus at both
+    * driver scales — each source's kept set ends at the doc whose
+    * cumulative scrambled-order start first crosses its allocation, so
+    * the prefix-sum, the allocation arithmetic and the
+    * include-the-crosser boundary are all load-bearing per source. */
+  def pipeTokBudget(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixing.tokenBudgetMixture(
+      table(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+      "doc_id", "source", "n_chars",
+      Map("src0" -> 50L, "src1" -> 30L, "src2" -> 15L, "src3" -> 5L),
+      budgetTokens = 12000L, seed = "tb")
+      .orderBy("doc_id")
+
   /** Spherical k-means over the embeddings (k=16, 2 Lloyd rounds,
     * deterministic first-k init): final per-vector cluster + cosine to
     * its trained centroid (floor×1e6). The oracle replays both rounds in

@@ -95,6 +95,7 @@ object SparkEntry {
     "pipe_shuffle" -> (Queries.pipeShuffle _),
     "pipe_interleave" -> (Queries.pipeInterleave _),
     "pipe_epochs" -> (Queries.pipeEpochs _),
+    "pipe_tok_budget" -> (Queries.pipeTokBudget _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
@@ -1461,6 +1462,21 @@ object SparkEntry {
         |SELECT doc_id, source, k AS epoch, rnd AS src_round,
         |  ((((2*rnd + 1) * 100) // (2*wt)) * 4 + sidx)::BIGINT AS sched_pos
         |FROM f ORDER BY doc_id, epoch""".stripMargin,
+
+    // token-budget mixture replay: per-source exclusive prefix token
+    // sum in the scramble order (naive window), keep docs starting
+    // before the source's 12000·w div 100 token allocation
+    "pipe_tok_budget" ->
+      """WITH w(source, wt) AS (VALUES
+        |    ('src0', 50), ('src1', 30), ('src2', 15), ('src3', 5)),
+        |r AS (SELECT d.doc_id, d.source, d.n_chars::BIGINT AS n_tok, w.wt,
+        |    coalesce(sum(d.n_chars) OVER (PARTITION BY d.source
+        |       ORDER BY md5(d.doc_id::VARCHAR || 'tb'), d.doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source, tok_start, n_tok FROM r
+        |WHERE tok_start < (12000 * wt) // 100
+        |ORDER BY doc_id""".stripMargin,
 
     // both Lloyd update rounds replayed in SQL: first-16 init, cosine
     // arg-max assignment (ties to smaller cid), per-dimension member

@@ -436,4 +436,67 @@ object Mixing {
       .select(col(idCol), col(srcCol), col("_k").as("epoch"),
         col("src_round"), col("sched_pos"))
   }
+
+  /** TOKEN-budget mixture materialization — budgets are allocated in
+    * tokens, the unit trainers actually spend, not docs: source s gets
+    * `budgetTokens·w_s div W` tokens, and contributes the docs whose
+    * cumulative token START (in the seeded scramble order, exclusive
+    * prefix sum) falls below that allocation — i.e. "take scrambled
+    * docs until the budget line, include the doc that crosses it".
+    * Membership is a pure function of (id, source, n_tok values,
+    * weights, budget, seed): identical on any partitioning or cluster
+    * size, and stable under corpus growth ONLY of later-hashing docs
+    * (unlike a doc-count quota, adding tokens to ANY kept doc shifts
+    * the line — that is inherent to token budgeting, not an artifact).
+    *
+    * Output: kept occurrences only — (id, source, tok_start, n_tok)
+    * with tok_start the exclusive within-source token offset; Σ n_tok
+    * per source first crosses its allocation exactly at the last kept
+    * doc.
+    *
+    * 100 TB shape: the same hash-prefix-cell two-level SCAN as
+    * [[interleaveBySource]] but summing tokens instead of counting rows
+    * (the [[graft.ops.Packing.packChunks]] prefix-sum made barrier-free
+    * by the value-derived cells): per-(source, cell) token sums — a
+    * ≤ 256·|sources| broadcast frame — cumulate into exclusive cell
+    * offsets, parallel per-cell running sums finish the prefix, and the
+    * budget filter is a zero-shuffle projection. ONE data-sized
+    * exchange; only (id, source, n_tok) rows move. */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, srcCol: String,
+      nTokCol: String, weights: Map[String, Long], budgetTokens: Long,
+      seed: String = ""): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(budgetTokens > 0, s"budgetTokens must be positive")
+    val w = weights.values.sum
+    require(w <= 1000000L, s"weights must sum to <= 1e6 (ppm scale), got $w")
+    val srcs = weights.keys.toSeq.sorted
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = broadcast(
+      srcs.map(s => (s, weights(s))).toDF(srcCol, "_w"))
+    val keyed = df
+      .select(col(idCol), col(srcCol), col(nTokCol).cast("long").as("_nt"))
+      .join(dim, srcCol)
+      .withColumn("_skey",
+        md5(concat(col(idCol).cast("string"), lit(seed))))
+      .withColumn("_cell",
+        conv(substring(col("_skey"), 1, 2), 16, 10).cast("long"))
+    val offsets = keyed.groupBy(srcCol, "_cell")
+      .agg(sum("_nt").as("_pt"))
+      .withColumn("_off", coalesce(sum("_pt").over(
+        Window.partitionBy(srcCol).orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(srcCol), col("_cell"), col("_off"))
+    val intraW = Window.partitionBy(srcCol, "_cell")
+      .orderBy(col("_skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(broadcast(offsets), Seq(srcCol, "_cell"))
+      .withColumn("tok_start",
+        col("_off") + coalesce(sum("_nt").over(intraW), lit(0L)))
+      .filter(col("tok_start") < expr(s"(${budgetTokens}L * _w) DIV ${w}L"))
+      .select(col(idCol), col(srcCol), col("tok_start"),
+        col("_nt").as("n_tok"))
+  }
 }

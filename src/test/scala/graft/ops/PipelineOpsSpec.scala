@@ -462,6 +462,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(df) == naive)
   }
 
+  // ---- tokenBudgetMixture ----------------------------------------------------
+
+  test("tokenBudgetMixture: naive prefix-sum replay; include-the-crosser boundary") {
+    // a: 8 docs × 10 tok, w=3; b: 6 docs × 7 tok, w=1 → W=4
+    // budget 60 → alloc a=45 (kept docs start < 45: scrambled docs at
+    // starts 0,10,20,30,40 → 5 kept, crosser at 40 included), b=15
+    // (starts 0,7,14 → 3 kept, crosser at 14 included)
+    val rows = (0L until 8L).map(i => (i, "a", 10L)) ++
+      (100L until 106L).map(i => (i, "b", 7L)) ++ Seq((900L, "zz", 5L))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val ws = Map("a" -> 3L, "b" -> 1L)
+    val got = Mixing.tokenBudgetMixture(df, "doc_id", "source", "n_tok",
+        ws, budgetTokens = 60L, seed = "q")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3))).toMap
+    def skey(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}q".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val naive = rows.filter(r => ws.contains(r._2)).groupBy(_._2)
+      .flatMap { case (s, members) =>
+        val alloc = 60L * ws(s) / 4L
+        var cum = 0L
+        members.sortBy(m => (skey(m._1), m._1)).flatMap { case (id, _, nt) =>
+          val start = cum; cum += nt
+          if (start < alloc) Some(id -> (s, start, nt)) else None
+        }
+      }.toMap
+    assert(got == naive)
+    assert(got.count(_._2._1 == "a") == 5 && got.count(_._2._1 == "b") == 3)
+    assert(!got.contains(900L))
+    // per source: the kept set crosses its allocation exactly at the
+    // last kept doc (include-the-crosser)
+    Seq(("a", 45L), ("b", 15L)).foreach { case (s, alloc) =>
+      val kept = got.values.filter(_._1 == s)
+      assert(kept.map(v => v._2 + v._3).max >= alloc)
+      assert(kept.map(_._2).max < alloc)
+    }
+  }
+
+  test("tokenBudgetMixture: partitioning-independent; barrier-free plan") {
+    val rows = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 5) + 1))
+    val df = rows.toDF("doc_id", "source", "n_tok")
+    val ws = Map("a" -> 2L, "b" -> 1L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mixing.tokenBudgetMixture(d, "doc_id", "source", "n_tok", ws, 20L, "z")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run(df.repartition(7)) == run(df.coalesce(1)))
+    val qe = Mixing.tokenBudgetMixture(df, "doc_id", "source", "n_tok",
+      ws, 20L, "z").queryExecution
+    val plan = qe.optimizedPlan.toString()
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty)
+    assert(windows.filterNot(_.contains("_cell")).isEmpty,
+      s"global window over data rows:\n$plan")
+    val phys = qe.executedPlan.toString()
+    assert(!phys.contains("rangepartitioning"), s"range exchange:\n$phys")
+    assert(!plan.contains("LogicalRDD"), s"checkpoint barrier:\n$plan")
+  }
+
   // ---- LangModel -----------------------------------------------------------
 
   test("bigram LM: hand-computed add-one probabilities") {

@@ -1315,6 +1315,23 @@ object Queries {
       budgetTokens = 12000L, seed = "tb")
       .orderBy("doc_id")
 
+  /** SCD2 state history: each user's LAST event type per day (argmax by
+    * (ts, event_id) — the applyChanges winner idiom) becomes a daily
+    * state-change row, and Snapshot.history turns the chain into
+    * [valid_from, valid_to) intervals with is_current on the tail. Both
+    * the per-day argmax and the interval chaining are load-bearing;
+    * every user contributes a null-valid_to current row. */
+  def evScd2(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("_w"))
+      .select(col("user_id"), col("day"), col("_w.event_type").as("state"))
+    graft.ops.Snapshot.history(daily, "user_id", "day", Seq("state"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** Spherical k-means over the embeddings (k=16, 2 Lloyd rounds,
     * deterministic first-k init): final per-vector cluster + cosine to
     * its trained centroid (floor×1e6). The oracle replays both rounds in

@@ -96,6 +96,7 @@ object SparkEntry {
     "pipe_interleave" -> (Queries.pipeInterleave _),
     "pipe_epochs" -> (Queries.pipeEpochs _),
     "pipe_tok_budget" -> (Queries.pipeTokBudget _),
+    "ev_scd2" -> (Queries.evScd2 _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
@@ -1477,6 +1478,22 @@ object SparkEntry {
         |SELECT doc_id, source, tok_start, n_tok FROM r
         |WHERE tok_start < (12000 * wt) // 100
         |ORDER BY doc_id""".stripMargin,
+
+    // SCD2 replay: per-(user, day) last event type (row_number by
+    // (ts, event_id) desc), then interval chaining via lead over the
+    // day sequence; the key's latest row carries null valid_to
+    "ev_scd2" ->
+      """WITH r AS (SELECT user_id, ts::DATE AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |daily AS (SELECT user_id, day, event_type AS state FROM r WHERE rn = 1),
+        |h AS (SELECT user_id, day AS valid_from, state,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS valid_to
+        |  FROM daily)
+        |SELECT user_id, valid_from, state, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM h ORDER BY user_id, valid_from""".stripMargin,
 
     // both Lloyd update rounds replayed in SQL: first-16 init, cosine
     // arg-max assignment (ties to smaller cid), per-dimension member

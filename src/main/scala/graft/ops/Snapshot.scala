@@ -63,6 +63,37 @@ object Snapshot {
     * side-tagged slot, and one hash aggregate per key recovers each
     * side's fingerprint (max over {fp, null} = the fp); the status is a
     * projection over the two slots. */
+  /** SCD2 history intervals — the other classic CDC materialization
+    * (complementing [[applyChanges]]' latest-wins snapshot): each
+    * change row becomes a validity interval `[valid_from, valid_to)`
+    * with `valid_to` = the key's NEXT version and null (+`is_current` =
+    * true) on the key's latest row — the table a pipeline keeps when it
+    * must answer "what was this key's state at version v" (training-data
+    * provenance, as-of reproducibility) rather than only "what is it
+    * now".
+    *
+    * Contract: (key, version) is UNIQUE (the CDC sequence number /
+    * commit timestamp — the [[applyChanges]] contract), so the interval
+    * chain is total and deterministic under any partitioning.
+    *
+    * Scale shape: ONE exchange on the uniform key; `lead` is a
+    * streaming O(1) frame over each key's version chain (never a
+    * buffered list). Per-key version counts are bounded by ingest
+    * cadence × retention in any real CDC table — the ev_sessions
+    * per-user-window precedent; a pathological key with corpus-sized
+    * history would need the two-level-scan treatment, which the chain's
+    * sequential next-version dependency does not admit join-free. */
+  def history(changes: DataFrame, keyCol: String, versionCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(versionCol))
+    changes
+      .select((keyCol +: versionCol +: payloadCols).map(col): _*)
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed(versionCol, "valid_from")
+  }
+
   def diff(before: DataFrame, after: DataFrame, keyCol: String,
       fp: Column): DataFrame = {
     val nullFp = lit(null).cast("string")

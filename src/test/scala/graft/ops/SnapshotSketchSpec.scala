@@ -188,6 +188,40 @@ class SnapshotSketchSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 shuffle, got $n:\n$plan")
   }
 
+  // ---- Snapshot.history ----
+
+  test("history: intervals chain per key; latest row is current; single-version keys") {
+    val changes = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "a"), // 3-version chain
+      (2L, 5L, "x"), // single version
+      (3L, 7L, "p"), (3L, 9L, "q")).toDF("doc_id", "version", "state")
+    val out = Snapshot.history(changes, "doc_id", "version", Seq("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "a", 20L, false), (1L, 20L, "b", 30L, false),
+      (1L, 30L, "a", -1L, true),
+      (2L, 5L, "x", -1L, true),
+      (3L, 7L, "p", 9L, false), (3L, 9L, "q", -1L, true)))
+    // chain property: per key, valid_to == next valid_from; exactly one
+    // current row per key
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._2)
+        case _ =>
+      }
+      assert(sorted.count(_._5) == 1 && sorted.last._5)
+    }
+    // partitioning independence
+    val p7 = Snapshot.history(changes.repartition(7), "doc_id", "version",
+      Seq("state")).collect().map(_.toSeq).toSet
+    val p1 = Snapshot.history(changes.coalesce(1), "doc_id", "version",
+      Seq("state")).collect().map(_.toSeq).toSet
+    assert(p7 == p1)
+  }
+
   // ---- rateLimit ----
 
   private def ev(rows: (Long, Long, Long, String)*) =

@@ -1315,6 +1315,17 @@ object Queries {
       budgetTokens = 12000L, seed = "tb")
       .orderBy("doc_id")
 
+  /** Consecutive-duplicate collapse ("last message repeated N times")
+    * over each user's (ts, event_id)-ordered event-type stream: maximal
+    * equal runs → one row with count + first/last µs. Σ n_events must
+    * equal the event count, so boundary detection, the run numbering
+    * and the per-run aggregates are all load-bearing. */
+  def evCollapse(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.collapseRuns(
+      table(spark, dir, "events"), "user_id", "ts", "event_id",
+      "event_type")
+      .orderBy("user_id", "run_seq")
+
   /** SCD2 state history: each user's LAST event type per day (argmax by
     * (ts, event_id) — the applyChanges winner idiom) becomes a daily
     * state-change row, and Snapshot.history turns the chain into

@@ -97,6 +97,7 @@ object SparkEntry {
     "pipe_epochs" -> (Queries.pipeEpochs _),
     "pipe_tok_budget" -> (Queries.pipeTokBudget _),
     "ev_scd2" -> (Queries.evScd2 _),
+    "ev_collapse" -> (Queries.evCollapse _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
     "txt_classify" -> (Queries.txtClassify _),
@@ -1494,6 +1495,24 @@ object SparkEntry {
         |SELECT user_id, valid_from, state, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM h ORDER BY user_id, valid_from""".stripMargin,
+
+    // consecutive-duplicate run collapse replay: boundary = lag IS
+    // DISTINCT FROM current, run id = running sum of boundaries,
+    // per-run count + first/last µs
+    "ev_collapse" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id)
+        |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS new_run
+        |  FROM e),
+        |r AS (SELECT *, (sum(new_run) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS run_seq
+        |  FROM m)
+        |SELECT user_id, run_seq, min(event_type) AS event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  min(t_us)::BIGINT AS first_us, max(t_us)::BIGINT AS last_us
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // both Lloyd update rounds replayed in SQL: first-16 init, cosine
     // arg-max assignment (ties to smaller cid), per-dimension member

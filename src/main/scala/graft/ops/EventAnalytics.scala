@@ -322,4 +322,36 @@ object EventAnalytics {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("n_dropped", col("n_total") - col("n_kept"))
   }
+
+  /** Consecutive-duplicate run collapse — syslogd's "last message
+    * repeated N times" as a batch operator: within each key's (ts, id)
+    * stream, maximal runs of CONSECUTIVE equal values collapse to one
+    * row (key, value, run_seq, n_events, first/last event-time µs).
+    * Σ n_events = input rows (a TOTAL accounting, the Stats idiom);
+    * singleton runs pass through with n_events = 1, so the operator is
+    * lossless for routing and audit while deflating repeat floods.
+    *
+    * Scale shape: the [[transitions]]/Sessionize form — ONE exchange on
+    * the key; run boundaries are a streaming lag frame and the run id a
+    * streaming running sum over the SAME (key, ts, id) sort (zero extra
+    * shuffles for the second frame), then one map-side-combinable
+    * aggregate per (key, run). A single device repeating one line a
+    * billion times becomes one combinable group per run, never a sort
+    * of distinct values. */
+  def collapseRuns(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("_t_us"), col(idCol))
+    val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), tUs(tsCol).as("_t_us"), col(idCol), col(valCol))
+      .withColumn("_new_run",
+        when(lag(col(valCol), 1).over(w).isNull ||
+          lag(col(valCol), 1).over(w) =!= col(valCol), 1L).otherwise(0L))
+      .withColumn("run_seq", sum(col("_new_run")).over(runW) - 1L)
+      .groupBy(col(keyCol), col("run_seq"))
+      .agg(min(col(valCol)).as(valCol), // constant within the run
+        count(lit(1)).as("n_events"),
+        min(col("_t_us")).as("first_us"),
+        max(col("_t_us")).as("last_us"))
+  }
 }

@@ -13,6 +13,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (i.toLong, u, new java.sql.Timestamp(sec * 1000L), ty, v)
     }.toDF("event_id", "user_id", "ts", "event_type", "value")
 
+  // ---- collapseRuns ----
+
+  test("collapseRuns: maximal equal runs, ties by id, total accounting") {
+    // user 1: a a a | b | a a (same-second tie between ids 1 and 2)
+    // user 2: x (singleton)
+    val e = ev(
+      (1L, 0L, "a", 0), (1L, 1L, "a", 0), (1L, 1L, "a", 0),
+      (1L, 2L, "b", 0), (1L, 3L, "a", 0), (1L, 4L, "a", 0),
+      (2L, 7L, "x", 0))
+    val out = EventAnalytics
+      .collapseRuns(e, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out == Map(
+      (1L, 0L) -> (("a", 3L, 0L, 1000000L)),
+      (1L, 1L) -> (("b", 1L, 2000000L, 2000000L)),
+      (1L, 2L) -> (("a", 2L, 3000000L, 4000000L)),
+      (2L, 0L) -> (("x", 1L, 7000000L, 7000000L))))
+    assert(out.values.map(_._2).sum == 7L, "sum n_events must equal input")
+    // partitioning independence
+    val base = ev((1L, 0L, "a", 0), (1L, 1L, "a", 0), (1L, 2L, "b", 0),
+      (2L, 0L, "a", 0), (2L, 1L, "b", 0), (2L, 2L, "b", 0))
+    def run(d: org.apache.spark.sql.DataFrame) = EventAnalytics
+      .collapseRuns(d, "user_id", "ts", "event_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(run(base.repartition(5)) == run(base.coalesce(1)))
+  }
+
+  test("collapseRuns plan: one user-key exchange; both frames ride the same sort") {
+    val e = ev((1L, 0L, "a", 0), (1L, 1L, "b", 0), (2L, 0L, "a", 0))
+    val plan = EventAnalytics
+      .collapseRuns(e, "user_id", "ts", "event_id", "event_type")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // ONE exchange total: hash(user) clusters (user, run_seq) too, so
+    // the per-run aggregate rides the windows' partitioning
+    assert(n == 1, s"expected 1 shuffle, got $n:\n$plan")
+    // exactly one sort under the windows (lag + running sum share it);
+    // the second is the sort-based aggregate's own (user, run_seq) sort
+    val sorts = "Sort \\[".r.findAllIn(plan).length
+    assert(sorts <= 2, s"window frames must share one sort:\n$plan")
+    val windowSorts = "Sort \\[user_id#\\d+L ASC NULLS FIRST, _t_us".r
+      .findAllIn(plan).length
+    assert(windowSorts == 1, s"both frames must ride ONE (user,ts,id) sort:\n$plan")
+  }
+
   // ---- transitions ----
 
   test("transitions: per-user (ts,id)-ordered adjacency, ppm floored") {

@@ -1496,13 +1496,17 @@ object SparkEntry {
         |  (valid_to IS NULL) AS is_current
         |FROM h ORDER BY user_id, valid_from""".stripMargin,
 
-    // consecutive-duplicate run collapse replay: boundary = lag IS
-    // DISTINCT FROM current, run id = running sum of boundaries,
-    // per-run count + first/last µs
+    // consecutive-duplicate run collapse replay: boundary = first row
+    // of the key OR lag IS DISTINCT FROM current (the explicit rn=1
+    // marker matches the Spark side exactly even when the value column
+    // is NULL — see EventAnalytics.collapseRuns), run id = running sum
+    // of boundaries, per-run count + first/last µs
     "ev_collapse" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
         |  FROM events),
-        |m AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |m AS (SELECT *, CASE WHEN row_number() OVER
+        |      (PARTITION BY user_id ORDER BY t_us, event_id) = 1
+        |      OR lag(event_type) OVER
         |      (PARTITION BY user_id ORDER BY t_us, event_id)
         |      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS new_run
         |  FROM e),

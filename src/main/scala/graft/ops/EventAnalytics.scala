@@ -342,11 +342,19 @@ object EventAnalytics {
       idCol: String, valCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("_t_us"), col(idCol))
     val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // boundary = first row of the key OR a null-safe value change; the
+    // explicit row_number==1 marker is load-bearing for NULL values:
+    // lag's "no previous row" null is indistinguishable from a previous
+    // NULL value, so `lag.isNull || lag =!= v` would both miss a
+    // null-after-value boundary and split a null run (and DuckDB's
+    // IS DISTINCT FROM disagrees on each) — rn=1 OR !(lag <=> v) is the
+    // form both engines compute identically, nulls collapsing like any
+    // other repeated value
+    val isFirst = row_number().over(w) === 1
+    val changed = !(lag(col(valCol), 1).over(w) <=> col(valCol))
     events
       .select(col(keyCol), tUs(tsCol).as("_t_us"), col(idCol), col(valCol))
-      .withColumn("_new_run",
-        when(lag(col(valCol), 1).over(w).isNull ||
-          lag(col(valCol), 1).over(w) =!= col(valCol), 1L).otherwise(0L))
+      .withColumn("_new_run", when(isFirst || changed, 1L).otherwise(0L))
       .withColumn("run_seq", sum(col("_new_run")).over(runW) - 1L)
       .groupBy(col(keyCol), col("run_seq"))
       .agg(min(col(valCol)).as(valCol), // constant within the run

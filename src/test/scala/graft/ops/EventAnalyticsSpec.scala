@@ -39,6 +39,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collapseRuns(d, "user_id", "ts", "event_id", "event_type")
       .collect().map(_.toSeq).toSet
     assert(run(base.repartition(5)) == run(base.coalesce(1)))
+    // NULL values collapse like any repeated value (the rn=1 + null-safe
+    // equality contract): a | null null | a, including a LEADING null run
+    val withNulls = Seq(
+      (0L, 9L, 0L, Option("a")), (1L, 9L, 1L, None), (2L, 9L, 2L, None),
+      (3L, 9L, 3L, Option("a")),
+      (4L, 8L, 0L, None), (5L, 8L, 1L, None)) // user 8: leading null run
+      .map { case (id, u, sec, ty) =>
+        (id, u, new java.sql.Timestamp(sec * 1000L), ty.orNull)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+    val nOut = EventAnalytics
+      .collapseRuns(withNulls, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.getString(2)), r.getLong(3))).toMap
+    assert(nOut == Map(
+      (9L, 0L) -> ((Some("a"), 1L)), (9L, 1L) -> ((None, 2L)),
+      (9L, 2L) -> ((Some("a"), 1L)), (8L, 0L) -> ((None, 2L))))
   }
 
   test("collapseRuns plan: one user-key exchange; both frames ride the same sort") {

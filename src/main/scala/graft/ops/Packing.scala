@@ -165,13 +165,15 @@ object Packing {
     * Output per document (TOTAL): idCol, nTokCol, rnk, bin, bin_tokens
     * (the assigned bin's total tokens — the padding/imbalance diagnostic).
     *
-    * 100 TB shape: the rank is the same two-level distributed scan as
-    * [[globalShuffleOrder]] (narrow (id, n_tok) rows range-shuffled on the
-    * sort key; the only single-partition window runs over #partitions
-    * rows) — never a global window over data rows. The ranked frame is
-    * re-evaluated once more for the nbins-row bin-totals aggregate (a
-    * second pass over the two narrow columns); callers looping over
-    * epochs should cache/checkpoint the input projection.
+    * 100 TB shape: the rank is the [[packChunks]]-style two-level
+    * distributed scan (narrow (id, n_tok) rows range-shuffled on the
+    * DATA-DEPENDENT sort key — which is why this path keeps the
+    * localCheckpoint the hash-keyed family dropped; the only
+    * single-partition window runs over #partitions rows) — never a
+    * global window over data rows. The ranked frame is re-evaluated
+    * once more for the nbins-row bin-totals aggregate — cheap parallel
+    * windows over the checkpointed rows, deterministic because ranks
+    * are a pure function of those rows.
     */
   def foldPackBins(df: DataFrame, idCol: String, nTokCol: String,
       nbins: Int, numParts: Int = 0): DataFrame = {
@@ -184,6 +186,13 @@ object Packing {
       .select(col(idCol), col(nTokCol).cast("long").as(nTokCol))
       .repartitionByRange(parts, col(nTokCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      // _pid materialized: the offsets aggregate and the rank join must
+      // see ONE row→partition assignment (see packChunks — the range
+      // sampler is per-evaluation; this was the site the session-14
+      // sweep missed). The downstream ranked→binTotals double
+      // consumption is safe GIVEN this: ranks are a pure function of
+      // the checkpointed rows, so both evaluations agree.
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val offW = Window.orderBy("_pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("_pid")

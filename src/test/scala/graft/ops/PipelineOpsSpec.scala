@@ -462,6 +462,79 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(run(df) == naive)
   }
 
+  // ---- mixing-family randomized differential --------------------------------
+
+  test("mixing schedules: randomized differential vs independent replays") {
+    // 25 random configurations across the three schedule operators —
+    // weight extremes (single source, 1-vs-huge), sizes that exhaust
+    // early/late, budgets below W, nslots < ndocs — each compared to a
+    // from-scratch Scala replay of the documented semantics
+    val rnd = new scala.util.Random(41)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 0 until 25) {
+      val nSrc = 1 + rnd.nextInt(4)
+      val srcs = (0 until nSrc).map(i => s"s$i")
+      val ws = srcs.map(s => s -> (1L + rnd.nextInt(if (rnd.nextBoolean()) 5 else 500))).toMap
+      val wSum = ws.values.sum
+      val sidx = srcs.sorted.zipWithIndex.toMap
+      val rows = srcs.flatMap { s =>
+        val n = 1 + rnd.nextInt(12)
+        (0 until n).map(i => (sidx(s) * 1000L + i, s, 1L + rnd.nextInt(9)))
+      }
+      val df = rows.toDF("doc_id", "source", "n_tok")
+      val seed = s"t$trial"
+
+      // interleaveBySource
+      val gotI = Mixing.interleaveBySource(df.select("doc_id", "source"),
+          "doc_id", "source", ws, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      val expI = rows.groupBy(_._2).flatMap { case (s, ms) =>
+        ms.map(_._1).sortBy(id => (md5hex(s"$id$seed"), id)).zipWithIndex
+          .map { case (id, r) =>
+            (id, r.toLong,
+              ((2L * r + 1L) * wSum / (2L * ws(s))) * nSrc + sidx(s)) }
+      }.toSet
+      assert(gotI == expI, s"interleave trial $trial ws=$ws")
+
+      // epochBudgetSchedule
+      val budget = 1L + rnd.nextInt(60)
+      val gotE = Mixing.epochBudgetSchedule(df.select("doc_id", "source"),
+          "doc_id", "source", ws, budget, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val expE = rows.groupBy(_._2).flatMap { case (s, ms) =>
+        val nd = ms.size.toLong; val nslots = budget * ws(s) / wSum
+        val eps = if (nslots == 0) 0L else (nslots + nd - 1) / nd
+        (0L until eps).flatMap { k =>
+          ms.map(_._1).sortBy(id => (md5hex(s"$id$seed$k"), id)).zipWithIndex
+            .map { case (id, er) => (id, k, k * nd + er) }
+            .filter(_._3 < nslots)
+            .map { case (id, k2, r) =>
+              (id, k2, r,
+                ((2L * r + 1L) * wSum / (2L * ws(s))) * nSrc + sidx(s)) }
+        }
+      }.toSet
+      assert(gotE == expE, s"epochs trial $trial budget=$budget ws=$ws")
+
+      // tokenBudgetMixture
+      val tokBudget = 1L + rnd.nextInt(120)
+      val gotT = Mixing.tokenBudgetMixture(df, "doc_id", "source", "n_tok",
+          ws, tokBudget, seed)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      val expT = rows.groupBy(_._2).flatMap { case (s, ms) =>
+        val alloc = tokBudget * ws(s) / wSum
+        var cum = 0L
+        ms.sortBy(m => (md5hex(s"${m._1}$seed"), m._1)).flatMap {
+          case (id, _, nt) =>
+            val start = cum; cum += nt
+            if (start < alloc) Some((id, start, nt)) else None
+        }
+      }.toSet
+      assert(gotT == expT, s"tokbudget trial $trial budget=$tokBudget ws=$ws")
+    }
+  }
+
   // ---- tokenBudgetMixture ----------------------------------------------------
 
   test("tokenBudgetMixture: naive prefix-sum replay; include-the-crosser boundary") {

@@ -1326,6 +1326,33 @@ object Queries {
       "event_type")
       .orderBy("user_id", "run_seq")
 
+  /** The SCD2 table doing its job: every event enriched with its user's
+    * state AS OF the PREVIOUS day's close (the provenance question the
+    * history table exists to answer) via the as-of join: latest daily
+    * state with state_day < the event's day — strictly before, so day-1
+    * events (no prior state) exercise the no-match null and every later
+    * event the interval lookup. Composes evScd2's daily-state derivation
+    * with AsOf.asofJoin (union + key shuffle, never a range join). */
+  def evStateAt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("_w"))
+      // state becomes visible the NEXT day (as-of strictly-before via
+      // state_day = day + 1 and the <= join bound)
+      .select(col("user_id"), date_add(col("day"), 1).as("state_day"),
+        col("_w.event_type").as("prev_state"))
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+    graft.ops.AsOf.asofJoin(ev, daily, Seq("user_id"), "day", "state_day",
+      Seq("prev_state"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("prev_state"))
+      .orderBy("event_id")
+  }
+
   /** SCD2 state history: each user's LAST event type per day (argmax by
     * (ts, event_id) — the applyChanges winner idiom) becomes a daily
     * state-change row, and Snapshot.history turns the chain into

@@ -97,6 +97,7 @@ object SparkEntry {
     "pipe_epochs" -> (Queries.pipeEpochs _),
     "pipe_tok_budget" -> (Queries.pipeTokBudget _),
     "ev_scd2" -> (Queries.evScd2 _),
+    "ev_state_at" -> (Queries.evStateAt _),
     "ev_collapse" -> (Queries.evCollapse _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
@@ -1495,6 +1496,22 @@ object SparkEntry {
         |SELECT user_id, valid_from, state, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM h ORDER BY user_id, valid_from""".stripMargin,
+
+    // SCD2-at-event-time replay: the daily-state derivation (as in
+    // ev_scd2) shifted one day forward, then DuckDB's native ASOF LEFT
+    // JOIN — latest state_day <= the event's day; day-1 events get null
+    "ev_state_at" ->
+      """WITH r AS (SELECT user_id, ts::DATE AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts::DATE
+        |       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |s AS (SELECT user_id, day + 1 AS state_day, event_type AS prev_state
+        |  FROM r WHERE rn = 1),
+        |e AS (SELECT event_id, user_id, ts::DATE AS day, event_type FROM events)
+        |SELECT e.event_id, e.user_id, e.event_type, s.prev_state
+        |FROM e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.day >= s.state_day
+        |ORDER BY e.event_id""".stripMargin,
 
     // consecutive-duplicate run collapse replay: boundary = first row
     // of the key OR lag IS DISTINCT FROM current (the explicit rn=1

@@ -57,6 +57,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (9L, 2L) -> ((Some("a"), 1L)), (8L, 0L) -> ((None, 2L))))
   }
 
+  test("collapseRuns: randomized differential incl. ts ties and null values") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 10) {
+      val rows = (0 until 300).map { i =>
+        val u = rnd.nextInt(5).toLong
+        val sec = rnd.nextInt(40).toLong // dense → frequent ts ties
+        val ty = if (rnd.nextInt(10) == 0) null
+          else s"t${rnd.nextInt(3)}"
+        (i.toLong, u, sec, ty)
+      }
+      val df = rows.map { case (id, u, sec, ty) =>
+        (id, u, new java.sql.Timestamp(sec * 1000L), ty)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+      val got = EventAnalytics
+        .collapseRuns(df, "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (Option(r.getString(2)), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      // replay: per user sort by (ts, id), split on value change
+      // (null-safe), number runs, aggregate
+      val expected = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._1))
+        var runSeq = -1L
+        var prev: Option[Option[String]] = None
+        sorted.map { case (id, _, sec, ty) =>
+          val v = Option(ty)
+          if (!prev.contains(v)) { runSeq += 1; prev = Some(v) }
+          (u, runSeq, v, sec * 1000000L)
+        }.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+          k -> ((g.head._3, g.size.toLong, g.map(_._4).min, g.map(_._4).max))
+        }
+      }.toMap
+      assert(got == expected, s"trial $trial")
+      assert(got.values.map(_._2).sum == 300L)
+    }
+  }
+
   test("collapseRuns plan: one user-key exchange; both frames ride the same sort") {
     val e = ev((1L, 0L, "a", 0), (1L, 1L, "b", 0), (2L, 0L, "a", 0))
     val plan = EventAnalytics

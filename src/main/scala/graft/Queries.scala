@@ -1326,6 +1326,16 @@ object Queries {
       "event_type")
       .orderBy("user_id", "run_seq")
 
+  /** Debounced threshold alerting over per-type hourly counts (high=3,
+    * low=2 — chosen so at BOTH driver scales the on-trigger, the
+    * dead-band carry (n=2) and the below-low clear all occur, and the
+    * densified zero hours do real clearing): per (type, hour) the
+    * hysteresis state machine plus rising-edge markers. */
+  def evAlerts(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.hysteresisAlerts(
+      table(spark, dir, "events"), "event_type", "ts", high = 3L, low = 2L)
+      .orderBy("event_type", "hour_id")
+
   /** The SCD2 table doing its job: every event enriched with its user's
     * state AS OF the PREVIOUS day's close (the provenance question the
     * history table exists to answer) via the as-of join: latest daily

@@ -98,6 +98,7 @@ object SparkEntry {
     "pipe_tok_budget" -> (Queries.pipeTokBudget _),
     "ev_scd2" -> (Queries.evScd2 _),
     "ev_state_at" -> (Queries.evStateAt _),
+    "ev_alerts" -> (Queries.evAlerts _),
     "ev_collapse" -> (Queries.evCollapse _),
     "sim_kmeans" -> (Queries.simKmeans _),
     "dd_incremental" -> (Queries.ddIncremental _),
@@ -1496,6 +1497,31 @@ object SparkEntry {
         |SELECT user_id, valid_from, state, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM h ORDER BY user_id, valid_from""".stripMargin,
+
+    // hysteresis alert replay: per-type hourly counts densified over
+    // min..max hour (absent hour = 0), forced state n>=3 on / n<2 off,
+    // dead band carries via last_value IGNORE NULLS, rising edges
+    "ev_alerts" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000)::BIGINT AS hour_id,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hour_id) AS h0, max(hour_id) AS h1
+        |  FROM c GROUP BY 1),
+        |hrs AS (SELECT event_type,
+        |    unnest(range(h0, h1 + 1))::BIGINT AS hour_id FROM b),
+        |d AS (SELECT h.event_type, h.hour_id, coalesce(c.n, 0)::BIGINT AS n
+        |  FROM hrs h LEFT JOIN c USING (event_type, hour_id)),
+        |f AS (SELECT *, CASE WHEN n >= 3 THEN 'on'
+        |    WHEN n < 2 THEN 'off' END AS forced FROM d),
+        |s AS (SELECT *, coalesce(last_value(forced IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY hour_id
+        |     ROWS UNBOUNDED PRECEDING), 'off') AS state FROM f)
+        |SELECT event_type, hour_id, n, state,
+        |  (state = 'on' AND coalesce(lag(state) OVER
+        |    (PARTITION BY event_type ORDER BY hour_id), 'off') = 'off')
+        |  AS alert_started
+        |FROM s ORDER BY event_type, hour_id""".stripMargin,
 
     // SCD2-at-event-time replay: the daily-state derivation (as in
     // ev_scd2) shifted one day forward, then DuckDB's native ASOF LEFT

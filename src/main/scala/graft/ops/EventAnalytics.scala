@@ -83,6 +83,55 @@ object EventAnalytics {
       .select("event_type", "hour_id", "n", "trail_n", "is_spike")
   }
 
+  /** Threshold alerting with HYSTERESIS — the debounced form real
+    * monitoring uses so an alert doesn't flap at the threshold: per
+    * (type, hour), the alert turns ON when the count reaches `high`,
+    * stays on until an hour falls BELOW `low`, and hours in between
+    * carry the previous state. The hour axis is DENSIFIED per type
+    * (min..max observed hour), so a completely quiet hour counts as 0
+    * and can clear an alert — absent-as-zero is load-bearing, exactly
+    * as in [[rateAnomaly]]'s RANGE frames.
+    *
+    * The state machine needs no sequential fold: rows where the state
+    * is FORCED (n ≥ high → on; n < low → off) are marked, hours in the
+    * dead band carry null, and the state is the last non-null forced
+    * value in hour order (default off) — the carried-payload idiom
+    * [[graft.ops.AsOf.asofJoin]] uses, fully parallel per type.
+    *
+    * Scale shape: the corpus collapses via ONE map-side-combinable
+    * aggregate onto (type, hour) — bounded by vocabulary × retention
+    * hours; the densify explode, the carry window and the edge lag all
+    * ride that bounded frame. Output: (event_type, hour_id, n, state,
+    * alert_started) — `alert_started` marks rising edges for paging. */
+  def hysteresisAlerts(events: DataFrame, typeCol: String, tsCol: String,
+      high: Long, low: Long): DataFrame = {
+    require(high > low && low >= 0, s"need high > low >= 0, got $high/$low")
+    val counts = events
+      .select(col(typeCol).as("event_type"), tUs(tsCol).as("_t_us"))
+      .withColumn("hour_id", expr("_t_us div 3600000000L"))
+      .groupBy(col("event_type"), col("hour_id"))
+      .agg(count(lit(1)).as("n"))
+    val hours = counts.groupBy("event_type")
+      .agg(min("hour_id").as("_h0"), max("hour_id").as("_h1"))
+      .withColumn("hour_id", explode(expr("sequence(_h0, _h1)")))
+      .select("event_type", "hour_id")
+    val w = Window.partitionBy("event_type").orderBy("hour_id")
+    val carryW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hours
+      .join(counts, Seq("event_type", "hour_id"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("_forced",
+        when(col("n") >= high, lit("on"))
+          .when(col("n") < low, lit("off")))
+      .withColumn("state",
+        coalesce(last(col("_forced"), ignoreNulls = true).over(carryW),
+          lit("off")))
+      .withColumn("alert_started",
+        col("state") === "on" &&
+          coalesce(lag(col("state"), 1).over(w), lit("off")) === "off")
+      .select("event_type", "hour_id", "n", "state", "alert_started")
+  }
+
   /** Last-touch attribution: each `conversion` event is credited to the
     * LATEST strictly-preceding touch event (type ∈ `touches`) of the
     * same user within `horizonSec`, or to the `"none"` bucket. Returns

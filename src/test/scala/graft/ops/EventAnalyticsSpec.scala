@@ -112,6 +112,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(windowSorts == 1, s"both frames must ride ONE (user,ts,id) sort:\n$plan")
   }
 
+  // ---- hysteresisAlerts ----
+
+  test("hysteresisAlerts: trigger, dead-band carry, quiet-hour clear, edges") {
+    // type "a", hours (n): h0=3 h1=2 h2=0 h3=2 h4=3 h5=2 h6=1
+    //   states:            on   on  off  off  on   on   off
+    //   (h1 carries on; the EMPTY densified h2 clears; h3 carries off)
+    // type "b": single hour n=1 → off, no edges
+    def at(hour: Long, i: Int) =
+      new java.sql.Timestamp(hour * 3600000L + i * 1000L)
+    val rows =
+      (0 until 3).map(i => (at(0, i), "a")) ++
+      (0 until 2).map(i => (at(1, i), "a")) ++
+      // hour 2 empty
+      (0 until 2).map(i => (at(3, i), "a")) ++
+      (0 until 3).map(i => (at(4, i), "a")) ++
+      (0 until 2).map(i => (at(5, i), "a")) ++
+      Seq((at(6, 0), "a"), (at(0, 0), "b"))
+    val df = rows.zipWithIndex.map { case ((ts, ty), i) =>
+      (i.toLong, 1L, ts, ty, 0.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.hysteresisAlerts(df, "event_type", "ts", 3L, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3), r.getBoolean(4))).toMap
+    assert(out == Map(
+      ("a", 0L) -> ((3L, "on", true)), ("a", 1L) -> ((2L, "on", false)),
+      ("a", 2L) -> ((0L, "off", false)), ("a", 3L) -> ((2L, "off", false)),
+      ("a", 4L) -> ((3L, "on", true)), ("a", 5L) -> ((2L, "on", false)),
+      ("a", 6L) -> ((1L, "off", false)),
+      ("b", 0L) -> ((1L, "off", false))))
+    // partitioning independence
+    def run(d: org.apache.spark.sql.DataFrame) = EventAnalytics
+      .hysteresisAlerts(d, "event_type", "ts", 3L, 2L)
+      .collect().map(_.toSeq).toSet
+    assert(run(df.repartition(5)) == run(df.coalesce(1)))
+  }
+
   // ---- transitions ----
 
   test("transitions: per-user (ts,id)-ordered adjacency, ppm floored") {

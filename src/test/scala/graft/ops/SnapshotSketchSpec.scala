@@ -222,6 +222,54 @@ class SnapshotSketchSpec extends AnyFunSuite {
     assert(p7 == p1)
   }
 
+  test("history: randomized differential vs a sequential replay") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 8) {
+      val rows = (0 until 120).map { i =>
+        (rnd.nextInt(12).toLong, i.toLong, s"v${rnd.nextInt(4)}")
+      }.distinct // (key, version) unique by construction (version = i)
+      val df = rows.toDF("doc_id", "version", "state")
+      val got = Snapshot.history(df, "doc_id", "version", Seq("state"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (k, vs) =>
+        val sorted = vs.sortBy(_._2)
+        sorted.zipWithIndex.map { case ((_, ver, st), i) =>
+          val next = if (i + 1 < sorted.size) sorted(i + 1)._2 else -1L
+          (k, ver, st, next, i + 1 == sorted.size)
+        }
+      }.toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  // ---- scramble32 ----
+
+  test("scramble32: matches the independent Int-arithmetic fmix32; spreads sequential ids") {
+    val n = 100000L
+    val out = spark.range(0, n).select(col("id"),
+        pmod(Sketches.scramble32(col("id")), lit(256L)).as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cell hit; occupancy within 3x of uniform in both directions —
+    // the property the hot-bucket plans rely on (a salt that collapsed
+    // to few cells would re-create the single-partition flood)
+    assert(out.size == 256)
+    val ideal = n / 256.0
+    assert(out.values.max < ideal * 3 && out.values.min > ideal / 3,
+      s"max ${out.values.max} min ${out.values.min} ideal $ideal")
+    // spot values against plain Int fmix32 (independent arithmetic)
+    def fmix(id: Long): Long = {
+      var h = (id ^ (id >>> 32)).toInt
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13
+      h *= 0xC2B2AE35; h ^= h >>> 16
+      h.toLong & 0xFFFFFFFFL
+    }
+    val vals = spark.range(0, 64).select(Sketches.scramble32(col("id")))
+      .collect().map(_.getLong(0))
+    assert(vals.toSeq == (0L until 64L).map(fmix))
+  }
+
   // ---- rateLimit ----
 
   private def ev(rows: (Long, Long, Long, String)*) =

@@ -477,6 +477,44 @@ object Queries {
     * otherwise checkpoint to a java.io.tmpdir temp on the virtio disk) */
   private def ckptPath(sink: String): String = s"/dev/shm/graft-ckpt-$sink"
 
+  /** Scale-adaptive stateful-stream shuffle sizing (optimization guide §2:
+    * derive partitioning from the data, never a core-count constant). A
+    * stateful operator's state-store partition count is FROZEN at the first
+    * batch for the life of the checkpoint — AQE cannot coalesce it the way
+    * it coalesces batch shuffles — so size it from the per-trigger source
+    * parallelism (the number of files a trigger ingests per source), capped
+    * by the session's configured shuffle width so a production-sized
+    * trigger keeps the cluster-tuned value. Without the cap-down, a
+    * few-MB trigger pays `spark.sql.shuffle.partitions` fixed state-store
+    * commits per stateful op per batch (measured: the empty FINALIZE batch
+    * of ev_stream_join alone summed ~50 s of commit time over 32
+    * partitions × 4 join stores).
+    *
+    * Also pins checkpoint-file checksums off for these short-lived bench
+    * checkpoints: Spark 4.1 turned `...checkpoint.fileChecksum.enabled` on
+    * by default, and every state delta/WAL stream close then blocks on an
+    * async checksum future (ChecksumCancellableFSDataOutputStream.close →
+    * awaitResult — jstack'd during ev_stream_join; disabling it halved the
+    * summed per-batch commit time, 43 s → 25 s). This restores the ≤ 4.0
+    * durability contract, which is the right trade for single-run
+    * checkpoints on tmpfs; a long-lived production checkpoint on object
+    * storage can re-enable it via the session conf.
+    *
+    * The session's shuffle width is restored after `body` (start +
+    * awaitTermination must both run inside) — the post-stream batch query
+    * over the memory sink keeps the session's own configuration. Output
+    * is partitioning-independent for every caller (aggregates, joins, or
+    * key-projected dedup), so results are bit-identical — the oracle
+    * compare pins that. */
+  private def withStreamParallelism[T](spark: SparkSession,
+      filesPerTrigger: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val target = math.max(1, math.min(prev.toInt, filesPerTrigger))
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** The STREAMING path through the driver contract: sequences stream →
     * router → watermarked tumbling-window per-topic counts, run to
     * completion with Trigger.AvailableNow in append mode. Append emits a
@@ -487,16 +525,19 @@ object Queries {
   def hdWindow(spark: SparkSession, dir: String): DataFrame = {
     val in = streamInputPath(dir)
     streamInput(spark, dir, in)
-    val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
-    val counts = graft.hotdog.Streaming.windowedTopicCounts(
-      stream, Configs.flagship, windowLen = "1 hour", lateness = "10 minutes")
     val sink = s"hd_window_sink_${System.nanoTime()}"
-    val q = counts.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckptPath(sink))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // single trigger ingests all 8 staged files — state width follows it
+    withStreamParallelism(spark, filesPerTrigger = 8) {
+      val stream = spark.readStream.schema(spark.read.parquet(in).schema).parquet(in)
+      val counts = graft.hotdog.Streaming.windowedTopicCounts(
+        stream, Configs.flagship, windowLen = "1 hour", lateness = "10 minutes")
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckptPath(sink))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("topic"), col("n"))
@@ -511,17 +552,19 @@ object Queries {
   def hdStateTotals(spark: SparkSession, dir: String): DataFrame = {
     val in = streamInputPath(dir)
     streamInput(spark, dir, in)
-    val stream = spark.readStream.schema(spark.read.parquet(in).schema)
-      .option("maxFilesPerTrigger", 4).parquet(in)
-    val totals = graft.hotdog.Streaming.runningTopicTotals(stream, Configs.flagship)
-      .toDF("topic", "n")
     val sink = s"hd_state_sink_${System.nanoTime()}"
-    val q = totals.writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckptPath(sink))
-      .outputMode("update")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParallelism(spark, filesPerTrigger = 4) {
+      val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 4).parquet(in)
+      val totals = graft.hotdog.Streaming.runningTopicTotals(stream, Configs.flagship)
+        .toDF("topic", "n")
+      val q = totals.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckptPath(sink))
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the memory sink holds every update (its size is bounded by
     // #topics × #micro-batches — a TEST-HARNESS assumption: a production
     // run sinks updates to a keyed store and never retains history); the
@@ -542,22 +585,24 @@ object Queries {
   def ddStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val in = streamInputPath(dir)
     streamInput(spark, dir, in)
-    val stream = spark.readStream.schema(spark.read.parquet(in).schema)
-      .option("maxFilesPerTrigger", 4).parquet(in)
-    val parsed = Router.parsed(Router.decoded(stream))
-      .filter(col("p").isNotNull)
-      .select(col("p.hostname").as("hostname"),
-        col("p.appname").as("appname"), col("event_time"))
-    val deduped = graft.hotdog.Streaming.streamingDedupKeys(
-      parsed, Seq("hostname", "appname"), "event_time", "3650 days")
     val sink = s"dd_stream_dedup_sink_${System.nanoTime()}"
-    val q = deduped.select("hostname", "appname")
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckptPath(sink))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParallelism(spark, filesPerTrigger = 4) {
+      val stream = spark.readStream.schema(spark.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", 4).parquet(in)
+      val parsed = Router.parsed(Router.decoded(stream))
+        .filter(col("p").isNotNull)
+        .select(col("p.hostname").as("hostname"),
+          col("p.appname").as("appname"), col("event_time"))
+      val deduped = graft.hotdog.Streaming.streamingDedupKeys(
+        parsed, Seq("hostname", "appname"), "event_time", "3650 days")
+      val q = deduped.select("hostname", "appname")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckptPath(sink))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("hostname", "appname")
   }
 
@@ -575,27 +620,29 @@ object Queries {
     val in = streamEventsPath(dir)
     streamEventsInput(spark, dir, in)
     val schema = spark.read.parquet(in).schema
-    def rd = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 4).parquet(in)
-    val purchases = rd.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"),
-        col("event_id").as("purchase_id"), col("event_time").as("pt"))
-    val touches = rd.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id").as("t_user"),
-        col("event_id").as("touch_id"), col("event_time").as("tt"))
-    val joined = graft.hotdog.Streaming.intervalJoin(
-      purchases, "pt", touches, "tt", col("p_user") === col("t_user"),
-      horizon = "24 hours", lateness = "3650 days")
     val sink = s"ev_stream_join_sink_${System.nanoTime()}"
-    val q = joined
-      .select(col("purchase_id"), col("touch_id"),
-        (unix_micros(col("pt")) - unix_micros(col("tt"))).as("lag_us"))
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckptPath(sink))
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamParallelism(spark, filesPerTrigger = 4) {
+      def rd = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4).parquet(in)
+      val purchases = rd.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("event_time").as("pt"))
+      val touches = rd.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"),
+          col("event_id").as("touch_id"), col("event_time").as("tt"))
+      val joined = graft.hotdog.Streaming.intervalJoin(
+        purchases, "pt", touches, "tt", col("p_user") === col("t_user"),
+        horizon = "24 hours", lateness = "3650 days")
+      val q = joined
+        .select(col("purchase_id"), col("touch_id"),
+          (unix_micros(col("pt")) - unix_micros(col("tt"))).as("lag_us"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckptPath(sink))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink).orderBy("purchase_id", "touch_id")
   }
 
@@ -999,10 +1046,11 @@ object Queries {
     // 6 slices / 3 per trigger = 2 data batches + the timeout flush —
     // cross-batch state is exercised while the ~1.4 s/stateful-batch
     // machinery floor stays amortized (SessionizeSpec drives 5 batches)
-    graft.ops.Sessionize.runStreamSessions(spark, in,
-      gapSec = 21600L, lateness = "1 hour", checkpoint = ckptPath(sink),
-      maxFilesPerTrigger = 3)
-      .orderBy("user_id", "t_start_us")
+    withStreamParallelism(spark, filesPerTrigger = 3) {
+      graft.ops.Sessionize.runStreamSessions(spark, in,
+        gapSec = 21600L, lateness = "1 hour", checkpoint = ckptPath(sink),
+        maxFilesPerTrigger = 3)
+    }.orderBy("user_id", "t_start_us")
   }
 
   def txtQuality(spark: SparkSession, dir: String): DataFrame =

@@ -64,18 +64,44 @@ object Components {
       // 2) path halving: rep := rep's rep (reps are themselves vertex ids,
       // so the lookup is a self-join on the same label table)
       val reps = stepped.select(col("id").as("rid"), col("rep").as("rrep"))
-      // `old` rides along so convergence is a shuffle-free filter over the
-      // materialized round instead of an extra join against the previous
-      // labels — one fewer shuffle job per round
+      // convergence rides the checkpoint materialization as an OBSERVED
+      // metric (the bpeTrain observe idiom): the previous shape kept `old`
+      // in the checkpointed payload and ran a separate filter-isEmpty
+      // action over it — at scale a second full scan of every round's
+      // label table, and one extra job per round at any scale. The
+      // changed-row count is collected by the SAME job that materializes
+      // the round, and `old` no longer rides the checkpoint at all.
+      val obs = new org.apache.spark.sql.Observation(
+        s"cc_round_${iter}_${System.nanoTime()}")
       val halved = stepped.join(reps, stepped("rep") === reps("rid"), "left")
         .select(stepped("id"), col("old"),
           coalesce(col("rrep"), stepped("rep")).as("rep"))
+        .observe(obs, count(when(col("rep") =!= col("old"), 1)).as("n_changed"))
+        .select("id", "rep")
         .localCheckpoint()
-      converged = halved.filter(col("rep") =!= col("old")).isEmpty
+      // metric lands via an async listener — bounded poll, loud fallback
+      // (the bpeTrain pattern; count() never returns null, even on an
+      // empty round)
+      var polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+      val deadline = System.nanoTime() + 5000000000L
+      while (polled.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+      }
+      converged = polled.get("n_changed") match {
+        case Some(v: Long) => v == 0L
+        case _ =>
+          System.err.println(
+            s"[connectedComponents] round $iter: observed n_changed missing; re-scanning")
+          // halved no longer carries `old` — recompute the changed set
+          // against the previous labels (fallback path only)
+          halved.join(labels.withColumnRenamed("rep", "_prev"), Seq("id"))
+            .filter(col("rep") =!= col("_prev")).isEmpty
+      }
       // the new round is materialized with truncated lineage — the
       // previous round's checkpoint blocks can go
       org.apache.spark.sql.graftshim.unpersistCheckpoint(labels)
-      labels = halved.select("id", "rep")
+      labels = halved
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")

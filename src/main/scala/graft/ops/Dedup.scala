@@ -314,11 +314,25 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       minJaccardPct: Int, numHashes: Int = 64, bands: Int = 16,
       shingleN: Int = 3, groupCol: Option[String] = None): DataFrame = {
-    // verification join carries the raw TEXT, not the shingle arrays: the
-    // trigram set is ~4× the text's bytes, and this join shuffles every
-    // doc twice — shingles are recomputed post-join on the (much smaller)
-    // matched-candidate rows only
-    val txt = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // What the verification join carries is a per-shingleN trade:
+    //  - n ≥ 2: the raw TEXT — the n-gram set is ~n+1× the text's bytes,
+    //    this join shuffles every doc twice, and shingles are recomputed
+    //    post-join on the (much smaller) matched-candidate rows only.
+    //  - n = 1: the precomputed word SET — never larger than the text
+    //    (distinct words, no n-gram concatenation), so carrying it wins
+    //    on shuffle bytes AND kills the per-PAIR shingle recompute: at
+    //    word-set thresholds candidates outnumber DOCS by 100×+ (sf0.1:
+    //    616k candidate pairs over 5k docs ⇒ 1.2M wordShingles calls,
+    //    the dominant cost of the whole query — ProfileDd, r6), while
+    //    precomputing runs the kernel once per doc on the joins' build
+    //    side.
+    val txt =
+      if (shingleN == 1)
+        df.select(col(idCol).as("id"), shingles(col(textCol), 1).as("t"))
+      else
+        df.select(col(idCol).as("id"), col(textCol).as("t"))
+    def sideShingles(c: Column): Column =
+      if (shingleN == 1) c else shingles(c, shingleN)
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleN, groupCol)
     // Join-free candidate generation: ONE shuffle of the banded rows
     // (bucket hash leads the sort key — see withinBucketPairs), pairs
@@ -339,7 +353,7 @@ object Dedup {
       .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), "id_a")
       .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), "id_b")
       .withColumn("jaccard_pct",
-        jaccardPct(shingles(col("t_a"), shingleN), shingles(col("t_b"), shingleN)))
+        jaccardPct(sideShingles(col("t_a")), sideShingles(col("t_b"))))
       .filter(col("jaccard_pct") >= minJaccardPct)
       .select("id_a", "id_b", "jaccard_pct")
   }

@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   *  - verdict assembly: id-keyed joins carrying only (id, flag) columns;
   *    the text never shuffles after the exact stage.
   *
-  * The two multi-consumer frames — the narrow keeper-id set and the
-  * cleaned-survivor reps corpus — are localCheckpoint'd (the dsirSelect
-  * idiom): as a pure plan Catalyst re-derived the corpus scan +
-  * fingerprint + aggregate + semi-join once per consumer (measured
-  * 7.4s → 2.0s at sf0.1, ProfileClean). At production scale the reps
+  * The one multi-consumer frame — the cleaned-survivor reps corpus — is
+  * localCheckpoint'd (the dsirSelect idiom): as a pure plan Catalyst
+  * re-derived the corpus scan + fingerprint + aggregate + semi-join once
+  * per consumer (measured 7.4s → 2.0s at sf0.1, ProfileClean). reps also
+  * serves as the keeper-id set for the verdict's _is_rep probe (its ids
+  * ARE the keeper ids by construction), so the keeper frame itself has a
+  * single consumer and no checkpoint. At production scale the reps
   * materialization is the artifact a pipeline persists anyway: it is
   * the deduplicated corpus every downstream stage reads.
   */
@@ -59,24 +61,25 @@ object CorpusClean {
     // UNIFORM id key; a row_number window here sorted every copy of a
     // flooded boilerplate text inside one partition
     val survivors = staged.filter(col("q_ok") && col("l_ok"))
-    // keeper ids are MATERIALIZED once (localCheckpoint, the dsirSelect
-    // idiom): the narrow (keep_id) frame has two consumers — the reps
-    // semi-join and the verdict's _is_rep flag — and as a pure plan each
-    // re-derived the corpus scan + fingerprint + aggregate
+    // keepers has exactly ONE consumer now (the reps semi-join): the
+    // verdict's _is_rep flag reads the materialized reps frame instead —
+    // reps IS the survivor rows whose id is a keeper id, so reps.id ≡ the
+    // keeper id set and the second checkpoint (and its extra corpus-
+    // derived aggregation job) is dead weight at any scale
     val keepers = survivors
       .groupBy(TextAnalysis.fingerprint(col("text")).as("_fp"))
       .agg(min(col("id")).as("_keep_id"))
       .select(col("_keep_id"))
-      .localCheckpoint(true)
     // TEXT rows never join against anything but an id set: reps = the
     // survivor texts whose id is a keeper id (left-semi on the uniform
     // id key). reps is materialized too — it feeds the shingle→minhash→
     // banding chain whose bucket/pair stages are multi-consumer, and it
     // IS the cleaned-survivor corpus the scaladoc tells production
-    // pipelines to persist. Measured (ProfileClean, sf0.1, warm): the
-    // pure-plan composition re-derived filter+fingerprint+agg+semi-join
-    // per consumer at 7.4s end-to-end; checkpointing keepers+reps runs
-    // the identical verdict in 2.0s.
+    // pipelines to persist — and since r6 it also serves the verdict's
+    // _is_rep probe. Measured (ProfileClean, sf0.1, warm): the pure-plan
+    // composition re-derived filter+fingerprint+agg+semi-join per
+    // consumer at 7.4s end-to-end; checkpointing reps runs the identical
+    // verdict in ~2s.
     val reps = survivors.select("id", "text")
       .join(keepers, col("id") === col("_keep_id"), "left_semi")
       .localCheckpoint(true)
@@ -85,8 +88,7 @@ object CorpusClean {
     val verdict = Components.dedupVerdict(pairs, "id_a", "id_b")
       .select(col("id"), col("keep").as("_nd_keep"))
     staged.select("id", "q_ok", "l_ok")
-      .join(keepers.select(col("_keep_id").as("id"),
-        lit(true).as("_is_rep")), Seq("id"), "left")
+      .join(reps.select(col("id"), lit(true).as("_is_rep")), Seq("id"), "left")
       .join(verdict, Seq("id"), "left")
       .select(col("id"),
         when(!col("q_ok"), lit("drop_quality"))

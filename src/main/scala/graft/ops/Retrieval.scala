@@ -152,8 +152,9 @@ object Retrieval {
     * aggregate of the CHECKPOINTED frame, so the corpus is scanned
     * once. The tf⋈df term-key join is 1-row-per-key on the df side —
     * the stock-Spark AQE skew-join split handles a hot term (the join,
-    * unlike a window, is splittable); ranking per doc avoids even the
-    * bounded-key window via the shared salted two-phase rank. The
+    * unlike a window, is splittable); ranking per doc is a plain
+    * per-doc window (group size bounded by the document's own length —
+    * see the inline note). The
     * RANKING key is the already-floored integer score (ties broken on
     * ascending term), so rank is deterministic across engines — a raw
     * float rank could flip on a last-ulp ln() difference exactly where
@@ -176,8 +177,17 @@ object Retrieval {
         floor(col("tf") *
           (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
             lit(1.0)) * lit(1e6)).cast("long"))
-    Ranks.topKPerGroup(scored, col("doc_id"), col("term"),
-      Seq(col("score_e6").desc, col("term").asc), k, "rank")
+    // ranking group = ONE document's distinct terms — bounded by the
+    // document's own length (the same per-doc bound scrubTokens and the
+    // scrub lead() window rely on), so the plain per-doc window is
+    // skew-safe at any corpus size and the salted two-phase rank (built
+    // for UNBOUNDED groups like "all docs matching a query term" in
+    // bm25TopK) would pay an extra exchange + sort of the tf frame for
+    // nothing. WindowGroupLimit pushes the k-filter into the sort.
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
         col("df"), col("score_e6"))
   }

@@ -246,34 +246,48 @@ object TokenOps {
         val a = (pair >>> 32).toInt
         val b = (pair & 0xffffffffL).toInt
         val newId = vocabBase + r
-        // n_tok_after rides the checkpoint materialization as an
-        // observed metric (the Pipeline observe idiom) — one job per
-        // round instead of checkpoint + a second audit scan; if the
-        // metric doesn't surface (observe fires per action, and a
-        // future Spark could change what the checkpoint job reports),
-        // fall back to the explicit aggregate LOUDLY
-        val obs = new org.apache.spark.sql.Observation(s"bpe_r$r")
-        val next = cur
+        val rewritten = cur
           .withColumn("ts", opscol.bpeMergePair(col("ts"), a, b, newId))
-          .observe(obs, sum(size(col("ts"))).as("n_tok"))
-          .localCheckpoint()
-        // the metric lands via an async listener — bounded poll (the
-        // Pipeline.writeBatch pattern), then the loud fallback
-        var polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
-        val deadline = System.nanoTime() + 5000000000L
-        while (polled.isEmpty && System.nanoTime() < deadline) {
-          Thread.sleep(20)
-          polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
-        }
-        val nTokAfter = polled.get("n_tok") match {
-          case Some(v: Long) => v
-          case _ =>
-            System.err.println(
-              s"[bpeTrain] round $r: observed n_tok missing; re-scanning")
-            next.agg(sum(size(col("ts")))).head().getLong(0)
-        }
-        cur.unpersist()
-        cur = next
+        val nTokAfter =
+          if (r == rounds) {
+            // FINAL round: nothing trains on this rewrite, so the
+            // checkpoint materialization of the whole rewritten corpus
+            // is dead weight — the n_tok_after audit is a plain
+            // aggregate over the same (checkpointed-input) rewrite
+            // chain, one scan either way but no corpus-sized write
+            val v = rewritten.agg(sum(size(col("ts")))).head().getLong(0)
+            cur.unpersist()
+            v
+          } else {
+            // n_tok_after rides the checkpoint materialization as an
+            // observed metric (the Pipeline observe idiom) — one job per
+            // round instead of checkpoint + a second audit scan; if the
+            // metric doesn't surface (observe fires per action, and a
+            // future Spark could change what the checkpoint job reports),
+            // fall back to the explicit aggregate LOUDLY
+            val obs = new org.apache.spark.sql.Observation(s"bpe_r$r")
+            val next = rewritten
+              .observe(obs, sum(size(col("ts"))).as("n_tok"))
+              .localCheckpoint()
+            // the metric lands via an async listener — bounded poll (the
+            // Pipeline.writeBatch pattern), then the loud fallback
+            var polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+            val deadline = System.nanoTime() + 5000000000L
+            while (polled.isEmpty && System.nanoTime() < deadline) {
+              Thread.sleep(20)
+              polled = org.apache.spark.sql.graftshim.observationGetOrEmpty(obs)
+            }
+            val v = polled.get("n_tok") match {
+              case Some(x: Long) => x
+              case _ =>
+                System.err.println(
+                  s"[bpeTrain] round $r: observed n_tok missing; re-scanning")
+                next.agg(sum(size(col("ts")))).head().getLong(0)
+            }
+            cur.unpersist()
+            cur = next
+            v
+          }
         out += ((r.toLong, a.toLong, b.toLong, n, newId.toLong, nTokAfter))
         r += 1
       }

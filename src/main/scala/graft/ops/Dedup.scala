@@ -468,22 +468,38 @@ object Dedup {
     * (shared·10^6 div min(|A|, |B|) — integer, so the compare can't
     * flip on a float ulp).
     *
-    * 100 TB shape: the corpus collapses in ONE pass to distinct
-    * (gram, source) slots — a map-side-combinable distinct whose key
-    * space is gram-vocabulary-sized, never corpus-sized. Per gram the
-    * source set is ≤ |sources| (collect_set groups are bounded by the
-    * source vocabulary, not data); pair explosion is ≤ |sources|² per
-    * gram; the final fold is a hash aggregate onto the ≤ |sources|²
+    * 100 TB shape: the corpus collapses in ONE pass to a gram-keyed
+    * source-set frame — gram-vocabulary-sized, never corpus-sized, keyed
+    * by a 16-byte md5 routing key so gram text never shuffles. Per gram
+    * the source set is ≤ |sources| (collect_set groups are bounded by
+    * the source vocabulary, not data); pair explosion is ≤ |sources|²
+    * per gram; the final fold is a hash aggregate onto the ≤ |sources|²
     * pair key space. Output |sources|² rows — a monitoring table. */
   def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
       n: Int = 8): DataFrame = {
-    val gs = docs
+    // ONE corpus-sized pass and ONE corpus-sized shuffle (r6 rework): the
+    // previous shape consumed the (src, gram)-distinct frame as a pure
+    // plan from THREE subtrees (the pair chain + each side's n_grams
+    // broadcast), so the corpus was shingled and its rendered gram
+    // STRINGS shuffled three times (plan-verified, plans/r06/
+    // dd_src_overlap_before.txt: 3 Generate(word_shingles) subtrees).
+    // Now: grams route as 16-byte md5 keys (the spanDupStatsGrams idiom —
+    // the key only routes, the text never shuffles), the per-gram source
+    // set collapses in ONE collect_set aggregate (no separate distinct —
+    // the set dedups; per-group state ≤ |sources|), and the gram-keyed
+    // source-set frame materializes once (localCheckpoint, the reps
+    // idiom) to feed both the pair explosion and the per-source
+    // distinct-gram counts.
+    val perGram = docs
       .select(col(srcCol).as("src"),
         explode(opscol.wordShingles(col(textCol), n)).as("gram"))
-      .distinct()
-    val perSrc = gs.groupBy("src").agg(count(lit(1)).as("n_grams"))
-    val pairs = gs.groupBy("gram")
-      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .select(col("src"), unhex(md5(col("gram"))).as("_gh"))
+      .groupBy("_gh").agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .localCheckpoint(true)
+    val perSrc = perGram
+      .select(explode(col("srcs")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val pairs = perGram
       .filter(size(col("srcs")) >= 2)
       .select(explode(expr(
         """flatten(transform(srcs, (a, i) ->

@@ -247,7 +247,11 @@ object Similarity {
     val stats = assigned.groupBy("cent_id").agg(
       count(lit(1)).as("n_vecs"),
       avg("sim").as("mean_sim"), min("sim").as("min_sim"))
-    cents.select("cent_id").join(stats, Seq("cent_id"), "left")
+    // stats is nlist-bounded (one row per centroid) but derives from a
+    // corpus aggregate whose size estimate is unknown — without the hint
+    // the totality join plans as a SortMergeJoin of two ≤nlist-row frames
+    // (2 exchanges + sorts; plans/r06/sim_cluster_stats_before.txt)
+    cents.select("cent_id").join(broadcast(stats), Seq("cent_id"), "left")
       .select(col("cent_id"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
         col("mean_sim"), col("min_sim"))
   }

@@ -145,9 +145,15 @@ object Packing {
         slice(col(tokensCol), col("doc_off").cast("int") + 1,
           col("tok_len").cast("int")).as("_frag"))
       .groupBy("chunk_id")
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("chunk_off"), col("_frag")))),
-        s => s.getField("_frag"))).as("tokens"))
+      .agg(collect_list(struct(col("chunk_off"), col("_frag"))).as("_fr"))
+      // one codegen pass: sort-by-offset + concatenate (chunk_off is
+      // unique per fragment, so this equals the struct array_sort). The
+      // previous array_sort + transform + flatten chain ran INTERPRETED
+      // per chunk (higher-order Columns fall out of codegen — the
+      // WordShingles lesson) and was the query's JIT-bimodality hot spot
+      // (r5 driver samples: 2.1 s vs 11.1 s).
+      .select(col("chunk_id"),
+        opscol.assembleFragments(col("_fr")).as("tokens"))
       .select(col("chunk_id"), size(col("tokens")).cast("long").as("n_tok"),
         col("tokens"))
   }

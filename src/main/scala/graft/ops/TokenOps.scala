@@ -164,22 +164,42 @@ object TokenOps {
     * distinct-shared-gram count — how production pipelines actually
     * decontaminate against tokenized benchmarks (no retokenization /
     * normalization ambiguity between the check and the training input).
-    * Same broadcast shape as [[Contamination.contaminated]]: eval grams
-    * broadcast, train side a narrow explode + hash probe with map-side
-    * partials — corpus token grams never shuffle.
+    * Scale shape: eval grams are benchmark-sized (the same bound
+    * [[Contamination.contaminated]] uses to broadcast them) — here they
+    * ship as a sorted key table inside one codegen kernel, and the train
+    * side is a single ZERO-SHUFFLE pass: no gram explode, no broadcast
+    * hash probe, no re-aggregate; corpus token grams never materialize
+    * as rows at all.
     */
   def tokenContaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
-      tokensCol: String, n: Int): DataFrame =
-    // the contamination core is gram-domain-agnostic (explode + distinct
-    // + broadcast probe + count) — feeding it 16-byte binary keys instead
-    // of rendered gram strings drops the decimal render on BOTH sides and
-    // shrinks the broadcast probe set
-    Contamination.contaminatedGrams(
-      train.select(col(idCol),
-        opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
-      evalSet.select(
-        opscol.tokenGramKeys(col(tokensCol), n, distinct = true).as("_sh")),
-      idCol, "_sh")
+      tokensCol: String, n: Int): DataFrame = {
+    // Eval benchmarks are tiny by the decontamination contract (the same
+    // bound that let contaminatedGrams BROADCAST them), so collect the
+    // distinct eval gram keys once and bake the probe into ONE codegen
+    // kernel over the train side — the optimization guide's manual
+    // pre-filter pattern (§3.2), exact instead of Bloom. The train side
+    // then never explodes at all: per sequence, its distinct gram keys
+    // are counted against the sorted table in place, and n_shared IS
+    // that count (keys are per-row distinct) — zero shuffle, no
+    // corpus-gram-sized Generate, no broadcast hash probe, no
+    // re-aggregate of the exploded rows (r5 shape: 4.9M generated rows
+    // at sf0.1 just to count hits per doc). noPushdown: the n_shared>0
+    // filter would otherwise be substituted through the defining
+    // Project and run the kernel twice per row (the guardGrams lesson).
+    val keys = evalSet
+      .select(explode(
+        opscol.tokenGramKeys(col(tokensCol), n, distinct = true)).as("_g"))
+      .distinct()
+      .collect()
+      .map(_.getAs[Array[Byte]](0))
+    val table = OpsKernels.keyPairTable(keys)
+    train
+      .select(col(idCol),
+        graft.hotdog.exprs.noPushdown(opscol.keyTableHits(
+          opscol.tokenGramKeys(col(tokensCol), n, distinct = true),
+          table)).as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
 
   /** Token-distribution diversity per sequence: Shannon entropy (nats)
     * of the token-id histogram + total/distinct token counts — the

@@ -635,6 +635,125 @@ object OpsKernels {
     math.log(n0.toDouble) - sumKlnK / n0
   }
 
+  /** membership count of 16-byte binary keys in a sorted pair table —
+    * the exact in-place probe behind the zero-shuffle decontamination
+    * form (see [[TokenOps.tokenContaminated]]): `table` holds the probe
+    * set as [hi0,lo0,hi1,lo1,...] longs sorted by (hi,lo) UNSIGNED;
+    * each key (big-endian 16 bytes, the [[tokenGramKeys]] layout) is
+    * binary-searched. Caller guarantees the keys column is per-row
+    * DISTINCT (tokenGramKeys distinct=true), so the hit count equals
+    * the distinct shared-gram count the explode+join+count form
+    * produced. O(k·log m) per row, zero allocation beyond the key
+    * bytes the array accessor already returns. */
+  def countKeyHits(keys: ArrayData, table: Array[Long]): Long = {
+    val n = keys.numElements()
+    val m = table.length / 2
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val b = keys.getBinary(i)
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < 8) {
+        hi = (hi << 8) | (b(j) & 0xffL)
+        lo = (lo << 8) | (b(8 + j) & 0xffL)
+        j += 1
+      }
+      var loIdx = 0
+      var hiIdx = m - 1
+      while (loIdx <= hiIdx) {
+        val mid = (loIdx + hiIdx) >>> 1
+        val th = table(2 * mid)
+        val tl = table(2 * mid + 1)
+        val c =
+          if (th != hi) java.lang.Long.compareUnsigned(th, hi)
+          else java.lang.Long.compareUnsigned(tl, lo)
+        if (c == 0) { hits += 1; loIdx = hiIdx + 2 } // found: exit inner
+        else if (c < 0) loIdx = mid + 1
+        else hiIdx = mid - 1
+      }
+      i += 1
+    }
+    hits
+  }
+
+  /** assemble a chunk's token stream from its collected
+    * (chunk_off, frag array<int>) fragments: sort by chunk_off and
+    * concatenate — one codegen pass replacing the interpreted
+    * array_sort + transform + flatten Column chain (higher-order Column
+    * functions run interpreted and re-evaluate referenced subtrees per
+    * element — the WordShingles lesson; this is the packed-chunk
+    * assembly's only per-row hot path). Fragments are contiguous and
+    * non-overlapping by the manifest arithmetic; chunk_off is unique per
+    * fragment, so ordering by it alone equals the struct sort it
+    * replaces. */
+  def assembleFragments(frags: ArrayData): ArrayData = {
+    val n = frags.numElements()
+    val offs = new Array[Long](n)
+    val fr = new Array[ArrayData](n)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val s = frags.getStruct(i, 2)
+      offs(i) = s.getLong(0)
+      fr(i) = s.getArray(1)
+      total += fr(i).numElements()
+      i += 1
+    }
+    // insertion sort on parallel arrays — fragment counts per chunk are
+    // budget-bounded and tiny in practice (≤ docs spanning the chunk)
+    i = 1
+    while (i < n) {
+      val ko = offs(i); val kf = fr(i)
+      var j = i - 1
+      while (j >= 0 && offs(j) > ko) {
+        offs(j + 1) = offs(j); fr(j + 1) = fr(j); j -= 1
+      }
+      offs(j + 1) = ko; fr(j + 1) = kf
+      i += 1
+    }
+    val out = new Array[Int](total)
+    var p = 0
+    i = 0
+    while (i < n) {
+      val f = fr(i)
+      val m = f.numElements()
+      var k = 0
+      while (k < m) { out(p) = f.getInt(k); p += 1; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** sorted (hi, lo) pair table from 16-byte keys — the driver-side
+    * builder for [[countKeyHits]]. */
+  def keyPairTable(keys: Array[Array[Byte]]): Array[Long] = {
+    val pairs = keys.map { b =>
+      require(b.length == 16, s"key must be 16 bytes, got ${b.length}")
+      var hi = 0L; var lo = 0L
+      var j = 0
+      while (j < 8) {
+        hi = (hi << 8) | (b(j) & 0xffL)
+        lo = (lo << 8) | (b(8 + j) & 0xffL)
+        j += 1
+      }
+      (hi, lo)
+    }
+    val sorted = pairs.sortWith { case ((ah, al), (bh, bl)) =>
+      if (ah != bh) java.lang.Long.compareUnsigned(ah, bh) < 0
+      else java.lang.Long.compareUnsigned(al, bl) < 0
+    }
+    val out = new Array[Long](2 * sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      out(2 * i) = sorted(i)._1
+      out(2 * i + 1) = sorted(i)._2
+      i += 1
+    }
+    out
+  }
+
   /** ±1 hyperplane-weight matrices, cached per (planes, dims): built once
     * per JVM, shared by every partition. Weight(p,i) = bit 13 of the murmur3
     * fmix32 finalizer applied to (p·65537 + i + 1) — pure 32-bit integer
@@ -897,6 +1016,42 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   * order the (a, b) lexicographic tie-break). Token ids must be
   * non-negative (codepoints / vocab ids; rejected loudly otherwise —
   * a negative id would corrupt the pack). */
+/** `KeyTableHits(keys array<binary>, table) -> bigint` — how many of the
+  * row's 16-byte keys sit in the plan-baked sorted pair table (see
+  * [[OpsKernels.countKeyHits]]); the exact, zero-shuffle form of
+  * "explode → broadcast-probe → count" for benchmark-sized probe sets. */
+case class KeyTableHits(child: Expression, table: Array[Long])
+    extends UnaryExpression {
+  require(table.length % 2 == 0, "pair table must hold (hi, lo) longs")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.countKeyHits(input.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("keyTable", table, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.OpsKernels.countKeyHits($c, $tableRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): KeyTableHits =
+    copy(child = c)
+  override def prettyName: String = "key_table_hits"
+}
+
+/** `AssembleFragments(array<struct<chunk_off: bigint, frag: array<int>>>)
+  * -> array<int>` — sort-by-offset + concatenate in one codegen pass
+  * (see [[OpsKernels.assembleFragments]]). */
+case class AssembleFragments(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.assembleFragments(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.assembleFragments($c)")
+  override protected def withNewChildInternal(c: Expression): AssembleFragments =
+    copy(child = c)
+  override def prettyName: String = "assemble_fragments"
+}
+
 case class TokenPairKeys(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -1010,6 +1165,10 @@ object opscol {
     graftshim.column(TokenGramKeys(graftshim.expression(c), n, distinct))
   def tokenPairKeys(c: Column): Column =
     graftshim.column(TokenPairKeys(graftshim.expression(c)))
+  def keyTableHits(c: Column, table: Array[Long]): Column =
+    graftshim.column(KeyTableHits(graftshim.expression(c), table))
+  def assembleFragments(c: Column): Column =
+    graftshim.column(AssembleFragments(graftshim.expression(c)))
   def bpeMergePair(c: Column, a: Int, b: Int, newId: Int): Column =
     graftshim.column(BpeMergePair(graftshim.expression(c), a, b, newId))
   def bpeMergeAll(c: Column, rules: Seq[(Int, Int, Int)]): Column =

@@ -84,7 +84,7 @@ class TokenOpsSpec extends AnyFunSuite {
 
   // ---- tokenContaminated ---------------------------------------------
 
-  test("tokenContaminated: distinct shared grams vs eval set, hits only, eval grams broadcast") {
+  test("tokenContaminated: distinct shared grams vs eval set, hits only, zero-shuffle probe") {
     val train = Seq(
       ("t1", Seq(1, 2, 3, 4)),   // 2-grams: 1,2 2,3 3,4 — shares 1,2 and 2,3
       ("t2", Seq(9, 8, 7)),      // shares nothing
@@ -95,8 +95,41 @@ class TokenOpsSpec extends AnyFunSuite {
     val out = TokenOps.tokenContaminated(train, evalSet, "doc_id", "tokens", n = 2)
     val got = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("t1" -> 2L, "t3" -> 1L)) // t2 absent: hits only
-    val plan = out.queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // r6 shape: the probe is a plan-baked key-table kernel — the train
+    // side never explodes, joins, or shuffles (the guide §3.2 manual
+    // pre-filter pattern, exact). A LocalRelation fixture constant-folds
+    // to a LocalTableScan, so the plan is asserted on a range-derived
+    // train side.
+    val trainR = spark.range(50).select(
+      concat(lit("r"), col("id")).as("doc_id"),
+      array(lit(1), lit(2), (col("id") % 7).cast("int"), lit(4)).as("tokens"))
+    val planOut = TokenOps.tokenContaminated(trainR, evalSet, "doc_id", "tokens", n = 2)
+    val plan = planOut.queryExecution.executedPlan.toString()
+    assert(plan.contains("key_table_hits"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("tokenContaminated: differential vs the explode+join form on a seeded corpus") {
+    val rnd = new scala.util.Random(20260822)
+    val train = (0 until 200).map { i =>
+      (s"t$i", Seq.fill(3 + rnd.nextInt(12))(rnd.nextInt(9)))
+    }.toDF("doc_id", "tokens")
+    val evalSet = (0 until 20).map { i =>
+      (s"e$i", Seq.fill(3 + rnd.nextInt(8))(rnd.nextInt(9)))
+    }.toDF("doc_id", "tokens")
+    val out = TokenOps.tokenContaminated(train, evalSet, "doc_id", "tokens", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // naive recompute: explode distinct grams both sides, inner join, count
+    val tg = train.select(col("doc_id"),
+      explode(opscol.tokenGramKeys(col("tokens"), 3, distinct = true)).as("g"))
+    val eg = evalSet.select(
+        explode(opscol.tokenGramKeys(col("tokens"), 3, distinct = true)).as("g"))
+      .distinct()
+    val naive = tg.join(eg, "g").groupBy("doc_id").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == naive)
   }
 
   // ---- scrubDupSpans / scrubTokens ----------------------------------------

@@ -180,14 +180,15 @@ object EventAnalytics {
     * needed).
     *
     * Scale shape: [[Sessionize.sessionize]]'s one user-key exchange
-    * numbers the sessions; the "first depth events" selection is the
-    * salted two-phase [[Ranks.topKPerGroup]] — NEVER a bare row_number
-    * over the session key, so a bot user's million-event session floods
-    * nothing; the ≤ depth survivors per session fold via a
-    * deterministic rank-sorted array (array_sort on (rank, type) — rank
-    * is unique per session, so collect_list order cannot leak in); the
-    * final path count map-side combines onto the bounded path
-    * vocabulary. */
+    * numbers the sessions; the "first depth events" selection is a
+    * plain (user, session) window that REUSES that exchange — the
+    * per-user flood bound is already set by sessionize's own window
+    * (its scaladoc pins it as inherent to the semantics), so a salted
+    * rank here would add exchanges without adding protection; the
+    * ≤ depth survivors per session fold via a deterministic rank-sorted
+    * array (array_sort on (rank, type) — rank is unique per session, so
+    * collect_list order cannot leak in); the final path count map-side
+    * combines onto the bounded path vocabulary. */
   def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, typeCol: String, gapSec: Long,
       depth: Int = 3): DataFrame = {
@@ -195,11 +196,20 @@ object EventAnalytics {
     val slim = Sessionize.sessionize(events, userCol, tsCol, idCol, gapSec)
       .select(col(userCol), col("session_seq"),
         tUs(tsCol).as("_t_us"), col(idCol), col(typeCol))
-    val firstK = Ranks.topKPerGroup(slim,
-      groupCol = struct(col(userCol), col("session_seq")),
-      saltFrom = col(idCol),
-      order = Seq(col("_t_us"), col(idCol)),
-      k = depth, rankAs = "_rank")
+    // first `depth` events per session: a PLAIN window over
+    // (user, session_seq) — it reuses sessionize's user-key exchange
+    // (HashPartitioning(user) satisfies the clustered distribution of
+    // (user, session)), so no new shuffle, and WindowGroupLimit prunes
+    // the sort to the top-depth rows. The salted two-phase rank this
+    // replaces (r5) bought skew protection for a flood that sessionize's
+    // OWN user window upstream already concentrates — its scaladoc pins
+    // the per-user bound as inherent to the semantics — while paying two
+    // extra event-table exchanges for it (plan: 6 → 4 Exchanges).
+    val w = Window.partitionBy(col(userCol), col("session_seq"))
+      .orderBy(col("_t_us"), col(idCol))
+    val firstK = slim
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= depth)
     firstK
       .groupBy(col(userCol), col("session_seq"))
       .agg(concat_ws(">",

@@ -52,18 +52,21 @@ object TextAnalysis {
   }
 
   /** n-gram-heuristic language ID: argmax of stopword scores with a
-    * deterministic en>es>de>fr tie-break; 'und' (unknown) when all zero. */
-  def langId(text: Column): Column = {
-    val en = stopwordScore(text, "en")
-    val es = stopwordScore(text, "es")
-    val de = stopwordScore(text, "de")
-    val fr = stopwordScore(text, "fr")
-    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
-      .when(en >= es && en >= de && en >= fr, lit("en"))
-      .when(es >= de && es >= fr, lit("es"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
-  }
+    * deterministic en>es>de>fr tie-break; 'und' (unknown) when all zero.
+    *
+    * One codegen kernel pass (r6): the previous when-chain over four
+    * `stopwordScore` Columns re-evaluated the normalize+split+filter
+    * chain up to ~10 times per row (ArrayFilter is CodegenFallback —
+    * interpreted, no subexpression elimination; each score appears in
+    * several branch conditions). The coalesce pins the chain's null
+    * behavior exactly: a null text fell through every null-valued
+    * condition to the otherwise('fr') branch. */
+  def langId(text: Column): Column =
+    coalesce(
+      opscol.langId4(text, Array(
+        Stopwords("en").toArray, Stopwords("es").toArray,
+        Stopwords("de").toArray, Stopwords("fr").toArray)),
+      lit("fr"))
 
   /** Gopher-style repetition counters: how many word trigrams are
     * duplicates of an earlier one (high ratio ⇒ boilerplate/spam; the

@@ -157,6 +157,41 @@ object OpsKernels {
     words
   }
 
+  private val LangUnd = UTF8String.fromString("und")
+  private val LangEn = UTF8String.fromString("en")
+  private val LangEs = UTF8String.fromString("es")
+  private val LangDe = UTF8String.fromString("de")
+  private val LangFr = UTF8String.fromString("fr")
+
+  /** One-pass 4-language stopword-argmax language ID (en/es/de/fr/und,
+    * deterministic en>es>de>fr tie-break, all-zero ⇒ und) — the kernel
+    * form of [[TextAnalysis.langId]]'s Column chain. The chain evaluated
+    * `size(filter(words(text), isin(stops)))` per language, where each
+    * `words(text)` is a regexp_replace + split and ArrayFilter is
+    * CodegenFallback (interpreted, no common-subexpression elimination),
+    * and the when-chain references each score up to 4 times — up to ~10
+    * normalize+split+filter evaluations per row. Here: one hand-scanner
+    * split ([[splitNormWords]], the wordShingles normalization) and one
+    * membership probe per word per language. */
+  def langId4(text: UTF8String, sets: Array[java.util.HashSet[String]]): UTF8String = {
+    val words = splitNormWords(text)
+    var en = 0; var es = 0; var de = 0; var fr = 0
+    var i = 0
+    while (i < words.size()) {
+      val w = words.get(i)
+      if (sets(0).contains(w)) en += 1
+      if (sets(1).contains(w)) es += 1
+      if (sets(2).contains(w)) de += 1
+      if (sets(3).contains(w)) fr += 1
+      i += 1
+    }
+    if (en == 0 && es == 0 && de == 0 && fr == 0) LangUnd
+    else if (en >= es && en >= de && en >= fr) LangEn
+    else if (es >= de && es >= fr) LangEs
+    else if (de >= fr) LangDe
+    else LangFr
+  }
+
   /** Word n-grams WITH multiplicity, in order — the probability-mass
     * representation (DSIR hashed features, LM grams), as opposed to the
     * distinct-set [[wordShingles]] the dedup family keys on. < n words ⇒
@@ -1037,6 +1072,31 @@ case class KeyTableHits(child: Expression, table: Array[Long])
   override def prettyName: String = "key_table_hits"
 }
 
+/** `LangId4(text, stops) -> string` — one-pass stopword-argmax language
+  * ID (see [[OpsKernels.langId4]]); `stops` = the (en, es, de, fr) word
+  * lists in tie-break order. Null text propagates null — the caller
+  * ([[TextAnalysis.langId]]) coalesces to the Column chain's null
+  * behavior. */
+case class LangId4(child: Expression, stops: Array[Array[String]])
+    extends UnaryExpression {
+  require(stops.length == 4, "exactly (en, es, de, fr) stop lists")
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    stops.map { l =>
+      val s = new java.util.HashSet[String](); l.foreach(s.add); s
+    }
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    OpsKernels.langId4(input.asInstanceOf[UTF8String], sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, c => s"graft.ops.OpsKernels.langId4($c, $setsRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): LangId4 =
+    copy(child = c)
+  override def prettyName: String = "lang_id4"
+}
+
 /** `AssembleFragments(array<struct<chunk_off: bigint, frag: array<int>>>)
   * -> array<int>` — sort-by-offset + concatenate in one codegen pass
   * (see [[OpsKernels.assembleFragments]]). */
@@ -1169,6 +1229,8 @@ object opscol {
     graftshim.column(KeyTableHits(graftshim.expression(c), table))
   def assembleFragments(c: Column): Column =
     graftshim.column(AssembleFragments(graftshim.expression(c)))
+  def langId4(c: Column, stops: Array[Array[String]]): Column =
+    graftshim.column(LangId4(graftshim.expression(c), stops))
   def bpeMergePair(c: Column, a: Int, b: Int, newId: Int): Column =
     graftshim.column(BpeMergePair(graftshim.expression(c), a, b, newId))
   def bpeMergeAll(c: Column, rules: Seq[(Int, Int, Int)]): Column =

@@ -598,6 +598,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L) == "de")
   }
 
+  test("langId kernel ≡ the stopword-score when-chain it replaced (ties, empties, nulls)") {
+    // the r5 Column form, verbatim — the differential oracle for the
+    // one-pass LangId4 kernel
+    def chain(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val en = TextAnalysis.stopwordScore(text, "en")
+      val es = TextAnalysis.stopwordScore(text, "es")
+      val de = TextAnalysis.stopwordScore(text, "de")
+      val fr = TextAnalysis.stopwordScore(text, "fr")
+      when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+        .when(en >= es && en >= de && en >= fr, lit("en"))
+        .when(es >= de && es >= fr, lit("es"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+    }
+    val vocab = Seq("the", "a", "of", "el", "la", "de", "der", "und", "le",
+      "est", "en", "que", "zz", "xx", "", "  ", "THE", "La")
+    val rnd = new scala.util.Random(20260822)
+    val texts: Seq[String] = (0 until 300).map { _ =>
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    } ++ Seq("", "   ", "de la", "und der", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("i", "t")
+    val rows = df.select($"i", TextAnalysis.langId($"t").as("k"),
+      chain($"t").as("c")).collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"row ${r.getLong(0)}: kernel=${r.getString(1)} chain=${r.getString(2)}"))
+  }
+
   test("token counts + fingerprint") {
     val row = docs.filter($"doc_id" === 0)
       .select(

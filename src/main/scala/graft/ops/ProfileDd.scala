@@ -63,6 +63,21 @@ object ProfileDd {
       .withColumn("j", Dedup.jaccardPct(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 60)
     time("ws verify join+jaccard")(verified.count())
+    // production path stages (withinBucketPairs form)
+    val prodBanded = Dedup.bandedBuckets(docs, "doc_id", "text", 64, 32, 1,
+      Some("source"))
+    val prodPairs = Dedup.withinBucketPairs(prodBanded.drop("band"),
+      Seq("bucket", "source"), Seq("id"))
+    time("ws wbp pair stream")(prodPairs.count())
+    time("ws wbp pairs distinct")(prodPairs.distinct().count())
+    val sig1 = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 1).as("sh"))
+    val ver1 = prodPairs.distinct()
+      .join(sig1.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sig1.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("j", Dedup.jaccardPct(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 60)
+    time("ws wbp verify precomp")(ver1.count())
     // experiment: join-free candidate generation (one banded scan,
     // collect_list per bucket, explode² pairs)
     val bucketed = banded.groupBy("source", "band", "bucket")

@@ -70,6 +70,11 @@ object ProfileDd {
       Seq("bucket", "source"), Seq("id"))
     time("ws wbp pair stream")(prodPairs.count())
     time("ws wbp pairs distinct")(prodPairs.distinct().count())
+    time("ws wbp exchange only")(
+      prodPairs.repartition(col("id_a"), col("id_b")).count())
+    time("ws wbp exchange+sort")(
+      prodPairs.repartition(col("id_a"), col("id_b"))
+        .sortWithinPartitions(col("id_a"), col("id_b")).count())
     val sig1 = docs.select(col("doc_id").as("id"),
       Dedup.shingles(col("text"), 1).as("sh"))
     val ver1 = prodPairs.distinct()

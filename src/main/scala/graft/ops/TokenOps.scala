@@ -178,9 +178,9 @@ object TokenOps {
     // distinct eval gram keys once and bake the probe into ONE codegen
     // kernel over the train side — the optimization guide's manual
     // pre-filter pattern (§3.2), exact instead of Bloom. The train side
-    // then never explodes at all: per sequence, its distinct gram keys
-    // are counted against the sorted table in place, and n_shared IS
-    // that count (keys are per-row distinct) — zero shuffle, no
+    // then never explodes at all: per sequence, the fused kernel keys
+    // and probes every window IN PLACE (no key materialization) and
+    // n_shared is the distinct-hit count — zero shuffle, no
     // corpus-gram-sized Generate, no broadcast hash probe, no
     // re-aggregate of the exploded rows (r5 shape: 4.9M generated rows
     // at sf0.1 just to count hits per doc). noPushdown: the n_shared>0
@@ -195,9 +195,8 @@ object TokenOps {
     val table = OpsKernels.keyPairTable(keys)
     train
       .select(col(idCol),
-        graft.hotdog.exprs.noPushdown(opscol.keyTableHits(
-          opscol.tokenGramKeys(col(tokensCol), n, distinct = true),
-          table)).as("n_shared"))
+        graft.hotdog.exprs.noPushdown(
+          opscol.countGramHits(col(tokensCol), n, table)).as("n_shared"))
       .filter(col("n_shared") > 0)
   }
 

@@ -670,47 +670,89 @@ object OpsKernels {
     math.log(n0.toDouble) - sumKlnK / n0
   }
 
-  /** membership count of 16-byte binary keys in a sorted pair table —
-    * the exact in-place probe behind the zero-shuffle decontamination
-    * form (see [[TokenOps.tokenContaminated]]): `table` holds the probe
-    * set as [hi0,lo0,hi1,lo1,...] longs sorted by (hi,lo) UNSIGNED;
-    * each key (big-endian 16 bytes, the [[tokenGramKeys]] layout) is
-    * binary-searched. Caller guarantees the keys column is per-row
-    * DISTINCT (tokenGramKeys distinct=true), so the hit count equals
-    * the distinct shared-gram count the explode+join+count form
-    * produced. O(k·log m) per row, zero allocation beyond the key
-    * bytes the array accessor already returns. */
-  def countKeyHits(keys: ArrayData, table: Array[Long]): Long = {
-    val n = keys.numElements()
-    val m = table.length / 2
-    var hits = 0L
+  /** true iff the (hi, lo) pair is in `table` ([h0,l0,h1,l1,...] sorted
+    * by (hi, lo) UNSIGNED) — the shared binary search of the
+    * decontamination probes. */
+  @inline private def pairInTable(hi: Long, lo: Long,
+      table: Array[Long]): Boolean = {
+    var loIdx = 0
+    var hiIdx = table.length / 2 - 1
+    while (loIdx <= hiIdx) {
+      val mid = (loIdx + hiIdx) >>> 1
+      val th = table(2 * mid)
+      val tl = table(2 * mid + 1)
+      val c =
+        if (th != hi) java.lang.Long.compareUnsigned(th, hi)
+        else java.lang.Long.compareUnsigned(tl, lo)
+      if (c == 0) return true
+      else if (c < 0) loIdx = mid + 1
+      else hiIdx = mid - 1
+    }
+    false
+  }
+
+  /** distinct token-n-gram hits of a sequence against a sorted pair
+    * table — the fused, allocation-free probe behind the zero-shuffle
+    * decontamination form (see [[TokenOps.tokenContaminated]]): the
+    * gram keys are the [[tokenGramKeys]] (h1, h2) lanes computed IN
+    * PLACE (no byte[16] per window, no per-row LinkedHashSet — the
+    * two-kernel form allocated ~3 objects per window just to hand keys
+    * from one kernel to the next), each window binary-searched, and
+    * only HIT keys are deduplicated (a tiny linear scan — hits are
+    * contamination-rare; duplicate windows share a key, two different
+    * grams cannot, so distinct hit keys ≡ the distinct-gram hit count
+    * of tokenGramKeys(distinct=true) + membership). */
+  def countGramHits(tokens: ArrayData, n: Int, table: Array[Long]): Long = {
+    val len = tokens.numElements()
+    if (len < n || table.length == 0) return 0L
+    val m1 = new Array[Long](len)
+    val m2 = new Array[Long](len)
     var i = 0
-    while (i < n) {
-      val b = keys.getBinary(i)
-      var hi = 0L
-      var lo = 0L
-      var j = 0
-      while (j < 8) {
-        hi = (hi << 8) | (b(j) & 0xffL)
-        lo = (lo << 8) | (b(8 + j) & 0xffL)
-        j += 1
-      }
-      var loIdx = 0
-      var hiIdx = m - 1
-      while (loIdx <= hiIdx) {
-        val mid = (loIdx + hiIdx) >>> 1
-        val th = table(2 * mid)
-        val tl = table(2 * mid + 1)
-        val c =
-          if (th != hi) java.lang.Long.compareUnsigned(th, hi)
-          else java.lang.Long.compareUnsigned(tl, lo)
-        if (c == 0) { hits += 1; loIdx = hiIdx + 2 } // found: exit inner
-        else if (c < 0) loIdx = mid + 1
-        else hiIdx = mid - 1
-      }
+    while (i < len) {
+      if (tokens.isNullAt(i))
+        throw new IllegalArgumentException("count_gram_hits: null token element")
+      val t = tokens.getInt(i).toLong
+      m1(i) = mix64(t ^ 0x243f6a8885a308d3L) // tokenGramKeys' lanes exactly
+      m2(i) = mix64(t ^ 0x13198a2e03707344L)
       i += 1
     }
-    hits
+    var hitHi: Array[Long] = null
+    var hitLo: Array[Long] = null
+    var hits = 0
+    val count = len - n + 1
+    var s = 0
+    while (s < count) {
+      var h1 = 0x9368e53c2f6af274L ^ n.toLong
+      var h2 = 0x586dcd208f7cd3fdL + n.toLong
+      var k = 0
+      while (k < n) {
+        h1 = h1 * 0x100000001b3L + m1(s + k)
+        h2 = h2 * 0xc6a4a7935bd1e995L + m2(s + k)
+        k += 1
+      }
+      h1 = mix64(h1)
+      h2 = mix64(h2)
+      if (pairInTable(h1, h2, table)) {
+        var seen = false
+        var j = 0
+        while (j < hits) {
+          if (hitHi(j) == h1 && hitLo(j) == h2) { seen = true; j = hits }
+          j += 1
+        }
+        if (!seen) {
+          if (hitHi == null) { hitHi = new Array[Long](8); hitLo = new Array[Long](8) }
+          else if (hits == hitHi.length) {
+            hitHi = java.util.Arrays.copyOf(hitHi, 2 * hits)
+            hitLo = java.util.Arrays.copyOf(hitLo, 2 * hits)
+          }
+          hitHi(hits) = h1
+          hitLo(hits) = h2
+          hits += 1
+        }
+      }
+      s += 1
+    }
+    hits.toLong
   }
 
   /** assemble a chunk's token stream from its collected
@@ -1051,25 +1093,27 @@ case class HyperplaneSig(child: Expression, planes: Int) extends UnaryExpression
   * order the (a, b) lexicographic tie-break). Token ids must be
   * non-negative (codepoints / vocab ids; rejected loudly otherwise —
   * a negative id would corrupt the pack). */
-/** `KeyTableHits(keys array<binary>, table) -> bigint` — how many of the
-  * row's 16-byte keys sit in the plan-baked sorted pair table (see
-  * [[OpsKernels.countKeyHits]]); the exact, zero-shuffle form of
-  * "explode → broadcast-probe → count" for benchmark-sized probe sets. */
-case class KeyTableHits(child: Expression, table: Array[Long])
+/** `CountGramHits(tokens array<int>, n, table) -> bigint` — distinct
+  * token-n-gram hits against the plan-baked sorted pair table (see
+  * [[OpsKernels.countGramHits]]); the exact, zero-shuffle,
+  * allocation-free form of "render keys → explode → broadcast-probe →
+  * count" for benchmark-sized probe sets. */
+case class CountGramHits(child: Expression, n: Int, table: Array[Long])
     extends UnaryExpression {
+  require(n >= 1, "gram size must be >= 1")
   require(table.length % 2 == 0, "pair table must hold (hi, lo) longs")
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    OpsKernels.countKeyHits(input.asInstanceOf[ArrayData], table)
+    OpsKernels.countGramHits(input.asInstanceOf[ArrayData], n, table)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tableRef = ctx.addReferenceObj("keyTable", table, "long[]")
+    val tableRef = ctx.addReferenceObj("gramTable", table, "long[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.ops.OpsKernels.countKeyHits($c, $tableRef)")
+      s"graft.ops.OpsKernels.countGramHits($c, $n, $tableRef)")
   }
-  override protected def withNewChildInternal(c: Expression): KeyTableHits =
+  override protected def withNewChildInternal(c: Expression): CountGramHits =
     copy(child = c)
-  override def prettyName: String = "key_table_hits"
+  override def prettyName: String = "count_gram_hits"
 }
 
 /** `LangId4(text, stops) -> string` — one-pass stopword-argmax language
@@ -1225,8 +1269,8 @@ object opscol {
     graftshim.column(TokenGramKeys(graftshim.expression(c), n, distinct))
   def tokenPairKeys(c: Column): Column =
     graftshim.column(TokenPairKeys(graftshim.expression(c)))
-  def keyTableHits(c: Column, table: Array[Long]): Column =
-    graftshim.column(KeyTableHits(graftshim.expression(c), table))
+  def countGramHits(c: Column, n: Int, table: Array[Long]): Column =
+    graftshim.column(CountGramHits(graftshim.expression(c), n, table))
   def assembleFragments(c: Column): Column =
     graftshim.column(AssembleFragments(graftshim.expression(c)))
   def langId4(c: Column, stops: Array[Array[String]]): Column =
